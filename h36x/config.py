@@ -1,0 +1,197 @@
+"""Unified configuration for every pipeline stage.
+
+The reference spreads configuration over three mechanisms — module constants
+(reference src/config.py:4-21), per-stage argparse (src/train.py:283-299,
+src/preprocess_resnet_features.py:136-155) and absl flags
+(src/datasets/read_human_36m.py:36-43). Here a single dataclass hierarchy owns
+the defaults and every CLI builds on :func:`parse_into` for overrides.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+
+# ---------------------------------------------------------------------------
+# Data / clip geometry defaults (reference src/config.py:8-15)
+# ---------------------------------------------------------------------------
+
+FRAME_SKIP = 2  # temporal subsampling applied when decoding video
+SEQ_LEN = 40  # frames per clip (after subsampling)
+INPUT_LEN = 15  # warm-up frames for future prediction
+PRED_LEN = 25  # autoregressive prediction horizon
+JOINTS_NUM = 17  # H36M 17-joint skeleton
+FEATURE_DIM = 2048  # ResNet-50 pooled feature width
+
+# Training defaults (reference src/config.py:18-21, src/train.py:283-299)
+LATENT_DIM = 1024  # model latent ("movie strip") width used by train.py:370
+BATCH_SIZE = 32
+LR = 1e-4
+EPOCHS = 50
+CURRICULUM_STEPS = 25
+
+TRAIN_SUBJECTS = (1, 6, 7, 8)
+VAL_SUBJECTS = (5,)
+TEST_SUBJECTS = (9,)
+ALL_SUBJECTS = (1, 5, 6, 7, 8, 9, 11)
+
+
+@dataclass
+class DataConfig:
+    """Clip windowing + shard-store configuration."""
+
+    root: str = ""
+    seq_len: int = SEQ_LEN
+    frame_skip: int = FRAME_SKIP
+    stride: int = 10
+    resize: int = 224
+    crop_scale: float = 1.6
+    shard_cache_size: int = 2
+    subjects: List[int] = field(default_factory=lambda: list(TRAIN_SUBJECTS))
+    max_clips: Optional[int] = None
+    augment: bool = False
+
+
+@dataclass
+class ModelConfig:
+    """PHD model hyper-parameters (reference src/model.py:127-146, train.py:370)."""
+
+    latent_dim: int = LATENT_DIM
+    feature_dim: int = FEATURE_DIM
+    joints_num: int = JOINTS_NUM
+    num_blocks: int = 2  # f_movie depth used in training (train.py:370)
+    ar_num_blocks: int = 3  # f_AR depth (model.py:143 default)
+    regressor_iters: int = 3
+    regressor_hidden: int = 1024
+    dropout: float = 0.5
+    groups: int = 32
+    kernel_size: int = 3
+
+
+@dataclass
+class OptimConfig:
+    lr: float = LR
+    weight_decay: float = 1e-2
+    epochs: int = EPOCHS
+    batch_size: int = BATCH_SIZE
+    freeze_ar: bool = True  # phase-1: f_AR frozen (reference train.py:373-376)
+    early_stop_patience: int = 10
+    early_stop_min_delta: float = 0.0
+    seed: int = 0
+    log_every: int = 500
+
+
+@dataclass
+class MeshConfig:
+    """Device mesh layout. data = batch sharding, model = tensor parallel."""
+
+    data: int = -1  # -1: use all devices on the data axis
+    model: int = 1
+
+
+@dataclass
+class TrainConfig:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    train_root: str = ""
+    val_root: str = ""
+    outdir: str = "./runs/phase1"
+    resume: str = ""
+    train_subjects: List[int] = field(default_factory=lambda: list(TRAIN_SUBJECTS))
+    val_subjects: List[int] = field(default_factory=lambda: list(VAL_SUBJECTS))
+
+
+@dataclass
+class ExtractConfig:
+    """Feature-extraction stage (reference src/preprocess_resnet_features.py:136-155)."""
+
+    root: str = ""
+    out: str = ""
+    seq_len: int = SEQ_LEN
+    frame_skip: int = FRAME_SKIP
+    stride: int = 5
+    batch_size: int = 32
+    num_workers: int = 8
+    subjects: List[int] = field(default_factory=lambda: list(ALL_SUBJECTS))
+    save_fp16: bool = False
+    augment: bool = False
+    shard_size: int = 512  # clips per shard file
+    shuffle_pool: int = 8192  # clips buffered before a shuffled flush
+    shuffle_seed: int = 123
+    weights: str = ""  # optional path to a converted ResNet-50 checkpoint
+
+
+@dataclass
+class IngestConfig:
+    """Raw-H36M ingestion (reference src/datasets/read_human_36m.py:36-43)."""
+
+    source_dir: str = ""
+    out_dir: str = ""
+    subjects: List[int] = field(default_factory=lambda: list(ALL_SUBJECTS))
+
+
+# ---------------------------------------------------------------------------
+# CLI plumbing: every dataclass field becomes a --dotted.path flag.
+# ---------------------------------------------------------------------------
+
+
+def _add_fields(parser: argparse.ArgumentParser, cfg, prefix: str = "") -> None:
+    for f in dataclasses.fields(cfg):
+        name = f"{prefix}{f.name}"
+        value = getattr(cfg, f.name)
+        if dataclasses.is_dataclass(value):
+            _add_fields(parser, value, prefix=f"{name}.")
+            continue
+        flag = "--" + name.replace("_", "-")
+        if isinstance(value, bool):
+            parser.add_argument(flag, type=_parse_bool, default=None)
+        elif isinstance(value, list):
+            parser.add_argument(flag, type=int, nargs="*", default=None)
+        elif value is None:
+            parser.add_argument(flag, type=int, default=None)
+        else:
+            parser.add_argument(flag, type=type(value), default=None)
+
+
+def _parse_bool(s: str) -> bool:
+    if s.lower() in ("1", "true", "yes", "on"):
+        return True
+    if s.lower() in ("0", "false", "no", "off"):
+        return False
+    raise argparse.ArgumentTypeError(f"not a boolean: {s!r}")
+
+
+def _apply(cfg, dotted: str, value) -> None:
+    head, _, rest = dotted.partition(".")
+    if rest:
+        _apply(getattr(cfg, head), rest, value)
+    else:
+        setattr(cfg, head, value)
+
+
+def parse_into(cfg, argv: Optional[Sequence[str]] = None, description: str = ""):
+    """Parse CLI arguments into (a copy of) the given config dataclass."""
+    parser = argparse.ArgumentParser(description=description)
+    _add_fields(parser, cfg)
+    ns = parser.parse_args(argv)
+    out = dataclasses.replace(cfg)
+    # dataclasses.replace is shallow; deep-copy nested dataclasses.
+    for f in dataclasses.fields(out):
+        v = getattr(out, f.name)
+        if dataclasses.is_dataclass(v):
+            setattr(out, f.name, dataclasses.replace(v))
+    for key, value in vars(ns).items():
+        if value is None:
+            continue
+        _apply(out, key.replace("-", "_"), value)
+    return out
+
+
+def to_json(cfg) -> str:
+    return json.dumps(dataclasses.asdict(cfg), indent=2, sort_keys=True)
