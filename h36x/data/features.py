@@ -1,0 +1,135 @@
+"""Feature-clip dataset over the shard store.
+
+Parity target: reference src/dataset_features.py:28-126 — subject filtering,
+clip x variant item expansion when augmenting, LRU shard caching, mm->m joint
+conversion, optional per-row meta for the test set.
+
+TPU-first addition: :meth:`get_batch` gathers a whole batch of rows into
+stacked contiguous numpy arrays in one pass (grouped by shard), which is what
+the device feed consumes — there is no per-item collate step on the hot path.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from h36x.data import shards as shard_store
+
+
+class FeatureClipDataset:
+    def __init__(
+        self,
+        root,
+        subjects: Optional[List[int]] = None,
+        max_clips: Optional[int] = None,
+        test_set: bool = False,
+        augment: bool = False,
+        shard_cache_size: int = 2,
+    ):
+        self.root = Path(root)
+        self.test_set = test_set
+        self.augment = augment
+
+        index = shard_store.load_index(self.root)
+        self._torch_format = bool(index.get("torch_format"))
+        self.n_vars = int(index["n_variants"])
+        self.aug_names = index.get("aug_names", ["orig"])
+        self.seq_len = index.get("seq_len")
+        self.frame_skip = index.get("frame_skip")
+
+        clips = index["clips"]
+        if subjects is not None:
+            subj = set(int(s) for s in subjects)
+            clips = [c for c in clips if int(c["subject"]) in subj]
+        if max_clips is not None:
+            clips = clips[:max_clips]
+        if not clips:
+            raise RuntimeError(f"no clips under {root} for subjects={subjects}")
+        self.clips = clips
+
+        if augment:
+            self._items = [(c, v) for c in clips for v in range(self.n_vars)]
+        else:
+            self._items = [(c, 0) for c in clips]
+
+        self._reader = shard_store.ShardReader(self.root, cache_size=shard_cache_size)
+
+    # -- container protocol ------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self._items)
+
+    @property
+    def items(self):
+        return self._items
+
+    def shard_id_of(self, idx: int) -> int:
+        return int(self._items[idx][0]["shard_id"])
+
+    def _shard(self, shard_id: int) -> dict:
+        if self._torch_format:
+            # compat path; small LRU via the same reader cache dict
+            cache = self._reader._cache
+            if shard_id not in cache:
+                if len(self._reader._order) >= self._reader.cache_size:
+                    oldest = self._reader._order.pop(0)
+                    del cache[oldest]
+                cache[shard_id] = shard_store.load_torch_shard(self.root, shard_id)
+                self._reader._order.append(shard_id)
+            return cache[shard_id]
+        return self._reader.get(shard_id)
+
+    def __getitem__(self, idx: int):
+        clip, var = self._items[idx]
+        shard = self._shard(int(clip["shard_id"]))
+        row = int(clip["row"]) + var
+        feats = np.asarray(shard["feats"][row], dtype=np.float32)
+        joints3d = np.asarray(shard["joints3d"][row], dtype=np.float32) / 1000.0
+        joints2d = np.asarray(shard["joints2d"][row], dtype=np.float32)
+        K = np.asarray(shard["K"][row], dtype=np.float32)
+        if self.test_set:
+            return feats, joints3d, joints2d, K, shard["meta"][row]
+        return feats, joints3d, joints2d, K
+
+    # -- batched access (device-feed hot path) ------------------------------
+
+    def get_batch(self, indices: Sequence[int]):
+        """Gather rows into stacked arrays: (feats, joints3d, joints2d, K[, meta]).
+
+        Rows are fetched shard-by-shard so each cached shard is touched once.
+        joints3d are converted mm -> m here, matching __getitem__.
+        """
+        n = len(indices)
+        first = self[indices[0]]
+        feats = np.empty((n,) + first[0].shape, dtype=np.float32)
+        joints3d = np.empty((n,) + first[1].shape, dtype=np.float32)
+        joints2d = np.empty((n,) + first[2].shape, dtype=np.float32)
+        K = np.empty((n, 3, 3), dtype=np.float32)
+        meta: list = [None] * n
+
+        by_shard: dict = {}
+        for pos, idx in enumerate(indices):
+            clip, var = self._items[idx]
+            by_shard.setdefault(int(clip["shard_id"]), []).append(
+                (pos, int(clip["row"]) + var)
+            )
+        for sid, rows in by_shard.items():
+            shard = self._shard(sid)
+            pos_arr = np.array([p for p, _ in rows])
+            row_arr = np.array([r for _, r in rows])
+            feats[pos_arr] = np.asarray(shard["feats"][row_arr], dtype=np.float32)
+            joints3d[pos_arr] = (
+                np.asarray(shard["joints3d"][row_arr], dtype=np.float32) / 1000.0
+            )
+            joints2d[pos_arr] = np.asarray(shard["joints2d"][row_arr], dtype=np.float32)
+            K[pos_arr] = np.asarray(shard["K"][row_arr], dtype=np.float32)
+            if self.test_set:
+                for p, r in rows:
+                    meta[p] = shard["meta"][r]
+
+        if self.test_set:
+            return feats, joints3d, joints2d, K, meta
+        return feats, joints3d, joints2d, K

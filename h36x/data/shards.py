@@ -1,0 +1,283 @@
+"""h36x feature-shard store.
+
+A TPU-first re-design of the reference's torch.save shard format (reference
+src/preprocess_resnet_features.py:80-91, 403-417; contract documented at
+src/dataset_features.py:16-27). Differences by design:
+
+- raw little-endian arrays behind a JSON header instead of pickled tensors:
+  a shard loads with one sequential read (or np.memmap) and no framework
+  deserialization on the hot path;
+- 64-byte-aligned array offsets so memory-mapped reads stay page/vector
+  aligned;
+- `index.json` instead of a pickled index: human-inspectable, versionable.
+
+On-disk shard layout (shard_XXXXX.h36x):
+
+    bytes 0..8    magic b"H36XSHRD"
+    bytes 8..12   uint32 LE header length H
+    bytes 12..12+H  JSON header {
+        "version": 1,
+        "n_vars": int,
+        "arrays": {name: {"dtype", "shape", "offset", "nbytes"}},
+        "meta": [per-row dicts],
+    }
+    payload       raw array bytes at the stated offsets
+
+Row layout matches the reference contract: a shard holds N_clips x n_vars
+rows with a clip's variants contiguous, so a clip addresses its variant rows
+as row + var_offset.
+
+A compatibility reader for the reference's torch `.pt` shards/index lives in
+:func:`load_torch_index` / :func:`load_torch_shard` (gated on torch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+MAGIC = b"H36XSHRD"
+_ALIGN = 64
+
+ARRAY_KEYS = ("feats", "joints3d", "joints2d", "K")
+
+_DTYPE_NAMES = {"float32", "float16", "bfloat16", "float64", "int32", "int64", "uint8"}
+
+
+def _np_dtype(name: str):
+    if name == "bfloat16":
+        import ml_dtypes
+
+        return np.dtype(ml_dtypes.bfloat16)
+    if name not in _DTYPE_NAMES:
+        raise ValueError(f"unsupported shard dtype {name!r}")
+    return np.dtype(name)
+
+
+def _dtype_name(dt: np.dtype) -> str:
+    name = dt.name
+    if name not in _DTYPE_NAMES:
+        raise ValueError(f"unsupported shard dtype {dt!r}")
+    return name
+
+
+def shard_path(root, shard_id: int) -> Path:
+    return Path(root) / f"shard_{shard_id:05d}.h36x"
+
+
+def write_shard(path, arrays: Dict[str, np.ndarray], meta: List[dict], n_vars: int) -> None:
+    """Serialize one shard. `arrays` values must share the leading row count."""
+    rows = {k: int(v.shape[0]) for k, v in arrays.items()}
+    if len(set(rows.values())) != 1:
+        raise ValueError(f"inconsistent row counts: {rows}")
+    n_rows = next(iter(rows.values()))
+    if len(meta) != n_rows:
+        raise ValueError(f"meta has {len(meta)} entries for {n_rows} rows")
+
+    header: dict = {"version": 1, "n_vars": int(n_vars), "arrays": {}, "meta": meta}
+    # Two passes: sizing the header changes offsets, so reserve with a first
+    # pass then recompute once the header length is fixed.
+    entries = {}
+    for name, arr in arrays.items():
+        arr = np.ascontiguousarray(arr)
+        entries[name] = arr
+        header["arrays"][name] = {
+            "dtype": _dtype_name(arr.dtype),
+            "shape": list(arr.shape),
+            "offset": 0,
+            "nbytes": int(arr.nbytes),
+        }
+
+    def _layout(header_len: int) -> int:
+        off = len(MAGIC) + 4 + header_len
+        for name in entries:
+            off = (off + _ALIGN - 1) // _ALIGN * _ALIGN
+            header["arrays"][name]["offset"] = off
+            off += header["arrays"][name]["nbytes"]
+        return off
+
+    blob = json.dumps(header).encode()
+    _layout(len(blob))
+    blob2 = json.dumps(header).encode()
+    # offsets may grow the header (more digits); settle with one more pass
+    while len(blob2) != len(blob):
+        blob = blob2
+        _layout(len(blob))
+        blob2 = json.dumps(header).encode()
+
+    tmp = str(path) + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(MAGIC)
+        f.write(np.uint32(len(blob2)).tobytes())
+        f.write(blob2)
+        for name, arr in entries.items():
+            f.seek(header["arrays"][name]["offset"])
+            f.write(arr.tobytes())
+    os.replace(tmp, path)
+
+
+def read_shard(path, mmap: bool = True) -> dict:
+    """Load a shard into {'feats': ..., 'joints3d': ..., ..., 'meta': [...]}.
+
+    With mmap=True arrays are memory-mapped (zero-copy until touched).
+    """
+    path = str(path)
+    with open(path, "rb") as f:
+        if f.read(len(MAGIC)) != MAGIC:
+            raise ValueError(f"{path}: not an h36x shard")
+        (hlen,) = np.frombuffer(f.read(4), dtype=np.uint32)
+        header = json.loads(f.read(int(hlen)).decode())
+
+    out: dict = {"meta": header["meta"], "n_vars": header["n_vars"]}
+    for name, spec in header["arrays"].items():
+        dt = _np_dtype(spec["dtype"])
+        shape = tuple(spec["shape"])
+        if mmap:
+            arr = np.memmap(path, dtype=dt, mode="r", offset=spec["offset"], shape=shape)
+        else:
+            arr = np.fromfile(path, dtype=dt, count=int(np.prod(shape)), offset=spec["offset"]).reshape(shape)
+        out[name] = arr
+    return out
+
+
+class ShardWriter:
+    """Stateful helper accumulating rows and flushing numbered shard files."""
+
+    def __init__(self, out_root, n_vars: int, async_writer=None):
+        self.out_root = Path(out_root)
+        self.out_root.mkdir(parents=True, exist_ok=True)
+        self.n_vars = n_vars
+        self.shard_id = 0
+        self._async = async_writer
+
+    def write(self, arrays: Dict[str, np.ndarray], meta: List[dict]) -> int:
+        sid = self.shard_id
+        path = shard_path(self.out_root, sid)
+        if self._async is not None:
+            self._async.submit(write_shard, path, arrays, meta, self.n_vars)
+        else:
+            write_shard(path, arrays, meta, self.n_vars)
+        self.shard_id += 1
+        return sid
+
+
+class ShardReader:
+    """LRU cache of open shards (reference src/dataset_features.py:89-110)."""
+
+    def __init__(self, root, cache_size: int = 2, mmap: bool = True):
+        self.root = Path(root)
+        self.cache_size = cache_size
+        self.mmap = mmap
+        self._cache: dict = {}
+        self._order: list = []
+        self.load_calls = 0
+
+    def get(self, shard_id: int) -> dict:
+        if shard_id in self._cache:
+            self._order.remove(shard_id)
+            self._order.append(shard_id)
+            return self._cache[shard_id]
+        if len(self._order) >= self.cache_size:
+            oldest = self._order.pop(0)
+            del self._cache[oldest]
+        self.load_calls += 1
+        shard = read_shard(shard_path(self.root, shard_id), mmap=self.mmap)
+        self._cache[shard_id] = shard
+        self._order.append(shard_id)
+        return shard
+
+
+# ---------------------------------------------------------------------------
+# Index
+# ---------------------------------------------------------------------------
+
+
+def write_index(
+    root,
+    clips: List[dict],
+    *,
+    n_shards: int,
+    n_clips: int,
+    n_variants: int,
+    aug_names: List[str],
+    seq_len: int,
+    frame_skip: int,
+    feat_dtype: str,
+    shuffle_seed: Optional[int] = None,
+    shuffle_pool: Optional[int] = None,
+) -> None:
+    """Write index.json describing the shard set (the L3->L4 contract)."""
+    payload = {
+        "version": 1,
+        "clips": clips,
+        "n_shards": n_shards,
+        "n_clips": n_clips,
+        "n_variants": n_variants,
+        "aug_names": aug_names,
+        "seq_len": seq_len,
+        "frame_skip": frame_skip,
+        "feat_dtype": feat_dtype,
+        "variants_grouped": True,
+        "shuffle_seed": shuffle_seed,
+        "shuffle_pool": shuffle_pool,
+    }
+    tmp = Path(root) / "index.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, Path(root) / "index.json")
+
+
+def load_index(root) -> dict:
+    """Load index.json; falls back to a reference-format index.pt if present."""
+    root = Path(root)
+    jpath = root / "index.json"
+    if jpath.exists():
+        with open(jpath) as f:
+            return json.load(f)
+    tpath = root / "index.pt"
+    if tpath.exists():
+        return load_torch_index(tpath)
+    raise FileNotFoundError(
+        f"no index.json (or compat index.pt) under {root}; run the h36x "
+        "extract stage first."
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compatibility readers for the reference's torch shard format
+# ---------------------------------------------------------------------------
+
+
+def load_torch_index(path) -> dict:
+    import torch
+
+    idx = torch.load(path, map_location="cpu", weights_only=True)
+    return {
+        "version": 0,
+        "clips": idx["clips"],
+        "n_shards": idx.get("n_shards"),
+        "n_clips": idx.get("n_clips"),
+        "n_variants": idx["n_variants"],
+        "aug_names": idx.get("aug_names", ["orig"]),
+        "seq_len": idx.get("seq_len"),
+        "frame_skip": idx.get("frame_skip"),
+        "feat_dtype": idx.get("feat_dtype", "float32"),
+        "variants_grouped": idx.get("variants_grouped", True),
+        "torch_format": True,
+    }
+
+
+def load_torch_shard(root, shard_id: int) -> dict:
+    import torch
+
+    data = torch.load(
+        Path(root) / f"shard_{shard_id:05d}.pt", map_location="cpu", weights_only=True
+    )
+    out = {"meta": data.get("meta", []), "n_vars": data.get("n_vars", 1)}
+    for k in ARRAY_KEYS:
+        out[k] = data[k].numpy()
+    return out

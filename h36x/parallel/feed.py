@@ -1,0 +1,64 @@
+"""Host -> device feeding: double-buffered prefetch onto the mesh.
+
+Replaces the reference's pinned-memory `.to(device, non_blocking=True)` copies
+(reference src/train.py:142-145) and DataLoader worker prefetch: a background
+thread materializes host batches while the device computes, and each batch is
+device_put with the batch sharding so the transfer lands pre-sharded over the
+`data` axis (no broadcast-then-slice).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterable, Iterator, Optional
+
+import jax
+
+
+def prefetch_to_device(
+    batch_iter: Iterable,
+    sharding=None,
+    buffer_size: int = 2,
+    transform: Optional[Callable] = None,
+) -> Iterator:
+    """Iterate device-resident batches, overlapping host work with compute.
+
+    Args:
+      batch_iter: iterable of host (numpy pytree) batches.
+      sharding: jax.sharding.Sharding applied to every array leaf (None =
+        default device placement).
+      buffer_size: queue depth; 2 = classic double buffering.
+      transform: optional host-side fn applied to each batch before transfer.
+    """
+    q: queue.Queue = queue.Queue(maxsize=buffer_size)
+    sentinel = object()
+    err_box = []
+
+    def producer():
+        try:
+            for batch in batch_iter:
+                if transform is not None:
+                    batch = transform(batch)
+                if sharding is not None:
+                    batch = jax.tree.map(
+                        lambda x: jax.device_put(x, sharding), batch
+                    )
+                else:
+                    batch = jax.tree.map(jax.device_put, batch)
+                q.put(batch)
+        except BaseException as e:  # surface worker errors to the consumer
+            err_box.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err_box:
+                raise err_box[0]
+            return
+        yield item

@@ -1,0 +1,108 @@
+"""Mesh construction and sharding rules.
+
+Axes:
+  data  — batch dimension (pure DP; gradient psum over ICI)
+  model — tensor parallelism for the wide GEMMs (input_proj, conv taps,
+          regressor MLP): kernels shard on their output column axis, the
+          next layer's kernel shards on its input row axis, so XLA inserts
+          the minimal all-gather/reduce-scatter pattern.
+
+On a single host this builds over however many devices exist (1 real TPU
+chip, or N virtual CPU devices under --xla_force_host_platform_device_count).
+Multi-host extends transparently: jax.devices() is global under jax.distributed.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
+    """Build a (data, model) mesh. data=-1 uses all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        if n % model != 0:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    arr = np.array(devices).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch tensors shard their leading axis over `data`."""
+    return NamedSharding(mesh, P("data"))
+
+
+# Param-path -> PartitionSpec rules for tensor parallelism. Paths are
+# '/'-joined flax param paths, e.g. 'f_movie/block0/conv1/kernel'.
+_TP_RULES: Tuple[Tuple[str, P], ...] = (
+    # input projection (feature_dim x latent): split latent columns
+    (r".*input_proj/kernel$", P(None, "model")),
+    (r".*input_proj/bias$", P("model")),
+    # causal conv kernels (K, D_in, D_out): split output channels
+    (r".*conv\d/kernel$", P(None, None, "model")),
+    (r".*conv\d/bias$", P("model")),
+    # regressor MLP: fc1 splits hidden cols, fc2 rows+cols, fc3 rows
+    (r".*f_3D/fc1/kernel$", P(None, "model")),
+    (r".*f_3D/fc1/bias$", P("model")),
+    (r".*f_3D/fc2/kernel$", P("model", None)),
+    (r".*f_3D/fc3/kernel$", P(None, None)),
+)
+
+
+def param_sharding_rules(path: str, leaf, mesh: Mesh) -> NamedSharding:
+    """Sharding for one parameter; replicated unless a TP rule matches and
+    the dimension divides the model-axis size."""
+    model_size = mesh.shape["model"]
+    if model_size > 1:
+        for pattern, spec in _TP_RULES:
+            if re.match(pattern, path):
+                # only apply when every sharded dim divides the axis
+                ok = True
+                for dim, axis in zip(leaf.shape, spec):
+                    if axis == "model" and dim % model_size != 0:
+                        ok = False
+                if ok:
+                    return NamedSharding(mesh, spec)
+    return NamedSharding(mesh, P())
+
+
+def _flatten_paths(tree):
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    out = []
+    for keypath, leaf in flat:
+        parts = []
+        for k in keypath:
+            name = getattr(k, "key", getattr(k, "idx", None))
+            parts.append(str(name))
+        out.append(("/".join(parts), leaf))
+    return out
+
+
+def shard_params(params, mesh: Mesh):
+    """Device_put every param with its rule-derived sharding."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    leaves = []
+    for keypath, leaf in flat:
+        path = "/".join(str(getattr(k, "key", getattr(k, "idx", ""))) for k in keypath)
+        sharding = param_sharding_rules(path, leaf, mesh)
+        leaves.append(jax.device_put(leaf, sharding))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def param_shardings(params, mesh: Mesh):
+    """Pytree of NamedShardings matching `params` (for jit in_shardings)."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    shardings = []
+    for keypath, leaf in flat:
+        path = "/".join(str(getattr(k, "key", getattr(k, "idx", ""))) for k in keypath)
+        shardings.append(param_sharding_rules(path, leaf, mesh))
+    return jax.tree_util.tree_unflatten(treedef, shardings)

@@ -1,0 +1,85 @@
+"""Checkpointing: last/best policy with resume.
+
+Parity with the reference policy (src/train.py:61-76, 437-451): `last` saved
+every epoch, `best` saved on val-MPJPE improvement; a checkpoint carries
+{epoch, best_val, params, opt_state, config}. Storage is flax msgpack
+serialization plus a JSON manifest — single-host, framework-independent files
+(no pickled code objects).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+from h36x.train.state import TrainState
+
+MANIFEST = "manifest.json"
+
+
+def save_checkpoint(
+    directory,
+    name: str,
+    state: TrainState,
+    epoch: int,
+    best_val: float,
+    config: Optional[dict] = None,
+) -> Path:
+    """Write <directory>/<name>.msgpack + .json. Atomic via rename."""
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+
+    # Pull everything to host before serializing (params may be sharded).
+    host_state = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), state)
+    blob = serialization.to_bytes(host_state)
+
+    data_path = directory / f"{name}.msgpack"
+    tmp = str(data_path) + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, data_path)
+
+    manifest = {
+        "epoch": int(epoch),
+        "best_val": float(best_val),
+        "step": int(np.asarray(jax.device_get(state.step))),
+        "config": config or {},
+    }
+    mpath = directory / f"{name}.json"
+    tmp = str(mpath) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, mpath)
+    return data_path
+
+
+def load_checkpoint(directory, name: str, template: TrainState):
+    """Restore (state, manifest). `template` supplies the pytree structure
+    (build it with create_train_state on the same model/optimizer)."""
+    directory = Path(directory)
+    with open(directory / f"{name}.msgpack", "rb") as f:
+        blob = f.read()
+    state = serialization.from_bytes(template, blob)
+    with open(directory / f"{name}.json") as f:
+        manifest = json.load(f)
+    return state, manifest
+
+
+def load_params_only(path, params_template) -> Any:
+    """Restore just the model params from a full-state checkpoint file.
+
+    Accepts either a full TrainState msgpack (takes its 'params' entry) or a
+    bare params msgpack.
+    """
+    with open(path, "rb") as f:
+        blob = f.read()
+    raw = serialization.msgpack_restore(blob)
+    if isinstance(raw, dict) and "params" in raw and "opt_state" in raw:
+        raw = raw["params"]
+    return serialization.from_state_dict(params_template, raw)

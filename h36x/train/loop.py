@@ -1,0 +1,184 @@
+"""Epoch-level training driver.
+
+Orchestrates: sharded batches over the mesh, per-epoch cosine LR, train +
+eval passes with phase timers, last/best checkpoints, early stopping, resume.
+Reference behavior being reproduced: src/train.py:114-279 (train/evaluate)
+and src/train.py:418-459 (epoch loop / checkpoint / early-stop policy).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from h36x.config import TrainConfig
+from h36x.models.phd import PHDFor3DJoints
+from h36x.parallel.feed import prefetch_to_device
+from h36x.parallel.mesh import batch_sharding, make_mesh, shard_params
+from h36x.train import checkpoint as ckpt
+from h36x.train.state import (
+    TrainState,
+    cosine_lr,
+    create_train_state,
+    make_optimizer,
+    set_learning_rate,
+)
+from h36x.train.step import make_eval_step, make_train_step
+from h36x.utils.timers import PhaseTimers
+
+
+def build_model(cfg: TrainConfig) -> PHDFor3DJoints:
+    m = cfg.model
+    return PHDFor3DJoints(
+        latent_dim=m.latent_dim,
+        feature_dim=m.feature_dim,
+        joints_num=m.joints_num,
+        number_blocks=m.num_blocks,
+        ar_blocks=m.ar_num_blocks,
+        dropout=m.dropout,
+        groups=m.groups,
+    )
+
+
+def _batches(dataset, sampler, sharding, drop_meta: bool = True):
+    def gen():
+        for idx_batch in sampler:
+            batch = dataset.get_batch(idx_batch)
+            yield batch[:4] if drop_meta else batch
+
+    return prefetch_to_device(gen(), sharding=sharding)
+
+
+def train_epoch(train_step, state, dataset, sampler, sharding, rng, log_every=500):
+    timers = PhaseTimers()
+    totals = {"loss": 0.0, "l3d": 0.0, "mpjpe": 0.0}
+    n = 0
+    epoch_start = time.perf_counter()
+    timers.start("data")
+    for batch in _batches(dataset, sampler, sharding):
+        timers.stop("data")
+        timers.start("step")
+        rng, sub = jax.random.split(rng)
+        state, metrics = train_step(state, batch, sub)
+        # Block so the timer measures the device step, not dispatch.
+        metrics = jax.device_get(metrics)
+        timers.stop("step")
+        for k in totals:
+            totals[k] += float(metrics[k])
+        n += 1
+        if log_every > 0 and n % log_every == 0:
+            print(
+                f"[3D]  iter {n:05d} | loss {totals['loss']/n:.6f} "
+                f"(3d {totals['l3d']/n:.6f}) | mpjpe {totals['mpjpe']/n:.3f} | "
+                f"epoch {time.perf_counter()-epoch_start:.1f}s",
+                flush=True,
+            )
+        timers.start("data")
+    timers.stop("data")
+    print("[Train timing]\n" + timers.summary(n), flush=True)
+    return state, {k: v / max(n, 1) for k, v in totals.items()}, rng
+
+
+def evaluate(eval_step, params, dataset, sampler, sharding):
+    timers = PhaseTimers()
+    totals = {"loss": 0.0, "l3d": 0.0, "mpjpe": 0.0, "bone": 0.0}
+    n = 0
+    timers.start("data")
+    for batch in _batches(dataset, sampler, sharding):
+        timers.stop("data")
+        timers.start("step")
+        metrics = jax.device_get(eval_step(params, batch))
+        timers.stop("step")
+        for k in totals:
+            totals[k] += float(metrics[k])
+        n += 1
+        timers.start("data")
+    timers.stop("data")
+    print("[Val timing]\n" + timers.summary(n), flush=True)
+    return {k: v / max(n, 1) for k, v in totals.items()}
+
+
+def fit(
+    cfg: TrainConfig,
+    train_set,
+    val_set,
+    train_sampler,
+    val_sampler,
+    mesh=None,
+    state: Optional[TrainState] = None,
+):
+    """Full training run; returns (final_state, best_val)."""
+    mesh = mesh or make_mesh(cfg.mesh.data, cfg.mesh.model)
+    model = build_model(cfg)
+    optimizer, _frozen = make_optimizer(
+        cfg.optim.lr, cfg.optim.weight_decay, freeze_ar=cfg.optim.freeze_ar
+    )
+
+    rng = jax.random.key(cfg.optim.seed)
+    rng, init_rng = jax.random.split(rng)
+    if state is None:
+        example = jnp.zeros((2, cfg.data.seq_len, cfg.model.feature_dim))
+        state = create_train_state(model, optimizer, init_rng, example)
+    state = TrainState(shard_params(state.params, mesh), state.opt_state, state.step)
+
+    train_step = make_train_step(model, optimizer)
+    eval_step = make_eval_step(model)
+    data_sharding = batch_sharding(mesh)
+
+    start_epoch = 0
+    best_val = float("inf")
+    no_improve = 0
+
+    if cfg.resume:
+        state, manifest = ckpt.load_checkpoint(cfg.resume, "last", state)
+        start_epoch = manifest["epoch"] + 1
+        best_val = manifest["best_val"]
+        print(f"Resumed from {cfg.resume} (epoch={start_epoch}, best={best_val:.4f})")
+
+    cfg_json = dataclasses.asdict(cfg)
+
+    for epoch in range(start_epoch, cfg.optim.epochs):
+        train_sampler.set_epoch(epoch)
+        lr = cosine_lr(epoch, cfg.optim.lr, cfg.optim.epochs)
+        set_learning_rate(state.opt_state, lr, freeze_ar=cfg.optim.freeze_ar)
+        print(f"\nEpoch {epoch+1}/{cfg.optim.epochs} (lr {lr:.2e})", flush=True)
+        t0 = time.perf_counter()
+
+        state, tr, rng = train_epoch(
+            train_step, state, train_set, train_sampler, data_sharding, rng,
+            log_every=cfg.optim.log_every,
+        )
+        va = evaluate(eval_step, state.params, val_set, val_sampler, data_sharding)
+
+        print(
+            f"Train: loss={tr['loss']:.6f} | mpjpe={tr['mpjpe']:.3f}\n"
+            f"Val:   loss={va['loss']:.6f} (3d {va['l3d']:.6f}) | mpjpe={va['mpjpe']:.3f}\n"
+            f"Epoch time: {time.perf_counter()-t0:.2f}s",
+            flush=True,
+        )
+
+        ckpt.save_checkpoint(cfg.outdir, "last", state, epoch, best_val, cfg_json)
+
+        improved = (best_val - va["mpjpe"]) > cfg.optim.early_stop_min_delta
+        if improved:
+            best_val = va["mpjpe"]
+            no_improve = 0
+            ckpt.save_checkpoint(cfg.outdir, "best", state, epoch, best_val, cfg_json)
+            print(f"New best val MPJPE: {best_val:.3f} (saved best)")
+        else:
+            no_improve += 1
+            print(
+                f"No improvement for {no_improve}/{cfg.optim.early_stop_patience} "
+                f"epochs (best {best_val:.3f}, current {va['mpjpe']:.3f})"
+            )
+        if cfg.optim.early_stop_patience > 0 and no_improve >= cfg.optim.early_stop_patience:
+            print(f"Early stopping at epoch {epoch+1}. Best val MPJPE: {best_val:.3f}")
+            break
+
+    print(f"\nDone. Best val MPJPE: {best_val:.3f}")
+    return state, best_val

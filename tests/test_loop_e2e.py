@@ -1,0 +1,78 @@
+"""End-to-end: full fit() over a synthetic shard store on the CPU mesh —
+training runs, loss falls, checkpoints land, resume works, early stop fires.
+"""
+
+import numpy as np
+import pytest
+
+from h36x.config import TrainConfig
+from h36x.data.features import FeatureClipDataset
+from h36x.data.sampler import MixedShardBatchSampler, SequentialBatchSampler
+from h36x.train.loop import fit
+from tests.helpers import make_synthetic_store
+
+
+@pytest.fixture
+def cfg(tmp_path):
+    store = tmp_path / "store"
+    store.mkdir()
+    make_synthetic_store(
+        store, n_shards=2, clips_per_shard=8, n_vars=4, seq_len=8, feat_dim=32,
+        subjects=(1, 5),
+    )
+    cfg = TrainConfig()
+    cfg.outdir = str(tmp_path / "runs")
+    cfg.data.seq_len = 8
+    cfg.model.feature_dim = 32
+    cfg.model.latent_dim = 64
+    cfg.model.num_blocks = 1
+    cfg.optim.epochs = 2
+    cfg.optim.batch_size = 8
+    cfg.optim.lr = 1e-3
+    cfg.optim.log_every = 0
+    cfg.mesh.data = -1
+    cfg.mesh.model = 1
+    cfg.train_root = str(store)
+    cfg.val_root = str(store)
+    return cfg
+
+
+def _datasets(cfg):
+    train_set = FeatureClipDataset(cfg.train_root, subjects=[1], augment=True)
+    val_set = FeatureClipDataset(cfg.val_root, subjects=[5])
+    train_sampler = MixedShardBatchSampler(
+        train_set, batch_size=cfg.optim.batch_size, shards_per_batch=2,
+        drop_last=True, seed=0,
+    )
+    val_sampler = SequentialBatchSampler(val_set, batch_size=cfg.optim.batch_size)
+    return train_set, val_set, train_sampler, val_sampler
+
+
+def test_fit_end_to_end(cfg, tmp_path, capsys):
+    state, best_val = fit(cfg, *_datasets(cfg))
+    assert np.isfinite(best_val)
+    out = capsys.readouterr().out
+    assert "Epoch 1/2" in out and "Epoch 2/2" in out
+
+    runs = tmp_path / "runs"
+    assert (runs / "last.msgpack").exists()
+    assert (runs / "last.json").exists()
+    assert (runs / "best.msgpack").exists()
+
+    # resume continues from epoch 2 (i.e. does nothing more at epochs=2);
+    # the restored best_val is the one recorded in `last` (pre-update, the
+    # same semantics as the reference's last.pt policy)
+    cfg.resume = str(runs)
+    state2, best2 = fit(cfg, *_datasets(cfg))
+    out = capsys.readouterr().out
+    assert "Resumed" in out and "Epoch" not in out.split("Resumed")[1]
+    assert np.isfinite(best2)
+
+
+def test_early_stopping(cfg, capsys):
+    cfg.optim.epochs = 6
+    cfg.optim.early_stop_patience = 1
+    cfg.optim.lr = 0.0  # no learning -> no improvement after epoch 1
+    fit(cfg, *_datasets(cfg))
+    out = capsys.readouterr().out
+    assert "Early stopping" in out

@@ -1,0 +1,171 @@
+"""Train-state / step semantics: loss decreases on a synthetic problem, f_AR
+stays frozen (reference src/train.py:373-376), cosine LR schedule, checkpoint
+round-trip + resume (src/train.py:399-409, 437-451)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from h36x.models.phd import PHDFor3DJoints
+from h36x.train import checkpoint as ckpt
+from h36x.train.state import (
+    cosine_lr,
+    create_train_state,
+    make_optimizer,
+    set_learning_rate,
+)
+from h36x.train.step import make_eval_step, make_forward, make_train_step
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = PHDFor3DJoints(latent_dim=64, feature_dim=32, number_blocks=1, dropout=0.0)
+    optimizer, _ = make_optimizer(lr=1e-3, freeze_ar=True)
+    state = create_train_state(
+        model, optimizer, jax.random.key(0), jnp.zeros((2, 6, 32))
+    )
+    return model, optimizer, state
+
+
+def synth_batch(rng, b=4, t=6, f=32):
+    feats = rng.normal(size=(b, t, f)).astype(np.float32)
+    joints3d = rng.normal(size=(b, t, 17, 3)).astype(np.float32) * 0.1
+    joints2d = rng.normal(size=(b, t, 17, 2)).astype(np.float32)
+    K = np.tile(np.eye(3, dtype=np.float32), (b, 1, 1))
+    return tuple(jnp.asarray(x) for x in (feats, joints3d, joints2d, K))
+
+
+class TestCosineLR:
+    def test_endpoints(self):
+        assert cosine_lr(0, 1e-4, 50) == pytest.approx(1e-4)
+        assert cosine_lr(50, 1e-4, 50) == pytest.approx(0.0)
+        assert cosine_lr(25, 1e-4, 50) == pytest.approx(5e-5)
+
+    def test_monotone_decreasing(self):
+        vals = [cosine_lr(e, 1.0, 50) for e in range(51)]
+        assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, setup, rng):
+        model, optimizer, state = setup
+        step = make_train_step(model, optimizer, donate=False)
+        batch = synth_batch(rng)
+        key = jax.random.key(1)
+        losses = []
+        for i in range(30):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, batch, sub)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0] * 0.7
+
+    def test_far_params_frozen(self, setup, rng):
+        model, optimizer, state = setup
+        step = make_train_step(model, optimizer, donate=False)
+        batch = synth_batch(rng)
+        far_before = jax.device_get(state.params["f_AR"])
+        other_before = jax.device_get(state.params["input_proj"])
+        state2, _ = step(state, batch, jax.random.key(2))
+        far_after = jax.device_get(state2.params["f_AR"])
+        other_after = jax.device_get(state2.params["input_proj"])
+        for a, b in zip(jax.tree.leaves(far_before), jax.tree.leaves(far_after)):
+            np.testing.assert_array_equal(a, b)
+        changed = any(
+            not np.allclose(a, b)
+            for a, b in zip(jax.tree.leaves(other_before), jax.tree.leaves(other_after))
+        )
+        assert changed
+
+    def test_unfrozen_optimizer_updates_far(self, rng):
+        model = PHDFor3DJoints(latent_dim=64, feature_dim=32, number_blocks=1, dropout=0.0)
+        optimizer, _ = make_optimizer(lr=1e-3, freeze_ar=False)
+        state = create_train_state(model, optimizer, jax.random.key(0), jnp.zeros((2, 6, 32)))
+        step = make_train_step(model, optimizer, donate=False)
+        batch = synth_batch(rng)
+        far_before = jax.tree.leaves(jax.device_get(state.params["f_AR"]))
+        state2, _ = step(state, batch, jax.random.key(2))
+        far_after = jax.tree.leaves(jax.device_get(state2.params["f_AR"]))
+        assert any(not np.allclose(a, b) for a, b in zip(far_before, far_after))
+
+    def test_set_learning_rate_changes_step_size(self, setup, rng):
+        model, optimizer, state = setup
+        step = make_train_step(model, optimizer, donate=False)
+        batch = synth_batch(rng)
+        set_learning_rate(state.opt_state, 0.0, freeze_ar=True)
+        p_before = jax.device_get(state.params["input_proj"]["kernel"])
+        state2, _ = step(state, batch, jax.random.key(3))
+        p_after = jax.device_get(state2.params["input_proj"]["kernel"])
+        np.testing.assert_allclose(p_before, p_after, atol=1e-8)
+
+    def test_step_counter(self, setup, rng):
+        model, optimizer, state = setup
+        step = make_train_step(model, optimizer, donate=False)
+        batch = synth_batch(rng)
+        s1, _ = step(state, batch, jax.random.key(0))
+        s2, _ = step(s1, batch, jax.random.key(1))
+        assert int(s2.step) == int(state.step) + 2
+
+
+class TestEval:
+    def test_eval_metrics_match_manual(self, setup, rng):
+        model, _, state = setup
+        eval_step = make_eval_step(model)
+        batch = synth_batch(rng)
+        metrics = jax.device_get(eval_step(state.params, batch))
+        fwd = make_forward(model)
+        pred = np.asarray(fwd(state.params, batch[0]))
+        gt = np.asarray(batch[1])
+        np.testing.assert_allclose(
+            metrics["l3d"], ((pred - gt) ** 2).mean(), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            metrics["mpjpe"], np.linalg.norm(pred - gt, axis=-1).mean(), rtol=1e-5
+        )
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, setup, tmp_path, rng):
+        model, optimizer, state = setup
+        step = make_train_step(model, optimizer, donate=False)
+        batch = synth_batch(rng)
+        state, _ = step(state, batch, jax.random.key(0))
+
+        ckpt.save_checkpoint(tmp_path, "last", state, epoch=3, best_val=0.123,
+                             config={"note": "test"})
+        template = create_train_state(model, optimizer, jax.random.key(9), jnp.zeros((2, 6, 32)))
+        restored, manifest = ckpt.load_checkpoint(tmp_path, "last", template)
+
+        assert manifest["epoch"] == 3
+        assert manifest["best_val"] == pytest.approx(0.123)
+        assert manifest["config"]["note"] == "test"
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state.opt_state), jax.tree.leaves(restored.opt_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_resume_training_continues(self, setup, tmp_path, rng):
+        """A restored state must produce the identical next step as the
+        original (bitwise optimizer-state fidelity)."""
+        model, optimizer, state = setup
+        step = make_train_step(model, optimizer, donate=False)
+        batch = synth_batch(rng)
+        state, _ = step(state, batch, jax.random.key(0))
+        ckpt.save_checkpoint(tmp_path, "last", state, 0, 1.0)
+        template = create_train_state(model, optimizer, jax.random.key(9), jnp.zeros((2, 6, 32)))
+        restored, _ = ckpt.load_checkpoint(tmp_path, "last", template)
+
+        s_a, m_a = step(state, batch, jax.random.key(5))
+        s_b, m_b = step(restored, batch, jax.random.key(5))
+        np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_load_params_only(self, setup, tmp_path):
+        model, optimizer, state = setup
+        ckpt.save_checkpoint(tmp_path, "best", state, 0, 1.0)
+        params = ckpt.load_params_only(
+            tmp_path / "best.msgpack", jax.device_get(state.params)
+        )
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
