@@ -1,55 +1,78 @@
 """h36x benchmark — prints ONE JSON line for the driver.
 
-Headline metric: H36M frames/sec/chip through the feature-extraction compute
-path (fused preprocess + ResNet-50 forward) when available, otherwise PHD
-train-step throughput. Baseline: the reference's optimized GPU pipeline at
-~445 frames/s (BASELINE.md: ~11 clips/s x 40 frames on 1x A40).
+Headline metric: H36M frames/sec/chip through the feature-extraction device
+step — normalize + 4-variant augmentation suite (3 ResNet-50 passes: orig,
+color-jitter, hflip; temporal-reverse reuses orig) over 224x224 person crops
+in bf16. This matches the reference's measured configuration
+(preprocess_resnet_features.py with --augment: ~11 clips/s x 40 frames
+= ~445 clip-frames/s on 1x A40, BASELINE.md), counting clip-frames.
+
+Methodology: the timed region is a jitted `lax.fori_loop` whose body derives
+a scalar from the features and folds it (times zero) back into the next
+iteration's input — a data dependence that defeats loop hoisting without
+adding measurable work. The final scalar is fetched to force completion
+(this environment tunnels to the TPU; block_until_ready on intermediate
+buffers is unreliable and per-dispatch latency is ~24ms, so out-of-jit
+timing would measure the tunnel, not the chip). Note: the shared TPU pool
+behind the tunnel shows large run-to-run throughput variance; numbers are a
+lower bound on dedicated hardware.
 """
 
 import json
 import time
+from functools import partial
 
 import numpy as np
 
 BASELINE_FRAMES_PER_SEC = 445.0
 
 
-def bench_feature_extraction():
-    """Frames/s through bf16 fused preprocess + ResNet-50 on one chip."""
+def bench_feature_extraction(clips_per_batch=4, seq_len=40, out_hw=224, iters=5):
     import jax
     import jax.numpy as jnp
 
-    from h36x.extract.pipeline import make_backbone_fn
+    from h36x.extract.pipeline import make_extract_step
     from h36x.models.resnet import ResNet50, init_resnet_params
 
     model = ResNet50(dtype=jnp.bfloat16)
-    params = init_resnet_params(model, jax.random.key(0))
-    fn = make_backbone_fn(model)
+    variables = init_resnet_params(model, jax.random.key(0))
+    step = make_extract_step(model, augment=True)
 
-    batch_frames = 256  # frames per device batch (B*T flattened)
-    x = jnp.asarray(
-        np.random.default_rng(0).random((batch_frames, 224, 224, 3)), dtype=jnp.bfloat16
+    b, t = clips_per_batch, seq_len
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.integers(0, 256, size=(b, t, out_hw, out_hw, 3)), dtype=jnp.uint8
+    )
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(
+        jax.random.key(0), jnp.arange(b)
     )
 
-    # warmup/compile
-    fn(params, x).block_until_ready()
+    @partial(jax.jit, static_argnums=3)
+    def loop(variables, frames, keys, n):
+        def body(i, carry):
+            fr, acc = carry
+            f_orig, f_cj, f_hf = step(variables, fr, keys)
+            s = f_orig.mean() + f_cj.mean() + f_hf.mean()
+            fr = fr + (s * 0).astype(jnp.uint8) + (i % 2).astype(jnp.uint8)
+            return fr, acc + s
+
+        return jax.lax.fori_loop(0, n, body, (frames, jnp.zeros((), jnp.float32)))[1]
+
+    float(loop(variables, frames, keys, 2))  # compile + warmup
     t0 = time.perf_counter()
-    iters = 20
-    for _ in range(iters):
-        out = fn(params, x)
-    out.block_until_ready()
+    float(loop(variables, frames, keys, iters))
     dt = time.perf_counter() - t0
-    return batch_frames * iters / dt
+    return b * t * iters / dt  # clip-frames per second
 
 
-def bench_train_step():
-    """PHD train-step clips/s -> frames/s on one chip (fallback metric)."""
+def bench_train_step(iters=50):
+    """PHD train-step frames/s on one chip (secondary metric)."""
     import jax
     import jax.numpy as jnp
 
     from h36x.models.phd import PHDFor3DJoints
+    from h36x.train.losses import mse3d
     from h36x.train.state import create_train_state, make_optimizer
-    from h36x.train.step import make_train_step
 
     model = PHDFor3DJoints(latent_dim=1024, feature_dim=2048, number_blocks=2)
     optimizer, _ = make_optimizer(lr=1e-4, freeze_ar=True)
@@ -57,22 +80,34 @@ def bench_train_step():
     state = create_train_state(
         model, optimizer, jax.random.key(0), jnp.zeros((b, t, 2048))
     )
-    step = make_train_step(model, optimizer, donate=False)
     rng = np.random.default_rng(0)
-    batch = (
-        jnp.asarray(rng.normal(size=(b, t, 2048)), dtype=jnp.float32),
-        jnp.asarray(rng.normal(size=(b, t, 17, 3)) * 0.1, dtype=jnp.float32),
-        jnp.asarray(rng.normal(size=(b, t, 17, 2)), dtype=jnp.float32),
-        jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (b, 1, 1))),
-    )
-    key = jax.random.key(1)
-    state, m = step(state, batch, key)
-    jax.block_until_ready(m)
-    iters = 20
+    feats = jnp.asarray(rng.normal(size=(b, t, 2048)), dtype=jnp.float32)
+    joints3d = jnp.asarray(rng.normal(size=(b, t, 17, 3)) * 0.1, dtype=jnp.float32)
+
+    def loss_fn(params, feats, joints3d, key):
+        pred = model.apply(
+            {"params": params}, feats, train=True, rngs={"dropout": key}
+        )[2]
+        return mse3d(pred, joints3d)
+
+    @partial(jax.jit, static_argnums=4)
+    def loop(state, feats, joints3d, key, n):
+        def body(i, carry):
+            params, opt_state, key, acc = carry
+            key, sub = jax.random.split(key)
+            loss, grads = jax.value_and_grad(loss_fn)(params, feats, joints3d, sub)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return params, opt_state, key, acc + loss
+
+        out = jax.lax.fori_loop(
+            0, n, body, (state.params, state.opt_state, key, jnp.zeros(()))
+        )
+        return out[3]
+
+    float(loop(state, feats, joints3d, jax.random.key(1), 2))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = step(state, batch, key)
-    jax.block_until_ready(m)
+    float(loop(state, feats, joints3d, jax.random.key(1), iters))
     dt = time.perf_counter() - t0
     return b * t * iters / dt
 
@@ -81,7 +116,10 @@ def main():
     try:
         value = bench_feature_extraction()
         metric = "h36m_feature_extract_frames_per_sec_per_chip"
-    except Exception:
+    except Exception:  # fall back so the driver always gets a line
+        import traceback
+
+        traceback.print_exc()
         value = bench_train_step()
         metric = "phd_train_step_frames_per_sec_per_chip"
     print(

@@ -116,6 +116,7 @@ class ExtractConfig:
     seq_len: int = SEQ_LEN
     frame_skip: int = FRAME_SKIP
     stride: int = 5
+    resize: int = 224
     batch_size: int = 32
     num_workers: int = 8
     subjects: List[int] = field(default_factory=lambda: list(ALL_SUBJECTS))

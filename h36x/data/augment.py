@@ -1,0 +1,156 @@
+"""Deterministic 4-variant augmentation suite: orig / color-jitter /
+horizontal-flip / temporal-reverse.
+
+Parity targets: reference src/dataset.py:158-207 and 411-426 — the variant
+set, the jitter strengths (brightness .3, contrast .3, saturation .2,
+hue .05), hflip joint/K adjustment, and that photometric ops see [0,1] video
+*before* ImageNet normalization.
+
+TPU-first differences:
+  - pixel transforms are jnp (they run fused on device inside the extraction
+    step, not on CPU workers);
+  - jitter factors come from a jax PRNG key per clip (deterministic given the
+    seed), rather than torch's global RNG;
+  - temporal-reverse *features* are obtained for free on the host by
+    reversing the orig features in time — the backbone is per-frame, so
+    backbone(reverse(video)) == reverse(backbone(video)); no 4th forward pass.
+
+Joint-side adjustments (numpy, host) mirror the pixel-side ops exactly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from h36x.geometry.skeleton import flip_permutation
+
+AUG_NAMES = ("orig", "cjitter", "hflip", "trev")
+
+_FLIP_PERM = flip_permutation()
+
+_GRAY = jnp.asarray([0.2989, 0.587, 0.114], dtype=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Photometric jitter (device, channels-last, video (T, H, W, 3) in [0, 1])
+# ---------------------------------------------------------------------------
+
+
+def _blend(a, b, factor):
+    return jnp.clip(factor * a + (1.0 - factor) * b, 0.0, 1.0)
+
+
+def _adjust_brightness(v, factor):
+    return jnp.clip(v * factor, 0.0, 1.0)
+
+
+def _adjust_contrast(v, factor):
+    gray_mean = jnp.mean(v @ _GRAY, axis=(-2, -1), keepdims=True)[..., None]
+    return _blend(v, gray_mean, factor)
+
+
+def _adjust_saturation(v, factor):
+    gray = (v @ _GRAY)[..., None]
+    return _blend(v, gray, factor)
+
+
+def _rgb_to_hsv(v):
+    r, g, b = v[..., 0], v[..., 1], v[..., 2]
+    maxc = jnp.max(v, axis=-1)
+    minc = jnp.min(v, axis=-1)
+    val = maxc
+    rng = maxc - minc
+    sat = jnp.where(maxc > 0, rng / jnp.maximum(maxc, 1e-12), 0.0)
+    safe = jnp.maximum(rng, 1e-12)
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = jnp.where(
+        maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc)
+    )
+    h = jnp.where(rng > 0, (h / 6.0) % 1.0, 0.0)
+    return h, sat, val
+
+
+def _hsv_to_rgb(h, s, v):
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - f * s)
+    t = v * (1.0 - (1.0 - f) * s)
+    i = i.astype(jnp.int32) % 6
+    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
+    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
+    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def _adjust_hue(v, shift):
+    h, s, val = _rgb_to_hsv(v)
+    h = (h + shift) % 1.0
+    return _hsv_to_rgb(h, s, val)
+
+
+def color_jitter(
+    video01: jnp.ndarray,
+    key,
+    brightness: float = 0.3,
+    contrast: float = 0.3,
+    saturation: float = 0.2,
+    hue: float = 0.05,
+) -> jnp.ndarray:
+    """One factor set per clip, ops applied in a seeded random order."""
+    k_perm, k_b, k_c, k_s, k_h = jax.random.split(key, 5)
+    fb = jax.random.uniform(k_b, (), minval=1.0 - brightness, maxval=1.0 + brightness)
+    fc = jax.random.uniform(k_c, (), minval=1.0 - contrast, maxval=1.0 + contrast)
+    fs = jax.random.uniform(k_s, (), minval=1.0 - saturation, maxval=1.0 + saturation)
+    fh = jax.random.uniform(k_h, (), minval=-hue, maxval=hue)
+    order = jax.random.permutation(k_perm, 4)
+
+    ops = (
+        lambda v: _adjust_brightness(v, fb),
+        lambda v: _adjust_contrast(v, fc),
+        lambda v: _adjust_saturation(v, fs),
+        lambda v: _adjust_hue(v, fh),
+    )
+    out = video01
+    for slot in range(4):
+        out = jax.lax.switch(order[slot], ops, out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Geometric variants
+# ---------------------------------------------------------------------------
+
+
+def hflip_video(video: jnp.ndarray) -> jnp.ndarray:
+    """Mirror the W axis of (..., H, W, C) video."""
+    return video[..., ::-1, :]
+
+
+def reverse_time(video: jnp.ndarray, time_axis: int = 0) -> jnp.ndarray:
+    return jnp.flip(video, axis=time_axis)
+
+
+def hflip_joints(joints3d: np.ndarray, joints2d: np.ndarray, K: np.ndarray, width: int):
+    """Host-side joint/K adjustment for a horizontal flip.
+
+    joints2d x -> W - x; joints3d x -> -x (camera convention); left/right
+    joint identities swap; K's cx mirrors (reference src/dataset.py:158-185).
+    """
+    j2 = np.asarray(joints2d).copy()
+    j3 = np.asarray(joints3d).copy()
+    j2[..., 0] = width - j2[..., 0]
+    j3[..., 0] = -j3[..., 0]
+    j2 = j2[..., _FLIP_PERM, :]
+    j3 = j3[..., _FLIP_PERM, :]
+    Kf = np.asarray(K).copy()
+    Kf[0, 2] = width - Kf[0, 2]
+    return j3, j2, Kf
+
+
+def reverse_joints(joints3d: np.ndarray, joints2d: np.ndarray):
+    return np.asarray(joints3d)[::-1].copy(), np.asarray(joints2d)[::-1].copy()

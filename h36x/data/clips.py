@@ -1,0 +1,208 @@
+"""Clip index + video decode over the ingested H36M layout.
+
+Layer contract (L1 -> L2): directories S{subject}/{Action}_{trial}/cam_{c}/
+holding gt_poses.pkl, camera_wext.pkl and one mp4 (reference layout produced
+by src/datasets/read_human_36m.py:345-433, consumed by src/dataset.py:254-315).
+
+Windowing parity with the reference: n_frames_sub = ceil(n_frames /
+frame_skip) subsampled frames per video; clips of seq_len at the given stride
+(src/dataset.py:284-301). Decoding uses OpenCV (the TPU host has no NVDEC);
+a clip decode seeks to frame start*frame_skip then takes every frame_skip-th
+frame (src/dataset.py:323-368 semantics).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class ClipIndex:
+    video_path: str
+    gt_path: str
+    subject: int
+    action: str
+    cam: str
+    cam_params: dict
+    start: int  # in subsampled-frame units
+    end: int  # exclusive
+    video_idx: int = 0
+
+
+def load_gt_poses(gt_path: str):
+    with open(gt_path, "rb") as f:
+        data = pickle.load(f)
+    j3d = np.asarray(data["3d"], dtype=np.float32)
+    j2d = np.asarray(data["2d"], dtype=np.float32)
+    return j3d, j2d
+
+
+def load_camera_params(cam_path: str) -> dict:
+    with open(cam_path, "rb") as f:
+        return pickle.load(f)
+
+
+def scan_clips(
+    root: str,
+    subjects: List[int],
+    seq_len: int = 40,
+    stride: int = 10,
+    frame_skip: int = 2,
+    cams: Optional[List[int]] = None,
+    max_clips: Optional[int] = None,
+):
+    """Walk the ingested tree and window every camera video into clips.
+
+    Returns (clips, gt_cache, cam_cache): the caches map paths to loaded
+    pose arrays / camera dicts so __getitem__ never re-reads pickles.
+    """
+    clips: List[ClipIndex] = []
+    gt_cache: Dict[str, tuple] = {}
+    cam_cache: Dict[str, dict] = {}
+    video_counter = 0
+
+    def full() -> bool:
+        return max_clips is not None and len(clips) >= max_clips
+
+    for s in subjects:
+        subj_dir = os.path.join(root, f"S{s}")
+        if not os.path.isdir(subj_dir):
+            continue
+        for action in sorted(
+            a for a in os.listdir(subj_dir) if os.path.isdir(os.path.join(subj_dir, a))
+        ):
+            for cam_dir in sorted(glob.glob(os.path.join(subj_dir, action, "cam_*"))):
+                cam_name = os.path.basename(cam_dir)
+                cam_id = int(cam_name.replace("cam_", ""))
+                if cams is not None and cam_id not in cams:
+                    continue
+                mp4s = sorted(glob.glob(os.path.join(cam_dir, "*.mp4")))
+                gt_path = os.path.join(cam_dir, "gt_poses.pkl")
+                cam_path = os.path.join(cam_dir, "camera_wext.pkl")
+                if not mp4s or not os.path.isfile(gt_path) or not os.path.isfile(cam_path):
+                    continue
+
+                if gt_path not in gt_cache:
+                    gt_cache[gt_path] = load_gt_poses(gt_path)
+                n_frames = gt_cache[gt_path][0].shape[0]
+                n_sub = (n_frames + frame_skip - 1) // frame_skip
+
+                if cam_path not in cam_cache:
+                    cam_cache[cam_path] = load_camera_params(cam_path)
+
+                for start in range(0, n_sub - seq_len + 1, stride):
+                    clips.append(
+                        ClipIndex(
+                            video_path=mp4s[0],
+                            gt_path=gt_path,
+                            subject=s,
+                            action=action,
+                            cam=cam_name,
+                            cam_params=cam_cache[cam_path],
+                            start=start,
+                            end=start + seq_len,
+                            video_idx=video_counter,
+                        )
+                    )
+                    if full():
+                        break
+                video_counter += 1
+                if full():
+                    break
+            if full():
+                break
+        if full():
+            break
+
+    if not clips:
+        raise RuntimeError(f"no clips found under root={root} for subjects={subjects}")
+    return clips, gt_cache, cam_cache
+
+
+def decode_clip(
+    video_path: str, start: int, end: int, frame_skip: int = 2
+) -> np.ndarray:
+    """Decode frames [start, end) in subsampled units as uint8 RGB (T,H,W,3).
+
+    Seeks to start*frame_skip, then keeps every frame_skip-th frame.
+    """
+    import cv2
+
+    target = end - start
+    cap = cv2.VideoCapture(video_path)
+    try:
+        if not cap.isOpened():
+            raise RuntimeError(f"cannot open video {video_path}")
+        cap.set(cv2.CAP_PROP_POS_FRAMES, start * frame_skip)
+        frames = []
+        frame_idx = 0
+        while len(frames) < target:
+            ok, img = cap.read()
+            if not ok:
+                break
+            if frame_idx % frame_skip == 0:
+                frames.append(img[:, :, ::-1])  # BGR -> RGB
+            frame_idx += 1
+            if frame_idx > target * frame_skip * 2:
+                break
+        if len(frames) < target:
+            raise RuntimeError(
+                f"frame count mismatch reading {video_path}: got {len(frames)}, "
+                f"expected {target} for slice [{start}:{end}] (skip={frame_skip})"
+            )
+        return np.ascontiguousarray(np.stack(frames[:target]))
+    finally:
+        cap.release()
+
+
+class ClipDataset:
+    """Indexable clip provider: decoded frames + windowed poses + camera.
+
+    Item: (frames_u8 (T,H,W,3), joints3d (T,17,3), joints2d (T,17,2),
+           cam_params dict, clip: ClipIndex).
+    Geometry (crop box / K adjustment) is left to the consumer so the
+    extraction pipeline can fuse crop+resize on device.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        subjects: List[int],
+        seq_len: int = 40,
+        stride: int = 10,
+        frame_skip: int = 2,
+        cams: Optional[List[int]] = None,
+        max_clips: Optional[int] = None,
+    ):
+        self.seq_len = seq_len
+        self.frame_skip = frame_skip
+        self.clips, self._gt_cache, self._cam_cache = scan_clips(
+            root, subjects, seq_len, stride, frame_skip, cams, max_clips
+        )
+
+    def __len__(self):
+        return len(self.clips)
+
+    def __getitem__(self, idx: int):
+        ci = self.clips[idx]
+        frames = decode_clip(ci.video_path, ci.start, ci.end, self.frame_skip)
+        j3d_all, j2d_all = self._gt_cache[ci.gt_path]
+        orig_idx = np.arange(ci.start, ci.end) * self.frame_skip
+        if orig_idx[-1] >= j3d_all.shape[0]:
+            raise RuntimeError(
+                f"joint index out of range for {ci.gt_path}: "
+                f"max={orig_idx[-1]}, n_frames={j3d_all.shape[0]}"
+            )
+        joints3d = j3d_all[orig_idx]
+        joints2d = j2d_all[orig_idx]
+        if frames.shape[0] != joints3d.shape[0]:
+            raise RuntimeError(
+                f"T mismatch: video {frames.shape[0]} vs joints {joints3d.shape[0]}"
+            )
+        return frames, joints3d, joints2d, ci.cam_params, ci

@@ -1,0 +1,362 @@
+"""Feature-extraction pipeline: decode -> fused crop/resize/normalize ->
+ResNet-50 -> shuffled feature shards.
+
+Stage parity: reference src/preprocess_resnet_features.py (CLI at :136-155,
+loop at :273-341, flush at :343-417). TPU-first design differences:
+
+- crop + bilinear resize ride the decode workers (the frames are already in
+  host cache there, and shipping 224x224 crops instead of raw frames cuts
+  host->device transfer ~20x); normalize + the photometric/geometric variant
+  suite + backbone run in ONE jit program on device (:func:`make_extract_step`)
+  with static shapes for every clip;
+- the temporal-reverse variant's features are the orig features reversed in
+  time (per-frame backbone), so each clip costs 3 backbone passes, not 4;
+- decode runs in a thread pool overlapped with device compute (cv2 releases
+  the GIL), replacing DataLoader worker processes;
+- shards go through :class:`h36x.data.shards.ShardWriter` behind an
+  :class:`h36x.extract.writer.AsyncWriter` thread.
+
+A fully device-side crop+resize (interpolation-matrix / gather formulations,
+:mod:`h36x.ops.preprocess`) is kept and tested as an alternative front end
+for hosts where raw frames already live in device memory.
+
+The clip-level shuffle pool keeps the reference's on-disk contract: groups of
+n_vars variant rows stay contiguous, clips shuffle across shards
+(reference :94-131).
+"""
+
+from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from h36x.config import ExtractConfig
+from h36x.data.augment import AUG_NAMES, color_jitter, hflip_joints, reverse_joints
+from h36x.data.clips import ClipDataset
+from h36x.data.shards import ShardWriter, write_index
+from h36x.extract.writer import AsyncWriter
+from h36x.geometry.camera import adjust_camera_after_crop_and_resize
+from h36x.geometry.crop import (
+    adjust_joints2d_after_crop_and_resize,
+    compute_square_crop_from_2d,
+)
+from h36x.models.resnet import ResNet50, init_resnet_params
+from h36x.ops.preprocess import imagenet_normalize
+
+
+def make_backbone_fn(model: ResNet50):
+    """jit: (variables, frames (N,224,224,3)) -> (N,2048) f32 features."""
+
+    @jax.jit
+    def fn(variables, frames):
+        return model.apply(variables, frames)
+
+    return fn
+
+
+def make_extract_step(model: ResNet50, augment: bool):
+    """Fused device step for one batch of cropped clips.
+
+    (variables, frames_u8 (B,T,out,out,3) person crops, keys (B,) PRNG) ->
+        augment=True:  (feats_orig, feats_cjitter, feats_hflip)  each (B,T,2048)
+        augment=False: feats_orig
+    """
+
+    def backbone(variables, video):
+        b, t = video.shape[:2]
+        flat = video.reshape((b * t,) + video.shape[2:]).astype(model.dtype)
+        feats = model.apply(variables, flat)
+        return feats.reshape(b, t, -1)
+
+    @jax.jit
+    def step(variables, frames_u8, keys):
+        video01 = frames_u8.astype(jnp.float32) * (1.0 / 255.0)
+        orig = imagenet_normalize(video01)
+        if not augment:
+            return backbone(variables, orig)
+        jittered = jax.vmap(color_jitter)(video01, keys)
+        cj = imagenet_normalize(jittered)
+        hf = imagenet_normalize(video01[..., ::-1, :])
+        return (
+            backbone(variables, orig),
+            backbone(variables, cj),
+            backbone(variables, hf),
+        )
+
+    return step
+
+
+class ShufflePool:
+    """Clip-level shuffle pool flushing fixed-size shards.
+
+    Accumulates groups (one clip = n_vars variant rows), shuffles at the
+    clip level once the pool is full, writes full shards, carries the
+    remainder into the next flush (reference :94-131, :343-396 — including
+    the final partial shard).
+    """
+
+    def __init__(self, writer: ShardWriter, n_vars: int, shard_size: int,
+                 pool_size: int, seed: int):
+        import random
+
+        self.writer = writer
+        self.n_vars = n_vars
+        self.shard_size = shard_size
+        self.pool_size = pool_size
+        self.rng = random.Random(seed)
+        self.pool: List[List[dict]] = []
+        self.carry: List[List[dict]] = []
+        self.clip_index: List[dict] = []
+
+    def add(self, group: List[dict]) -> None:
+        if len(group) != self.n_vars:
+            raise ValueError(f"group has {len(group)} variants, expected {self.n_vars}")
+        self.pool.append(group)
+        if len(self.pool) >= self.pool_size:
+            self._flush(final=False)
+
+    def _write_groups(self, groups: List[List[dict]]) -> None:
+        arrays = {k: [] for k in ("feats", "joints3d", "joints2d", "K")}
+        meta: List[dict] = []
+        sid = self.writer.shard_id
+        for i, g in enumerate(groups):
+            m0 = g[0]["meta"]
+            self.clip_index.append(
+                {
+                    "shard_id": sid,
+                    "row": i * self.n_vars,
+                    "subject": m0["subject"],
+                    "action": m0["action"],
+                    "cam": m0["cam"],
+                    "start": m0["start"],
+                    "end": m0["end"],
+                }
+            )
+            for e in g:
+                arrays["feats"].append(e["feat"])
+                arrays["joints3d"].append(e["joints3d"])
+                arrays["joints2d"].append(e["joints2d"])
+                arrays["K"].append(e["K"])
+                meta.append(e["meta"])
+        stacked = {k: np.stack(v) for k, v in arrays.items()}
+        self.writer.write(stacked, meta)
+
+    def _flush(self, final: bool) -> None:
+        combined = self.carry + self.pool
+        self.pool = []
+        self.rng.shuffle(combined)
+        n_full = len(combined) // self.shard_size
+        for s in range(n_full):
+            self._write_groups(combined[s * self.shard_size : (s + 1) * self.shard_size])
+        leftover = combined[n_full * self.shard_size :]
+        if final and leftover:
+            self._write_groups(leftover)
+            self.carry = []
+        else:
+            self.carry = leftover
+
+    def finish(self) -> None:
+        self._flush(final=True)
+
+
+def crop_resize_host(frames: np.ndarray, joints2d: np.ndarray, out_size: int,
+                     crop_scale: float = 1.6):
+    """Square person crop + bilinear resize on the host (decode worker).
+
+    frames (T,H,W,3) u8 -> ((T,out,out,3) u8, box). cv2.INTER_LINEAR uses the
+    same half-pixel sampling convention as the reference's torchvision resize
+    (antialias=False), so geometry parity holds within u8 rounding.
+    """
+    import cv2
+
+    t_len, img_h, img_w, _ = frames.shape
+    box = compute_square_crop_from_2d(joints2d, img_h, img_w, scale=crop_scale)
+    top, left, hh, ww = (int(v) for v in box)
+    crop = frames[:, top : top + hh, left : left + ww]
+    out = np.empty((t_len, out_size, out_size, 3), np.uint8)
+    for t in range(t_len):
+        out[t] = cv2.resize(
+            crop[t], (out_size, out_size), interpolation=cv2.INTER_LINEAR
+        )
+    return out, box
+
+
+def _load_backbone(cfg: ExtractConfig):
+    model = ResNet50(dtype=jnp.bfloat16)
+    if cfg.weights:
+        from h36x.models.torch_import import load_torch_resnet50
+
+        variables = load_torch_resnet50(cfg.weights)
+        variables = jax.tree.map(jnp.asarray, variables)
+        print(f"Loaded converted ResNet-50 weights from {cfg.weights}")
+    else:
+        variables = init_resnet_params(model, jax.random.key(0))
+        print(
+            "WARNING: no --weights given; using randomly initialized ResNet-50 "
+            "(features will not match a pretrained backbone)."
+        )
+    return model, variables
+
+
+def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> dict:
+    """Run the full extraction stage; returns a summary dict."""
+    out_root = Path(cfg.out)
+    out_root.mkdir(parents=True, exist_ok=True)
+    n_vars = len(AUG_NAMES) if cfg.augment else 1
+    aug_names = list(AUG_NAMES) if cfg.augment else ["orig"]
+    feat_np_dtype = np.float16 if cfg.save_fp16 else np.float32
+
+    if dataset is None:
+        dataset = ClipDataset(
+            cfg.root, cfg.subjects, seq_len=cfg.seq_len, stride=cfg.stride,
+            frame_skip=cfg.frame_skip,
+        )
+    n_clips = len(dataset)
+    print(
+        f"Extracting {n_clips} clips x {n_vars} variant(s) "
+        f"(shards of {cfg.shard_size} clips) -> {out_root}"
+    )
+
+    model, variables = _load_backbone(cfg)
+    extract_step = make_extract_step(model, cfg.augment)
+
+    async_writer = AsyncWriter()
+    shard_writer = ShardWriter(out_root, n_vars, async_writer=async_writer)
+    pool = ShufflePool(
+        shard_writer, n_vars, cfg.shard_size, cfg.shuffle_pool, cfg.shuffle_seed
+    )
+
+    root_key = jax.random.key(cfg.shuffle_seed)
+
+    t_all = time.perf_counter()
+    t_last = t_all
+    done = 0
+
+    def process_batch(items):
+        nonlocal done, t_last
+        frames = np.stack([it[0] for it in items])  # (B,T,out,out,3) u8 crops
+        B = frames.shape[0]
+        boxes = [it[5] for it in items]
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(
+            root_key, jnp.arange(done, done + B)
+        )
+        out = extract_step(variables, jnp.asarray(frames), keys)
+        if cfg.augment:
+            f_orig, f_cj, f_hf = (np.asarray(o, dtype=feat_np_dtype) for o in out)
+            f_trev = f_orig[:, ::-1].copy()
+        else:
+            f_orig = np.asarray(out, dtype=feat_np_dtype)
+
+        for b, (fr, j3d, j2d_raw, cam, ci, _box) in enumerate(items):
+            box = boxes[b]
+            j2d = adjust_joints2d_after_crop_and_resize(j2d_raw, box, cfg.resize)
+            K = adjust_camera_after_crop_and_resize(cam["f"], cam["c"], box, cfg.resize)
+            base_meta = {
+                "subject": int(ci.subject),
+                "action": ci.action,
+                "cam": ci.cam,
+                "start": int(ci.start),
+                "end": int(ci.end),
+                "frame_skip": int(cfg.frame_skip),
+                "box": [int(v) for v in box],
+            }
+            if cfg.augment:
+                j3d_hf, j2d_hf, K_hf = hflip_joints(j3d, j2d, K, width=cfg.resize)
+                j3d_tr, j2d_tr = reverse_joints(j3d, j2d)
+                rows = (
+                    (f_orig[b], j3d, j2d, K),
+                    (f_cj[b], j3d, j2d, K),
+                    (f_hf[b], j3d_hf, j2d_hf, K_hf),
+                    (f_trev[b], j3d_tr, j2d_tr, K),
+                )
+            else:
+                rows = ((f_orig[b], j3d, j2d, K),)
+            group = [
+                {
+                    "feat": feat,
+                    "joints3d": np.asarray(jj3, np.float32),
+                    "joints2d": np.asarray(jj2, np.float32),
+                    "K": np.asarray(kk, np.float32),
+                    "meta": dict(base_meta, aug=aug_names[v]),
+                }
+                for v, (feat, jj3, jj2, kk) in enumerate(rows)
+            ]
+            pool.add(group)
+            done += 1
+            if done % 200 == 0 or done == n_clips:
+                dt = time.perf_counter() - t_last
+                cps = min(200, done) / dt if dt > 0 else 0.0
+                t_last = time.perf_counter()
+                eta = (n_clips - done) / cps if cps > 0 else 0.0
+                print(
+                    f"[{100*done/n_clips:5.1f}%] {done:6d}/{n_clips} clips | "
+                    f"{cps:6.1f} clips/s | ETA {eta:6.1f}s | "
+                    f"shard {shard_writer.shard_id} (pool {len(pool.pool)}, "
+                    f"carry {len(pool.carry)})",
+                    flush=True,
+                )
+
+    def load_item(i):
+        """Decode worker: decode + crop + resize (all host-cached data)."""
+        frames, j3d, j2d, cam, ci = dataset[i]
+        small, box = crop_resize_host(frames, j2d, cfg.resize)
+        return small, j3d, j2d, cam, ci, box
+
+    # Decode with a thread pool; crops have static shapes, so batches are
+    # simple fixed-size windows overlapped with device compute.
+    with ThreadPoolExecutor(max_workers=max(1, cfg.num_workers)) as ex:
+        pending: List = []
+        window = cfg.num_workers * 2 + cfg.batch_size
+        futures = [ex.submit(load_item, i) for i in range(min(window, n_clips))]
+        next_submit = len(futures)
+        for i in range(n_clips):
+            item = futures[i].result()
+            futures[i] = None  # free memory
+            if next_submit < n_clips:
+                futures.append(ex.submit(load_item, next_submit))
+                next_submit += 1
+            pending.append(item)
+            if len(pending) == cfg.batch_size:
+                process_batch(pending)
+                pending = []
+        if pending:
+            process_batch(pending)
+
+    pool.finish()
+    async_writer.stop()
+
+    write_index(
+        out_root,
+        pool.clip_index,
+        n_shards=shard_writer.shard_id,
+        n_clips=n_clips,
+        n_variants=n_vars,
+        aug_names=aug_names,
+        seq_len=cfg.seq_len,
+        frame_skip=cfg.frame_skip,
+        feat_dtype="float16" if cfg.save_fp16 else "float32",
+        shuffle_seed=cfg.shuffle_seed,
+        shuffle_pool=cfg.shuffle_pool,
+    )
+
+    total = time.perf_counter() - t_all
+    summary = {
+        "n_clips": n_clips,
+        "n_vars": n_vars,
+        "n_shards": shard_writer.shard_id,
+        "seconds": total,
+        "clips_per_sec": n_clips / total if total > 0 else 0.0,
+        "frames_per_sec": n_clips * cfg.seq_len / total if total > 0 else 0.0,
+    }
+    print(
+        f"Done: {n_clips} clips x {n_vars} variants -> {shard_writer.shard_id} shards "
+        f"in {total:.1f}s ({summary['clips_per_sec']:.1f} clips/s, "
+        f"{1000*total/max(n_clips,1):.1f} ms/clip)"
+    )
+    return summary

@@ -1,0 +1,204 @@
+"""Extraction-stage tests: AsyncWriter, ShufflePool contract, and the full
+run_extract pipeline on a synthetic clip source -> shard store -> dataset
+round trip (reference stage: src/preprocess_resnet_features.py)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from h36x.config import ExtractConfig
+from h36x.data.clips import ClipIndex
+from h36x.data.features import FeatureClipDataset
+from h36x.data.shards import ShardWriter, read_shard, shard_path
+from h36x.extract.pipeline import ShufflePool, run_extract
+from h36x.extract.writer import AsyncWriter
+
+
+class TestAsyncWriter:
+    def test_executes_in_order(self, tmp_path):
+        w = AsyncWriter()
+        results = []
+        for i in range(10):
+            w.submit(results.append, i)
+        w.stop()
+        assert results == list(range(10))
+
+    def test_error_propagates(self):
+        w = AsyncWriter()
+
+        def boom():
+            raise ValueError("disk full")
+
+        w.submit(boom)
+        with pytest.raises(RuntimeError):
+            w.wait()
+
+    def test_wait_blocks_until_done(self):
+        w = AsyncWriter()
+        done = []
+
+        def slow():
+            time.sleep(0.2)
+            done.append(1)
+
+        w.submit(slow)
+        w.wait()
+        assert done == [1]
+        w.stop()
+
+
+def _group(clip_i, n_vars, t=4, f=8):
+    rng = np.random.default_rng(clip_i)
+    return [
+        {
+            "feat": rng.normal(size=(t, f)).astype(np.float32),
+            "joints3d": rng.normal(size=(t, 17, 3)).astype(np.float32),
+            "joints2d": rng.normal(size=(t, 17, 2)).astype(np.float32),
+            "K": np.eye(3, dtype=np.float32),
+            "meta": {"subject": 1, "action": "A", "cam": "cam_0",
+                     "start": clip_i, "end": clip_i + t, "aug": f"v{v}"},
+        }
+        for v in range(n_vars)
+    ]
+
+
+class TestShufflePool:
+    def test_variants_contiguous_and_index_consistent(self, tmp_path):
+        n_vars, shard_size = 2, 3
+        writer = ShardWriter(tmp_path, n_vars)
+        pool = ShufflePool(writer, n_vars, shard_size, pool_size=4, seed=0)
+        for i in range(10):
+            pool.add(_group(i, n_vars))
+        pool.finish()
+
+        # 10 clips, shards of 3 -> 4 shards (last partial with 1 clip)
+        assert writer.shard_id == 4
+        assert len(pool.clip_index) == 10
+
+        for entry in pool.clip_index:
+            shard = read_shard(shard_path(tmp_path, entry["shard_id"]))
+            row = entry["row"]
+            # variant rows are contiguous: same start, v0 then v1
+            assert shard["meta"][row]["aug"] == "v0"
+            assert shard["meta"][row + 1]["aug"] == "v1"
+            assert shard["meta"][row]["start"] == entry["start"]
+            assert shard["meta"][row + 1]["start"] == entry["start"]
+
+    def test_shuffle_is_seeded(self, tmp_path):
+        orders = []
+        for run in range(2):
+            writer = ShardWriter(tmp_path / f"r{run}", 1)
+            pool = ShufflePool(writer, 1, 4, pool_size=100, seed=7)
+            for i in range(8):
+                pool.add(_group(i, 1))
+            pool.finish()
+            orders.append([e["start"] for e in pool.clip_index])
+        assert orders[0] == orders[1]
+
+    def test_wrong_group_size_raises(self, tmp_path):
+        pool = ShufflePool(ShardWriter(tmp_path, 2), 2, 4, 8, 0)
+        with pytest.raises(ValueError):
+            pool.add(_group(0, 1))
+
+
+class FakeClipDataset:
+    """ClipDataset stand-in: synthetic frames/poses, no video files."""
+
+    def __init__(self, n_clips=6, t=4, h=32, w=36):
+        self.n, self.t, self.h, self.w = n_clips, t, h, w
+        self.seq_len = t
+        self.frame_skip = 2
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rng = np.random.default_rng(i)
+        frames = rng.integers(0, 256, size=(self.t, self.h, self.w, 3)).astype(np.uint8)
+        j3d = rng.normal(size=(self.t, 17, 3)).astype(np.float32) * 100
+        # keep joints inside the image so the crop is valid
+        j2d = (rng.random((self.t, 17, 2)) * [self.w - 8, self.h - 8] + 4).astype(
+            np.float32
+        )
+        cam = {"f": np.array([500.0, 500.0]), "c": np.array([self.w / 2, self.h / 2]),
+               "k": np.zeros(5), "rt": np.eye(3), "t": np.zeros(3)}
+        ci = ClipIndex(
+            video_path="fake.mp4", gt_path="fake.pkl", subject=1 + i % 2,
+            action="Act", cam="cam_0", cam_params=cam, start=i * 5, end=i * 5 + self.t,
+        )
+        return frames, j3d, j2d, cam, ci
+
+
+@pytest.mark.parametrize("augment", [False, True])
+def test_run_extract_end_to_end(tmp_path, augment):
+    cfg = ExtractConfig(
+        root="", out=str(tmp_path / "out"), seq_len=4, resize=16,
+        batch_size=3, num_workers=2, augment=augment, shard_size=2,
+        shuffle_pool=100, shuffle_seed=1, save_fp16=False,
+    )
+    ds = FakeClipDataset(n_clips=6)
+    summary = run_extract(cfg, dataset=ds)
+    assert summary["n_clips"] == 6
+    n_vars = 4 if augment else 1
+    assert summary["n_vars"] == n_vars
+
+    out = FeatureClipDataset(tmp_path / "out", augment=augment)
+    assert len(out) == 6 * n_vars
+    feats, j3d, j2d, K = out[0]
+    assert feats.shape == (4, 2048)
+    assert np.all(np.isfinite(feats))
+
+    # meta carries the provenance fields
+    ds_meta = FeatureClipDataset(tmp_path / "out", test_set=True)
+    *_, meta = ds_meta[0]
+    for key in ("subject", "action", "cam", "start", "end", "aug", "frame_skip", "box"):
+        assert key in meta
+
+
+def test_trev_features_are_reversed_orig(tmp_path):
+    """The temporal-reverse variant's features must equal the orig features
+    reversed in time (per-frame backbone identity)."""
+    cfg = ExtractConfig(
+        out=str(tmp_path / "out"), seq_len=4, resize=16, batch_size=2,
+        num_workers=1, augment=True, shard_size=4, shuffle_pool=100,
+    )
+    run_extract(cfg, dataset=FakeClipDataset(n_clips=2))
+    ds = FeatureClipDataset(tmp_path / "out", test_set=True, augment=True)
+    by_aug = {}
+    for i in range(len(ds)):
+        feats, j3, j2, K, meta = ds[i]
+        by_aug.setdefault(meta["start"], {})[meta["aug"]] = (feats, j3)
+    for start, variants in by_aug.items():
+        f_orig, j_orig = variants["orig"]
+        f_trev, j_trev = variants["trev"]
+        np.testing.assert_allclose(f_trev, f_orig[::-1], rtol=1e-5)
+        np.testing.assert_allclose(j_trev, j_orig[::-1], rtol=1e-5)
+
+
+def test_extracted_store_trains(tmp_path):
+    """Extraction output feeds the training loop end to end."""
+    import jax
+    import jax.numpy as jnp
+
+    from h36x.models.phd import PHDFor3DJoints
+    from h36x.train.state import create_train_state, make_optimizer
+    from h36x.train.step import make_train_step
+
+    cfg = ExtractConfig(
+        out=str(tmp_path / "out"), seq_len=4, resize=16, batch_size=3,
+        num_workers=1, augment=False, shard_size=3, shuffle_pool=100,
+    )
+    run_extract(cfg, dataset=FakeClipDataset(n_clips=6))
+
+    ds = FeatureClipDataset(tmp_path / "out")
+    feats, j3d, j2d, K = ds.get_batch(list(range(4)))
+
+    model = PHDFor3DJoints(latent_dim=64, feature_dim=2048, number_blocks=1)
+    optimizer, _ = make_optimizer(lr=1e-3)
+    state = create_train_state(model, optimizer, jax.random.key(0), jnp.asarray(feats))
+    step = make_train_step(model, optimizer, donate=False)
+    state, metrics = step(
+        state, tuple(jnp.asarray(x) for x in (feats, j3d, j2d, K)), jax.random.key(1)
+    )
+    assert np.isfinite(float(metrics["loss"]))

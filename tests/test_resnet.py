@@ -1,0 +1,191 @@
+"""ResNet-50 backbone: parameter count, conv/pool/BN semantics vs torch
+functional oracles (torch CPU is available; torchvision is not), and the
+torch state_dict converter (key mapping + structural match)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import flax.linen as nn
+
+from h36x.models.resnet import ResNet50, count_params, init_resnet_params
+from h36x.models.torch_import import convert_torch_resnet50
+
+
+@pytest.fixture(scope="module")
+def small_input(rng=None):
+    return np.random.default_rng(0).normal(size=(2, 64, 64, 3)).astype(np.float32)
+
+
+class TestArchitecture:
+    def test_param_count(self):
+        """torchvision resnet50 has 25,557,032 params; headless (no fc
+        2048*1000+1000) leaves 23,508,032."""
+        model = ResNet50()
+        variables = init_resnet_params(model, jax.random.key(0), input_hw=64)
+        assert count_params(variables) == 23_508_032
+
+    def test_output_shape_any_hw(self, small_input):
+        model = ResNet50()
+        variables = init_resnet_params(model, jax.random.key(0), input_hw=64)
+        out = model.apply(variables, jnp.asarray(small_input))
+        assert out.shape == (2, 2048)
+        out224 = model.apply(
+            variables, jnp.zeros((1, 224, 224, 3), jnp.float32)
+        )
+        assert out224.shape == (1, 2048)
+
+    def test_batch_stats_structure(self):
+        model = ResNet50()
+        variables = init_resnet_params(model, jax.random.key(0), input_hw=64)
+        assert "batch_stats" in variables
+        # 53 BN layers in resnet50: 1 stem + 3*16 blocks + 4 downsample
+        n_bn = len(jax.tree.leaves(variables["batch_stats"])) // 2
+        assert n_bn == 53
+
+
+class TestOpSemanticsVsTorch:
+    """Validate conv/maxpool padding+stride semantics against torch.nn.functional."""
+
+    def test_conv_7x7_stride2_pad3(self, rng):
+        torch = pytest.importorskip("torch")
+        x = rng.normal(size=(1, 20, 20, 3)).astype(np.float32)
+        w_oihw = rng.normal(size=(8, 3, 7, 7)).astype(np.float32)
+
+        conv = nn.Conv(8, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)), use_bias=False)
+        kernel = jnp.asarray(np.transpose(w_oihw, (2, 3, 1, 0)))
+        out = conv.apply({"params": {"kernel": kernel}}, jnp.asarray(x))
+
+        tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        tout = torch.nn.functional.conv2d(tx, torch.from_numpy(w_oihw), stride=2, padding=3)
+        want = np.transpose(tout.numpy(), (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-4)
+
+    def test_conv_3x3_stride2_pad1(self, rng):
+        torch = pytest.importorskip("torch")
+        x = rng.normal(size=(1, 15, 15, 4)).astype(np.float32)
+        w_oihw = rng.normal(size=(6, 4, 3, 3)).astype(np.float32)
+        conv = nn.Conv(6, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)), use_bias=False)
+        kernel = jnp.asarray(np.transpose(w_oihw, (2, 3, 1, 0)))
+        out = conv.apply({"params": {"kernel": kernel}}, jnp.asarray(x))
+        tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        tout = torch.nn.functional.conv2d(tx, torch.from_numpy(w_oihw), stride=2, padding=1)
+        want = np.transpose(tout.numpy(), (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-4)
+
+    def test_maxpool_3x3_stride2_pad1(self, rng):
+        torch = pytest.importorskip("torch")
+        x = rng.normal(size=(1, 17, 17, 4)).astype(np.float32)
+        padded = jnp.pad(
+            jnp.asarray(x), ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf
+        )
+        out = nn.max_pool(padded, (3, 3), strides=(2, 2))
+        tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        tout = torch.nn.functional.max_pool2d(tx, 3, stride=2, padding=1)
+        want = np.transpose(tout.numpy(), (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5)
+
+    def test_batchnorm_inference(self, rng):
+        torch = pytest.importorskip("torch")
+        x = rng.normal(size=(2, 5, 5, 8)).astype(np.float32)
+        gamma = rng.normal(size=8).astype(np.float32)
+        beta = rng.normal(size=8).astype(np.float32)
+        mean = rng.normal(size=8).astype(np.float32)
+        var = np.abs(rng.normal(size=8)).astype(np.float32) + 0.5
+
+        bn = nn.BatchNorm(use_running_average=True, epsilon=1e-5)
+        out = bn.apply(
+            {
+                "params": {"scale": jnp.asarray(gamma), "bias": jnp.asarray(beta)},
+                "batch_stats": {"mean": jnp.asarray(mean), "var": jnp.asarray(var)},
+            },
+            jnp.asarray(x),
+        )
+        tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        tout = torch.nn.functional.batch_norm(
+            tx, torch.from_numpy(mean), torch.from_numpy(var),
+            torch.from_numpy(gamma), torch.from_numpy(beta), training=False, eps=1e-5,
+        )
+        want = np.transpose(tout.numpy(), (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)
+
+
+def _fake_torchvision_state_dict(rng):
+    """Build a state_dict with torchvision resnet50's exact key structure."""
+    sd = {}
+
+    def conv(name, cout, cin, k):
+        # small scale so 50 random layers don't overflow f32 in the run test
+        sd[f"{name}.weight"] = (
+            rng.normal(size=(cout, cin, k, k)).astype(np.float32) * 0.05
+        )
+
+    def bn(name, c):
+        sd[f"{name}.weight"] = rng.normal(size=c).astype(np.float32)
+        sd[f"{name}.bias"] = rng.normal(size=c).astype(np.float32)
+        sd[f"{name}.running_mean"] = rng.normal(size=c).astype(np.float32)
+        sd[f"{name}.running_var"] = np.abs(rng.normal(size=c)).astype(np.float32) + 0.5
+        sd[f"{name}.num_batches_tracked"] = np.array(0)
+
+    conv("conv1", 64, 3, 7)
+    bn("bn1", 64)
+    sizes = [3, 4, 6, 3]
+    cin = 64
+    for stage, blocks in enumerate(sizes):
+        width = 64 * 2**stage
+        for b in range(blocks):
+            base = f"layer{stage+1}.{b}"
+            conv(f"{base}.conv1", width, cin, 1)
+            bn(f"{base}.bn1", width)
+            conv(f"{base}.conv2", width, width, 3)
+            bn(f"{base}.bn2", width)
+            conv(f"{base}.conv3", width * 4, width, 1)
+            bn(f"{base}.bn3", width * 4)
+            if b == 0:
+                conv(f"{base}.downsample.0", width * 4, cin, 1)
+                bn(f"{base}.downsample.1", width * 4)
+            cin = width * 4
+    sd["fc.weight"] = rng.normal(size=(1000, 2048)).astype(np.float32)
+    sd["fc.bias"] = rng.normal(size=1000).astype(np.float32)
+    return sd
+
+
+class TestTorchImport:
+    def test_converted_structure_matches_init(self, rng):
+        sd = _fake_torchvision_state_dict(rng)
+        converted = convert_torch_resnet50(sd)
+
+        model = ResNet50()
+        variables = init_resnet_params(model, jax.random.key(0), input_hw=64)
+
+        flat_c = jax.tree_util.tree_flatten_with_path(converted["params"])[0]
+        flat_i = jax.tree_util.tree_flatten_with_path(
+            jax.device_get(variables["params"])
+        )[0]
+        paths_c = {tuple(str(k) for k in kp): v.shape for kp, v in flat_c}
+        paths_i = {tuple(str(k) for k in kp): v.shape for kp, v in flat_i}
+        assert paths_c == paths_i
+
+        flat_cs = jax.tree_util.tree_flatten_with_path(converted["batch_stats"])[0]
+        flat_is = jax.tree_util.tree_flatten_with_path(
+            jax.device_get(variables["batch_stats"])
+        )[0]
+        assert {tuple(str(k) for k in kp): v.shape for kp, v in flat_cs} == {
+            tuple(str(k) for k in kp): v.shape for kp, v in flat_is
+        }
+
+    def test_converted_weights_run(self, rng):
+        sd = _fake_torchvision_state_dict(rng)
+        converted = jax.tree.map(jnp.asarray, convert_torch_resnet50(sd))
+        model = ResNet50()
+        out = model.apply(converted, jnp.zeros((1, 64, 64, 3)))
+        assert out.shape == (1, 2048)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_conv_transpose_is_oihw_to_hwio(self, rng):
+        sd = {"conv1.weight": rng.normal(size=(64, 3, 7, 7)).astype(np.float32)}
+        out = convert_torch_resnet50(sd)
+        k = out["params"]["conv1"]["kernel"]
+        assert k.shape == (7, 7, 3, 64)
+        np.testing.assert_array_equal(k[1, 2, 0, 5], sd["conv1.weight"][5, 0, 1, 2])
