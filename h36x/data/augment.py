@@ -122,6 +122,87 @@ def color_jitter(
 
 
 # ---------------------------------------------------------------------------
+# Host (numpy) photometric jitter — used by the extraction decode workers.
+#
+# The device (jnp) implementation above is kept for device-resident
+# pipelines; in the production extract stage the jitter runs on the decode
+# workers where the u8 crops already live, because select-heavy HSV math is
+# VPU-hostile while the backbone wants the MXU to itself. Variants are
+# re-quantized to u8 for transfer (max error 1/510, below jpeg noise).
+# ---------------------------------------------------------------------------
+
+_GRAY_NP = np.array([0.2989, 0.587, 0.114], dtype=np.float32)
+
+
+def _np_blend(a, b, factor):
+    return np.clip(factor * a + (1.0 - factor) * b, 0.0, 1.0)
+
+
+def _np_hue(v, shift):
+    r, g, b = v[..., 0], v[..., 1], v[..., 2]
+    maxc = v.max(axis=-1)
+    minc = v.min(axis=-1)
+    rng_ = maxc - minc
+    sat = np.where(maxc > 0, rng_ / np.maximum(maxc, 1e-12), 0.0)
+    safe = np.maximum(rng_, 1e-12)
+    rc, gc, bc = (maxc - r) / safe, (maxc - g) / safe, (maxc - b) / safe
+    h = np.where(maxc == r, bc - gc, np.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = np.where(rng_ > 0, (h / 6.0) % 1.0, 0.0)
+    h = (h + shift) % 1.0
+    i = np.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = maxc * (1.0 - sat)
+    q = maxc * (1.0 - f * sat)
+    t = maxc * (1.0 - (1.0 - f) * sat)
+    i = i.astype(np.int32) % 6
+    r = np.choose(i, [maxc, q, p, p, t, maxc])
+    g = np.choose(i, [t, maxc, maxc, q, p, p])
+    b = np.choose(i, [p, p, t, maxc, maxc, q])
+    return np.stack([r, g, b], axis=-1)
+
+
+def color_jitter_host(
+    video01: np.ndarray,
+    rng: np.random.Generator,
+    brightness: float = 0.3,
+    contrast: float = 0.3,
+    saturation: float = 0.2,
+    hue: float = 0.05,
+) -> np.ndarray:
+    """numpy mirror of :func:`color_jitter`: one factor set per clip, ops in
+    a seeded random order. video01 (T, H, W, 3) float32 in [0, 1]."""
+    order = rng.permutation(4)
+    fb = rng.uniform(1.0 - brightness, 1.0 + brightness)
+    fc = rng.uniform(1.0 - contrast, 1.0 + contrast)
+    fs = rng.uniform(1.0 - saturation, 1.0 + saturation)
+    fh = rng.uniform(-hue, hue)
+    v = video01
+    for op in order:
+        if op == 0:
+            v = np.clip(v * fb, 0.0, 1.0)
+        elif op == 1:
+            gray_mean = (v @ _GRAY_NP).mean(axis=(-2, -1), keepdims=True)[..., None]
+            v = _np_blend(v, gray_mean, fc)
+        elif op == 2:
+            v = _np_blend(v, (v @ _GRAY_NP)[..., None], fs)
+        else:
+            v = _np_hue(v, fh)
+    return v
+
+
+def make_clip_variants_u8(crops_u8: np.ndarray, rng: np.random.Generator):
+    """(T, o, o, 3) u8 person crops -> (orig, cjitter, hflip) u8 stack.
+
+    Pixel-side half of the 4-variant suite (temporal-reverse needs no pixel
+    work — its features are orig's reversed). Returns (3, T, o, o, 3) u8.
+    """
+    video01 = crops_u8.astype(np.float32) * (1.0 / 255.0)
+    cj = np.clip(np.rint(color_jitter_host(video01, rng) * 255.0), 0, 255).astype(np.uint8)
+    hf = crops_u8[:, :, ::-1, :]
+    return np.stack([crops_u8, cj, hf])
+
+
+# ---------------------------------------------------------------------------
 # Geometric variants
 # ---------------------------------------------------------------------------
 

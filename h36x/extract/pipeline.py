@@ -4,11 +4,12 @@ ResNet-50 -> shuffled feature shards.
 Stage parity: reference src/preprocess_resnet_features.py (CLI at :136-155,
 loop at :273-341, flush at :343-417). TPU-first design differences:
 
-- crop + bilinear resize ride the decode workers (the frames are already in
-  host cache there, and shipping 224x224 crops instead of raw frames cuts
-  host->device transfer ~20x); normalize + the photometric/geometric variant
-  suite + backbone run in ONE jit program on device (:func:`make_extract_step`)
-  with static shapes for every clip;
+- crop + bilinear resize + the photometric variant suite ride the decode
+  workers (the frames are already in host cache there, shipping 224x224 u8
+  crops instead of raw frames cuts host->device transfer ~20x, and the
+  select-heavy HSV jitter is VPU-hostile); the device jit does normalize +
+  ResNet-50 over all variants in one pass with static shapes
+  (:func:`make_feature_fn`), keeping the MXU saturated;
 - the temporal-reverse variant's features are the orig features reversed in
   time (per-frame backbone), so each clip costs 3 backbone passes, not 4;
 - decode runs in a thread pool overlapped with device compute (cv2 releases
@@ -37,7 +38,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from h36x.config import ExtractConfig
-from h36x.data.augment import AUG_NAMES, color_jitter, hflip_joints, reverse_joints
+from h36x.data.augment import (
+    AUG_NAMES,
+    hflip_joints,
+    make_clip_variants_u8,
+    reverse_joints,
+)
 from h36x.data.clips import ClipDataset
 from h36x.data.shards import ShardWriter, write_index
 from h36x.extract.writer import AsyncWriter
@@ -60,36 +66,20 @@ def make_backbone_fn(model: ResNet50):
     return fn
 
 
-def make_extract_step(model: ResNet50, augment: bool):
-    """Fused device step for one batch of cropped clips.
+def make_feature_fn(model: ResNet50):
+    """Device step: (variables, frames_u8 (N, out, out, 3)) -> (N, 2048).
 
-    (variables, frames_u8 (B,T,out,out,3) person crops, keys (B,) PRNG) ->
-        augment=True:  (feats_orig, feats_cjitter, feats_hflip)  each (B,T,2048)
-        augment=False: feats_orig
+    Normalization fuses into the first conv; the flat rank-4 u8 batch keeps
+    XLA's image layout assignment happy regardless of how many clips/variants
+    the host packed into N.
     """
 
-    def backbone(variables, video):
-        b, t = video.shape[:2]
-        flat = video.reshape((b * t,) + video.shape[2:]).astype(model.dtype)
-        feats = model.apply(variables, flat)
-        return feats.reshape(b, t, -1)
-
     @jax.jit
-    def step(variables, frames_u8, keys):
-        video01 = frames_u8.astype(jnp.float32) * (1.0 / 255.0)
-        orig = imagenet_normalize(video01)
-        if not augment:
-            return backbone(variables, orig)
-        jittered = jax.vmap(color_jitter)(video01, keys)
-        cj = imagenet_normalize(jittered)
-        hf = imagenet_normalize(video01[..., ::-1, :])
-        return (
-            backbone(variables, orig),
-            backbone(variables, cj),
-            backbone(variables, hf),
-        )
+    def fn(variables, frames_u8):
+        video = imagenet_normalize(frames_u8.astype(jnp.float32) * (1.0 / 255.0))
+        return model.apply(variables, video.astype(model.dtype))
 
-    return step
+    return fn
 
 
 class ShufflePool:
@@ -224,7 +214,7 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
     )
 
     model, variables = _load_backbone(cfg)
-    extract_step = make_extract_step(model, cfg.augment)
+    feature_fn = make_feature_fn(model)
 
     async_writer = AsyncWriter()
     shard_writer = ShardWriter(out_root, n_vars, async_writer=async_writer)
@@ -232,26 +222,27 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
         shard_writer, n_vars, cfg.shard_size, cfg.shuffle_pool, cfg.shuffle_seed
     )
 
-    root_key = jax.random.key(cfg.shuffle_seed)
-
     t_all = time.perf_counter()
     t_last = t_all
     done = 0
 
     def process_batch(items):
         nonlocal done, t_last
-        frames = np.stack([it[0] for it in items])  # (B,T,out,out,3) u8 crops
-        B = frames.shape[0]
+        # items carry (variants_u8 (V,T,o,o,3), j3d, j2d, cam, ci, box);
+        # V = 3 pixel variants when augmenting (orig, cjitter, hflip), else 1.
+        frames = np.stack([it[0] for it in items])  # (B,V,T,o,o,3) u8
+        B, V, T = frames.shape[:3]
         boxes = [it[5] for it in items]
-        keys = jax.vmap(jax.random.fold_in, (None, 0))(
-            root_key, jnp.arange(done, done + B)
+        flat = frames.reshape((B * V * T,) + frames.shape[3:])
+        feats_flat = np.asarray(
+            feature_fn(variables, jnp.asarray(flat)), dtype=feat_np_dtype
         )
-        out = extract_step(variables, jnp.asarray(frames), keys)
+        feats = feats_flat.reshape(B, V, T, -1)
         if cfg.augment:
-            f_orig, f_cj, f_hf = (np.asarray(o, dtype=feat_np_dtype) for o in out)
+            f_orig, f_cj, f_hf = feats[:, 0], feats[:, 1], feats[:, 2]
             f_trev = f_orig[:, ::-1].copy()
         else:
-            f_orig = np.asarray(out, dtype=feat_np_dtype)
+            f_orig = feats[:, 0]
 
         for b, (fr, j3d, j2d_raw, cam, ci, _box) in enumerate(items):
             box = boxes[b]
@@ -303,10 +294,15 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
                 )
 
     def load_item(i):
-        """Decode worker: decode + crop + resize (all host-cached data)."""
+        """Decode worker: decode + crop + resize + pixel variants (host)."""
         frames, j3d, j2d, cam, ci = dataset[i]
         small, box = crop_resize_host(frames, j2d, cfg.resize)
-        return small, j3d, j2d, cam, ci, box
+        if cfg.augment:
+            rng = np.random.default_rng(cfg.shuffle_seed * 1_000_003 + i)
+            variants = make_clip_variants_u8(small, rng)  # (3,T,o,o,3)
+        else:
+            variants = small[None]  # (1,T,o,o,3)
+        return variants, j3d, j2d, cam, ci, box
 
     # Decode with a thread pool; crops have static shapes, so batches are
     # simple fixed-size windows overlapped with device compute.
