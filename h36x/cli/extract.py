@@ -1,0 +1,16 @@
+"""CLI: ResNet-50 feature-extraction stage
+(reference preprocess_h36m.sh -> preprocess_resnet_features.py)."""
+
+from h36x.config import ExtractConfig, parse_into
+from h36x.extract.pipeline import run_extract
+
+
+def main(argv=None):
+    cfg = parse_into(ExtractConfig(), argv, description=__doc__)
+    if not cfg.root or not cfg.out:
+        raise SystemExit("--root and --out are required")
+    run_extract(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""CLI: test-subject evaluation + one-batch NPZ dump
+(reference results.sh -> results.py main)."""
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from h36x.config import JOINTS_NUM, SEQ_LEN, TEST_SUBJECTS
+from h36x.data.features import FeatureClipDataset
+from h36x.models.phd import PHDFor3DJoints
+from h36x.train import checkpoint as ckpt
+from h36x.train.results import dump_result_batch, evaluate_test
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--features-root", required=True)
+    p.add_argument("--preprocessed-root", required=True)
+    p.add_argument("--model-path", required=True, help="checkpoint .msgpack")
+    p.add_argument("--out", default="outputs/batch_result_S9.npz")
+    p.add_argument("--seq-len", type=int, default=SEQ_LEN)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--save-n", type=int, default=16)
+    p.add_argument("--video-size", type=int, default=224, help="0 disables resize")
+    p.add_argument("--subjects", type=int, nargs="+", default=list(TEST_SUBJECTS))
+    p.add_argument("--latent-dim", type=int, default=1024)
+    p.add_argument("--num-blocks", type=int, default=2)
+    args = p.parse_args(argv)
+
+    test_set = FeatureClipDataset(args.features_root, subjects=args.subjects,
+                                  test_set=True)
+    model = PHDFor3DJoints(latent_dim=args.latent_dim, joints_num=JOINTS_NUM,
+                           number_blocks=args.num_blocks)
+    template = model.init(
+        jax.random.key(0), jnp.zeros((1, args.seq_len, 2048))
+    )["params"]
+    params = ckpt.load_params_only(args.model_path, jax.device_get(template))
+
+    loss, mp, l3d, l2d = evaluate_test(model, params, test_set, args.batch_size)
+    print(
+        f"Test metrics | loss: {loss:.6f} | mpjpe (m): {mp:.6f} "
+        f"| mpjpe (mm): {mp*1000.0:.2f} | l3d: {l3d:.6f} | l2d: {l2d:.6f}"
+    )
+
+    out_hw = None if args.video_size == 0 else args.video_size
+    dump_result_batch(
+        model, params, test_set, args.preprocessed_root, args.out,
+        seq_len=args.seq_len, batch_size=args.batch_size, save_n=args.save_n,
+        video_size=out_hw, test_metrics=(loss, mp, l3d, l2d),
+    )
+    print(f"[OK] Saved batch to: {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,228 @@
+"""Raw Human3.6M ingestion: metadata.xml cameras + CDF poses -> ingested tree.
+
+Stage parity: reference src/datasets/read_human_36m.py. For every
+(subject, action, trial, camera) it writes
+
+    S{s}/{Action}_{trial0}/cam_{c0}/
+        camera_wext.pkl   {'f','c','k','rt','t'}
+        gt_poses.pkl      {'2d': (N,17,2), '3d': (N,17,3)}  mm units
+        <renamed>.mp4     symlink to the raw video
+    S{s}/{Action}_{trial0}/orig_seq_name.txt
+
+keeping the reference's layout and idempotent skip-if-exists behavior
+(read_human_36m.py:345-435), including the S11 "Phoning 2" skip (:353).
+
+CDF access is gated: spacepy/pycdf when present; otherwise pose files may be
+pre-converted `.npz`/`.npy` (same basename) — see :func:`read_poses`. Camera
+parsing needs only the XML (no native deps).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import pickle
+import xml.etree.ElementTree as ET
+from glob import glob
+from os.path import basename, exists, join
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from h36x.geometry.camera import rotation_matrix_xyz
+from h36x.geometry.skeleton import H36M_RAW_JOINT_IDS
+
+ACTION_NAMES = (
+    "Directions", "Discussion", "Eating", "Greeting", "Phoning", "Posing",
+    "Purchases", "Sitting", "SittingDown", "Smoking", "TakingPhoto",
+    "Waiting", "Walking", "WakingDog", "WalkTogether",
+)
+
+N_SUBJECTS = 11
+N_CAMS = 4
+SUBJECTS_ORDER = (1, 6, 7, 8, 5, 9, 11)  # processing order used by the lab
+
+
+def read_cam_parameters(xml_path: str, sbj_id: int, cam_id: int):
+    """Camera extrinsics/intrinsics/distortion from metadata.xml's w0 blob.
+
+    The w0 element is a flat space-separated vector: first
+    n_cams*n_subjects*6 extrinsic values laid out camera-major, then
+    n_cams*9 intrinsic values (f, c, distortion(5)) per camera
+    (reference read_human_36m.py:233-270). Distortion is re-packed to
+    (k1, k2, p1, p2, k3) matching project_point_radial's contract.
+
+    Returns (rt (3,3), t (3,), f (2,), c (2,), k (5,)).
+    """
+    sbj0 = sbj_id - 1
+    cam0 = cam_id - 1
+
+    root = ET.parse(xml_path).getroot()
+    w0 = root.find("w0")
+    if w0 is None:
+        raise ValueError(f"no <w0> element in {xml_path}")
+    tokens = w0.text.strip().lstrip("[").rstrip("]").split()
+
+    ext_start = (cam0 * N_SUBJECTS + sbj0) * 6
+    extr = np.array(tokens[ext_start : ext_start + 6], dtype=np.float64)
+    int_start = N_CAMS * N_SUBJECTS * 6 + cam0 * 9
+    intr = np.array(tokens[int_start : int_start + 9], dtype=np.float64)
+
+    rt = rotation_matrix_xyz(extr[:3])
+    t = extr[3:]
+    f = intr[:2]
+    c = intr[2:4]
+    d = intr[4:]  # metadata order (k1, k2, k3, p1, p2)
+    k = np.hstack((d[:2], d[3:5], d[2:3]))  # -> (k1, k2, p1, p2, k3)
+    return rt, t, f, c, k
+
+
+def read_action_name(xml_path: str, sbj_id: int, action_no: int, trial_no: int) -> Optional[str]:
+    """Per-subject sequence name from the XML <mapping> table
+    (reference read_human_36m.py:273-283; action 1 is 'ALL', hence +1)."""
+    root = ET.parse(xml_path).getroot()
+    mapping = root.find("mapping")
+    if mapping is None:
+        raise ValueError(f"no <mapping> element in {xml_path}")
+    for tr in list(mapping):
+        cells = list(tr)
+        if len(cells) < 2 + sbj_id:
+            continue
+        if cells[0].text == str(action_no + 1) and cells[1].text == str(trial_no):
+            return cells[2 + sbj_id - 1].text
+    return None
+
+
+def read_poses(
+    path: str,
+    is_3d: bool = False,
+    joint_ids: Tuple[int, ...] = H36M_RAW_JOINT_IDS,
+    n_frames: Optional[int] = None,
+) -> np.ndarray:
+    """Load a pose sequence as (N, len(joint_ids), dim) mm.
+
+    `.cdf` needs spacepy (NASA CDF C library); `.npz`/`.npy` siblings created
+    by :func:`cdf_to_npz` load without native deps. The raw layout is a flat
+    (1, N, 32*dim) 'Pose' variable (reference read_human_36m.py:288-304).
+    """
+    dim = 3 if is_3d else 2
+    if path.endswith(".cdf"):
+        for alt in (path[:-4] + ".npz", path[:-4] + ".npy"):
+            if exists(alt):
+                path = alt
+                break
+    if path.endswith(".cdf"):
+        try:
+            from spacepy import pycdf
+        except ImportError as e:
+            raise RuntimeError(
+                f"reading {path} needs spacepy/pycdf (absent here). "
+                "Pre-convert pose CDFs with h36x.data.ingest.cdf_to_npz on a "
+                "machine that has it, or place a sibling .npz/.npy file."
+            ) from e
+        poses = pycdf.CDF(path)["Pose"][...][0]
+    elif path.endswith(".npz"):
+        with np.load(path) as z:
+            poses = z[z.files[0]]
+        poses = poses[0] if poses.ndim == 3 else poses
+    else:
+        poses = np.load(path)
+        poses = poses[0] if poses.ndim == 3 else poses
+
+    if n_frames is None:
+        n_frames = poses.shape[0]
+    ids = np.asarray(joint_ids)
+    out = poses[:n_frames].reshape(n_frames, -1, dim)[:, ids, :]
+    return np.ascontiguousarray(out.astype(np.float32))
+
+
+def cdf_to_npz(cdf_path: str, out_path: Optional[str] = None) -> str:
+    """One-time converter: raw CDF 'Pose' variable -> .npz (no jointing)."""
+    from spacepy import pycdf
+
+    poses = np.asarray(pycdf.CDF(cdf_path)["Pose"][...])
+    out_path = out_path or cdf_path[:-4] + ".npz"
+    np.savez_compressed(out_path, Pose=poses)
+    return out_path
+
+
+def ingest(
+    source_dir: str,
+    out_dir: str,
+    subjects: Optional[List[int]] = None,
+    trials: Tuple[int, ...] = (1, 2),
+    cams: Tuple[int, ...] = (1, 2, 3, 4),
+    actions: Optional[List[int]] = None,
+    verbose: bool = True,
+) -> int:
+    """Walk subject x action x trial x camera and write the ingested tree.
+
+    Returns the number of (sequence, camera) cells written or found complete.
+    """
+    xml_path = join(source_dir, "metadata.xml")
+    subjects = list(subjects) if subjects else list(SUBJECTS_ORDER)
+    actions = list(actions) if actions else list(range(1, 16))
+    n_done = 0
+
+    for sbj_id, action_id, trial_id, cam_id in itertools.product(
+        subjects, actions, trials, cams
+    ):
+        seq_name = read_action_name(xml_path, sbj_id, action_id, trial_id)
+        if seq_name is None:
+            if verbose:
+                print(f"S{sbj_id} action {action_id} trial {trial_id}: no mapping, skipping")
+            continue
+        if sbj_id == 11 and "Phoning 2" in seq_name:
+            continue  # corrupt sequence in the official release
+
+        save_seq = f"{ACTION_NAMES[action_id - 1]}_{trial_id - 1}"
+        output_base = join(out_dir, f"S{sbj_id}", save_seq)
+        output_dir = join(output_base, f"cam_{cam_id - 1}")
+        os.makedirs(output_dir, exist_ok=True)
+        if verbose:
+            print(f"S{sbj_id} {seq_name!r} -> {output_dir}")
+
+        name_path = join(output_base, "orig_seq_name.txt")
+        if not exists(name_path):
+            with open(name_path, "w") as f:
+                f.write(seq_name)
+
+        video_paths = sorted(
+            glob(join(source_dir, f"S{sbj_id}", "Videos", f"{seq_name}.*mp4"))
+        )
+        pose2d_paths = sorted(
+            glob(join(source_dir, f"S{sbj_id}", "MyPoseFeatures/D2_Positions",
+                      f"{seq_name}.*cdf"))
+        )
+        pose3d_paths = sorted(
+            glob(join(source_dir, f"S{sbj_id}", "MyPoseFeatures/D3_Positions_mono",
+                      f"{seq_name}.*cdf"))
+        )
+        if len(pose2d_paths) < cam_id or len(pose3d_paths) < cam_id:
+            if verbose:
+                print(f"  missing pose files for cam {cam_id}, skipping")
+            continue
+
+        cam_path = join(output_dir, "camera_wext.pkl")
+        if not exists(cam_path):
+            rt, t, f, c, k = read_cam_parameters(xml_path, sbj_id, cam_id)
+            with open(cam_path, "wb") as fw:
+                pickle.dump({"f": f, "c": c, "k": k, "rt": rt, "t": t}, fw)
+
+        gt_path = join(output_dir, "gt_poses.pkl")
+        if not exists(gt_path):
+            poses2d = read_poses(pose2d_paths[cam_id - 1])
+            poses3d = read_poses(pose3d_paths[cam_id - 1], is_3d=True)
+            with open(gt_path, "wb") as fgt:
+                pickle.dump({"2d": poses2d, "3d": poses3d}, fgt)
+
+        if video_paths and len(video_paths) >= cam_id:
+            out_video = join(
+                output_dir,
+                f"S{sbj_id}_{ACTION_NAMES[action_id - 1]}_{trial_id - 1}_cam_{cam_id - 1}.mp4",
+            )
+            if not exists(out_video):
+                os.symlink(os.path.abspath(video_paths[cam_id - 1]), out_video)
+        n_done += 1
+
+    return n_done

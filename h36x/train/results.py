@@ -1,0 +1,157 @@
+"""Test-set inference + artifact dump.
+
+Stage parity: reference src/results.py — evaluate the trained model on the
+test subject, print loss/MPJPE in m and mm, then dump ONE batch to a
+compressed NPZ containing the raw video clips (reloaded from the ingested
+mp4s via each row's meta), GT/predicted 3D joints, 2D joints, K, meta, and
+the test metrics (results.py:227-236 field set, with the same names).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from h36x.data.features import FeatureClipDataset
+from h36x.data.sampler import SequentialBatchSampler
+from h36x.train.losses import mpjpe, mse3d
+from h36x.train.step import make_forward
+
+
+def find_video_path(preprocessed_root: str, meta: dict) -> str:
+    """Locate the ingested mp4 for a feature row's meta (results.py:30-41)."""
+    subject = int(meta["subject"])
+    action = str(meta["action"])
+    cam = str(meta["cam"])
+    if not cam.startswith("cam_"):
+        cam = f"cam_{cam}"
+    cam_dir = os.path.join(preprocessed_root, f"S{subject}", action, cam)
+    mp4s = sorted(glob.glob(os.path.join(cam_dir, "*.mp4")))
+    if not mp4s:
+        raise FileNotFoundError(f"no mp4 under {cam_dir}")
+    return mp4s[0]
+
+
+def pad_or_trim_video(video: np.ndarray, target_t: int) -> np.ndarray:
+    """(T,H,W,3) -> exactly target_t frames, padding with the last frame."""
+    t = video.shape[0]
+    if t == target_t:
+        return video
+    if t > target_t:
+        return video[:target_t]
+    pad = np.repeat(video[-1:], target_t - t, axis=0)
+    return np.concatenate([video, pad], axis=0)
+
+
+def resize_video_hw(video: np.ndarray, out_hw: Optional[int]) -> np.ndarray:
+    """(T,H,W,3) u8 -> (T,out,out,3) u8 bilinear (host, cv2)."""
+    if out_hw is None:
+        return video
+    import cv2
+
+    out = np.empty((video.shape[0], out_hw, out_hw, 3), np.uint8)
+    for t in range(video.shape[0]):
+        out[t] = cv2.resize(video[t], (out_hw, out_hw), interpolation=cv2.INTER_LINEAR)
+    return out
+
+
+def load_video_clip_from_meta(
+    preprocessed_root: str, meta: dict, seq_len: int, out_hw: Optional[int] = None
+) -> np.ndarray:
+    """Re-decode the raw clip a feature row came from (results.py:96-115)."""
+    from h36x.data.clips import decode_clip
+
+    path = find_video_path(preprocessed_root, meta)
+    start, end = int(meta["start"]), int(meta["end"])
+    frame_skip = int(meta.get("frame_skip", 1))
+    video = decode_clip(path, start, end, frame_skip)
+    video = pad_or_trim_video(video, seq_len)
+    return resize_video_hw(video, out_hw)
+
+
+def evaluate_test(model, params, dataset: FeatureClipDataset, batch_size: int = 16):
+    """Full-test-set metrics: (loss, mpjpe_m, l3d, l2d=0) like train.evaluate."""
+    forward = make_forward(model)
+    sampler = SequentialBatchSampler(dataset, batch_size)
+    total = {"loss": 0.0, "mpjpe": 0.0}
+    n = 0
+    for idx in sampler:
+        feats, j3d, _j2d, _K, _meta = dataset.get_batch(idx)
+        pred = forward(params, jnp.asarray(feats))
+        total["loss"] += float(mse3d(pred, jnp.asarray(j3d)))
+        total["mpjpe"] += float(mpjpe(pred, jnp.asarray(j3d)))
+        n += 1
+    loss = total["loss"] / max(n, 1)
+    mp = total["mpjpe"] / max(n, 1)
+    return loss, mp, loss, 0.0
+
+
+def dump_result_batch(
+    model,
+    params,
+    dataset: FeatureClipDataset,
+    preprocessed_root: str,
+    out_path: str,
+    seq_len: int,
+    batch_size: int = 16,
+    save_n: int = 16,
+    video_size: Optional[int] = 224,
+    test_metrics=(0.0, 0.0, 0.0, 0.0),
+) -> dict:
+    """Predict one batch and write the results NPZ; returns the payload."""
+    forward = make_forward(model)
+    idx = list(range(min(batch_size, len(dataset))))
+    feats, j3d, j2d, K, meta = dataset.get_batch(idx)
+    pred = np.asarray(forward(params, jnp.asarray(feats)))
+
+    b = min(len(idx), save_n)
+    videos = []
+    metas = []
+    for i in range(b):
+        if not isinstance(meta[i], dict):
+            raise RuntimeError(f"meta[{i}] is {type(meta[i])}, expected dict")
+        videos.append(
+            load_video_clip_from_meta(preprocessed_root, meta[i], seq_len, video_size)
+        )
+        metas.append(meta[i])
+    videos_np = np.stack(videos)
+
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    payload = {
+        "video": videos_np,
+        "joints3d": j3d[:b],
+        "predicted3djoints": pred[:b],
+        "joints2d": j2d[:b],
+        "K": K[:b],
+        "meta": np.array(metas, dtype=object),
+        "test_metrics": np.array(test_metrics, dtype=np.float32),
+    }
+    np.savez_compressed(out_path, **payload)
+    return payload
+
+
+def dump_debug_batch(
+    dataset: FeatureClipDataset, out_path: str, batch_size: int = 8
+) -> dict:
+    """teste.py equivalent: one feature batch -> debug NPZ (teste.py:82-89).
+
+    Saved under the reference's field names (video slot holds the features —
+    the feature dataset has no pixels, exactly like the reference's dump).
+    """
+    idx = list(range(min(batch_size, len(dataset))))
+    feats, j3d, j2d, K, meta = dataset.get_batch(idx)
+    payload = {
+        "video": feats,
+        "joints3d": j3d,
+        "joints2d": j2d,
+        "cam_K": K,
+        "meta": np.array(meta, dtype=object),
+    }
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    np.savez_compressed(out_path, **payload)
+    return payload

@@ -1,0 +1,254 @@
+"""Skeleton / reprojection animation viewers (host tools, matplotlib).
+
+Parity targets: reference src/visualize.py (video + 3D), src/visualize_2d.py
+(frame + GT 2D + reprojected 2D + 3D — the visual oracle for the crop/K
+geometry), src/visualize_features.py (feature-space variant without video),
+and read_pkl.py (raw ingested-pickle sanity viewer). One implementation
+drives all four layouts here.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from h36x.geometry.skeleton import H36M_EDGES
+from h36x.ops.preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+
+def to_uint8_rgb(frame_chw: np.ndarray) -> np.ndarray:
+    """CHW float frame (possibly ImageNet-normalized) -> HWC uint8 RGB.
+
+    Heuristic matches the reference (visualize.py:22-37): values outside
+    [-0.5, 1.5] are treated as normalized and de-normalized first.
+    """
+    f = np.asarray(frame_chw, dtype=np.float32)
+    if f.min() < -0.5 or f.max() > 1.5:
+        f = np.transpose(f, (1, 2, 0))
+        f = (f * IMAGENET_STD) + IMAGENET_MEAN
+        return (np.clip(f, 0.0, 1.0) * 255.0).astype(np.uint8)
+    if f.max() <= 1.5:
+        f = f * 255.0
+    return np.transpose(np.clip(f, 0, 255).astype(np.uint8), (1, 2, 0))
+
+
+def _frame_to_hwc_uint8(frame: np.ndarray) -> np.ndarray:
+    """Accept CHW or HWC, float or uint8."""
+    if frame.ndim == 3 and frame.shape[0] in (1, 3) and frame.shape[-1] not in (1, 3):
+        return to_uint8_rgb(frame)
+    if frame.dtype == np.uint8:
+        return frame
+    f = np.asarray(frame, np.float32)
+    if f.max() <= 1.5:
+        f = f * 255.0
+    return np.clip(f, 0, 255).astype(np.uint8)
+
+
+def _pad_limits(lo: float, hi: float, p: float = 0.05):
+    r = (hi - lo) if hi > lo else 1.0
+    return lo - p * r, hi + p * r
+
+
+def _setup_3d_axis(ax, js3, point_size, line_width, elev=25, azim=290):
+    xs, ys, zs = js3[..., 0], js3[..., 1], js3[..., 2]
+    ax.set_xlim(*_pad_limits(xs.min(), xs.max()))
+    ax.set_ylim(*_pad_limits(ys.min(), ys.max()))
+    ax.set_zlim(*_pad_limits(zs.min(), zs.max()))
+    ax.view_init(elev=elev, azim=azim)
+    scat = ax.scatter(js3[0, :, 0], js3[0, :, 1], js3[0, :, 2], s=point_size)
+    lines = []
+    for a, b in H36M_EDGES:
+        (ln,) = ax.plot(
+            [js3[0, a, 0], js3[0, b, 0]],
+            [js3[0, a, 1], js3[0, b, 1]],
+            [js3[0, a, 2], js3[0, b, 2]],
+            linewidth=line_width,
+        )
+        lines.append(ln)
+    return scat, lines
+
+
+def _update_3d(scat, lines, js3, t):
+    scat._offsets3d = (js3[t, :, 0], js3[t, :, 1], js3[t, :, 2])
+    for ln, (a, b) in zip(lines, H36M_EDGES):
+        ln.set_data([js3[t, a, 0], js3[t, b, 0]], [js3[t, a, 1], js3[t, b, 1]])
+        ln.set_3d_properties([js3[t, a, 2], js3[t, b, 2]])
+
+
+def _setup_2d_overlay(ax, js2, point_size, line_width):
+    scat = ax.scatter(js2[0, :, 0], js2[0, :, 1], s=point_size)
+    lines = []
+    for a, b in H36M_EDGES:
+        (ln,) = ax.plot(
+            [js2[0, a, 0], js2[0, b, 0]], [js2[0, a, 1], js2[0, b, 1]],
+            linewidth=line_width,
+        )
+        lines.append(ln)
+    return scat, lines
+
+
+def _update_2d(scat, lines, js2, t):
+    scat.set_offsets(js2[t])
+    for ln, (a, b) in zip(lines, H36M_EDGES):
+        ln.set_data([js2[t, a, 0], js2[t, b, 0]], [js2[t, a, 1], js2[t, b, 1]])
+
+
+def plot_batch_sample(video, joints, sample_idx: int = 0, fps: int = 10, show: bool = True):
+    """Video frame + animated 3D skeleton (reference visualize.py:39-105)."""
+    import matplotlib.pyplot as plt
+    from matplotlib.animation import FuncAnimation
+
+    vid = np.asarray(video)[sample_idx]
+    js3 = np.asarray(joints)[sample_idx]
+    frames = [_frame_to_hwc_uint8(vid[t]) for t in range(vid.shape[0])]
+
+    fig = plt.figure(figsize=(10, 4))
+    ax_img = fig.add_subplot(1, 2, 1)
+    ax_3d = fig.add_subplot(1, 2, 2, projection="3d")
+    im = ax_img.imshow(frames[0])
+    ax_img.axis("off")
+    ax_img.set_title("Video")
+    ax_3d.set_title("Skeleton 3D")
+    scat, lines = _setup_3d_axis(ax_3d, js3, 20, 1.5, elev=45, azim=-90)
+
+    def update(t):
+        im.set_data(frames[t])
+        _update_3d(scat, lines, js3, t)
+        return [im, scat] + lines
+
+    anim = FuncAnimation(fig, update, frames=len(frames), interval=1000 // fps, blit=False)
+    if show:
+        plt.tight_layout()
+        plt.show()
+    return anim
+
+
+def plot_batch_sample_2d_2dproj_3d(
+    video, joints3d, joints2d, K,
+    sample_idx: int = 0, fps: int = 10, point_size: int = 18, line_width: int = 2,
+    show: bool = True,
+):
+    """Frame+GT-2D | frame+reprojected-2D | 3D — the geometry oracle
+    (reference visualize_2d.py:82-206). Reprojection is pinhole through K."""
+    import matplotlib.pyplot as plt
+    from matplotlib.animation import FuncAnimation
+
+    from h36x.geometry.camera import project_with_K
+
+    vid = np.asarray(video)[sample_idx]
+    js3 = np.asarray(joints3d)[sample_idx]
+    js2 = np.asarray(joints2d)[sample_idx]
+    Kk = np.asarray(K)
+    Kk = Kk[sample_idx] if Kk.ndim == 3 else Kk
+    t_len = vid.shape[0]
+    proj2 = np.asarray(project_with_K(js3, Kk))
+    frames = [_frame_to_hwc_uint8(vid[t]) for t in range(t_len)]
+    h, w = frames[0].shape[:2]
+
+    fig = plt.figure(figsize=(15, 4))
+    ax_gt = fig.add_subplot(1, 3, 1)
+    ax_prj = fig.add_subplot(1, 3, 2)
+    ax_3d = fig.add_subplot(1, 3, 3, projection="3d")
+    ax_gt.set_title("Frame + GT 2D joints")
+    ax_prj.set_title("Frame + Reprojected 2D joints")
+    ax_3d.set_title("Skeleton 3D")
+
+    im_gt = ax_gt.imshow(frames[0])
+    im_prj = ax_prj.imshow(frames[0])
+    for ax in (ax_gt, ax_prj):
+        ax.axis("off")
+        ax.set_xlim(0, w - 1)
+        ax.set_ylim(h - 1, 0)
+
+    scat_gt, lines_gt = _setup_2d_overlay(ax_gt, js2, point_size, line_width)
+    scat_prj, lines_prj = _setup_2d_overlay(ax_prj, proj2, point_size, line_width)
+    scat3, lines3 = _setup_3d_axis(ax_3d, js3, point_size, line_width)
+
+    def update(t):
+        im_gt.set_data(frames[t])
+        im_prj.set_data(frames[t])
+        _update_2d(scat_gt, lines_gt, js2, t)
+        _update_2d(scat_prj, lines_prj, proj2, t)
+        _update_3d(scat3, lines3, js3, t)
+        return [im_gt, im_prj, scat_gt, scat_prj, scat3] + lines_gt + lines_prj + lines3
+
+    anim = FuncAnimation(fig, update, frames=t_len, interval=1000 // fps, blit=False)
+    if show:
+        plt.tight_layout()
+        plt.show()
+    return anim
+
+
+def plot_batch_sample_2d_2dproj_3d_no_video(
+    joints3d, joints2d, K,
+    sample_idx: int = 0, fps: int = 10, point_size: int = 18, line_width: int = 2,
+    invert_y: bool = True, equal_aspect: bool = True, show: bool = True,
+):
+    """Feature-space variant without frames (reference visualize_features.py)."""
+    import matplotlib.pyplot as plt
+    from matplotlib.animation import FuncAnimation
+
+    from h36x.geometry.camera import project_with_K
+
+    js3 = np.asarray(joints3d)[sample_idx]
+    js2 = np.asarray(joints2d)[sample_idx]
+    Kk = np.asarray(K)
+    Kk = Kk[sample_idx] if Kk.ndim == 3 else Kk
+    t_len = js3.shape[0]
+    proj2 = np.asarray(project_with_K(js3, Kk))
+
+    fig = plt.figure(figsize=(15, 4))
+    ax_gt = fig.add_subplot(1, 3, 1)
+    ax_prj = fig.add_subplot(1, 3, 2)
+    ax_3d = fig.add_subplot(1, 3, 3, projection="3d")
+    ax_gt.set_title("GT 2D joints")
+    ax_prj.set_title("Reprojected 2D joints")
+    ax_3d.set_title("Skeleton 3D")
+
+    for ax, pts in ((ax_gt, js2), (ax_prj, proj2)):
+        ax.set_xlim(*_pad_limits(pts[..., 0].min(), pts[..., 0].max()))
+        lo, hi = _pad_limits(pts[..., 1].min(), pts[..., 1].max())
+        ax.set_ylim((hi, lo) if invert_y else (lo, hi))
+        if equal_aspect:
+            ax.set_aspect("equal")
+
+    scat_gt, lines_gt = _setup_2d_overlay(ax_gt, js2, point_size, line_width)
+    scat_prj, lines_prj = _setup_2d_overlay(ax_prj, proj2, point_size, line_width)
+    scat3, lines3 = _setup_3d_axis(ax_3d, js3, point_size, line_width)
+
+    def update(t):
+        _update_2d(scat_gt, lines_gt, js2, t)
+        _update_2d(scat_prj, lines_prj, proj2, t)
+        _update_3d(scat3, lines3, js3, t)
+        return [scat_gt, scat_prj, scat3] + lines_gt + lines_prj + lines3
+
+    anim = FuncAnimation(fig, update, frames=t_len, interval=1000 // fps, blit=False)
+    if show:
+        plt.tight_layout()
+        plt.show()
+    return anim
+
+
+def plot_raw_sequence(
+    gt_poses_path: str, video_path: Optional[str] = None,
+    frame_skip: int = 5, max_frames: int = 100, fps: int = 10, show: bool = True,
+):
+    """Sanity viewer over raw ingested pickles (reference read_pkl.py):
+    pelvis-centered 3D skeleton, optionally next to decoded frames."""
+    import pickle
+
+    with open(gt_poses_path, "rb") as f:
+        data = pickle.load(f)
+    js3 = np.asarray(data["3d"], dtype=np.float32)[::frame_skip][:max_frames]
+    js3 = js3 - js3[:, :1]  # pelvis-center
+
+    if video_path is not None:
+        from h36x.data.clips import decode_clip
+
+        video = decode_clip(video_path, 0, js3.shape[0], frame_skip)
+        return plot_batch_sample(video[None], js3[None], 0, fps=fps, show=show)
+    return plot_batch_sample_2d_2dproj_3d_no_video(
+        js3[None], np.asarray(data["2d"], np.float32)[::frame_skip][:max_frames][None],
+        np.eye(3, dtype=np.float32), 0, fps=fps, show=show,
+    )

@@ -1,0 +1,163 @@
+"""Ingestion stage: XML camera parsing, action-name mapping, pose loading
+(npz path), full ingest() over a synthetic raw tree, idempotency
+(reference src/datasets/read_human_36m.py)."""
+
+import pickle
+
+import numpy as np
+import pytest
+
+from h36x.data.ingest import (
+    ACTION_NAMES,
+    N_CAMS,
+    N_SUBJECTS,
+    ingest,
+    read_action_name,
+    read_cam_parameters,
+    read_poses,
+)
+from h36x.geometry.camera import rotation_matrix_xyz
+from h36x.geometry.skeleton import H36M_RAW_JOINT_IDS
+
+
+def _write_metadata_xml(path, rng):
+    """Synthetic metadata.xml with the real w0/mapping structure."""
+    ext = rng.normal(size=(N_CAMS * N_SUBJECTS * 6,))
+    intr = rng.normal(size=(N_CAMS * 9,)) + 2.0
+    w0_tokens = ["["] if False else []
+    vals = np.concatenate([ext, intr])
+    body = " ".join(str(v) for v in vals)
+    body = "[" + body.split(" ", 1)[0] + " " + body.split(" ", 1)[1] + "]"
+
+    rows = []
+    for action_no in range(2, 17):  # mapping uses action_no+1
+        for trial in (1, 2):
+            names = "".join(
+                f"<c{su}>Seq_{action_no}_{trial}_S{su}</c{su}>"
+                for su in range(1, N_SUBJECTS + 1)
+            )
+            rows.append(
+                f"<tr><a>{action_no}</a><b>{trial}</b>{names}</tr>"
+            )
+    xml = f"<root><w0>{body}</w0><mapping>{''.join(rows)}</mapping></root>"
+    path.write_text(xml)
+    return ext, intr
+
+
+class TestCameraParsing:
+    def test_extrinsics_and_intrinsics_slots(self, tmp_path, rng):
+        ext, intr = _write_metadata_xml(tmp_path / "metadata.xml", rng)
+        sbj, cam = 3, 2
+        rt, t, f, c, k = read_cam_parameters(str(tmp_path / "metadata.xml"), sbj, cam)
+
+        start = ((cam - 1) * N_SUBJECTS + (sbj - 1)) * 6
+        np.testing.assert_allclose(rt, rotation_matrix_xyz(ext[start : start + 3]))
+        np.testing.assert_allclose(t, ext[start + 3 : start + 6])
+
+        istart = (cam - 1) * 9
+        np.testing.assert_allclose(f, intr[istart : istart + 2])
+        np.testing.assert_allclose(c, intr[istart + 2 : istart + 4])
+        d = intr[istart + 4 : istart + 9]
+        # packed (k1,k2,p1,p2,k3) from metadata order (k1,k2,k3,p1,p2)
+        np.testing.assert_allclose(k, [d[0], d[1], d[3], d[4], d[2]])
+
+    def test_action_name_lookup(self, tmp_path, rng):
+        _write_metadata_xml(tmp_path / "metadata.xml", rng)
+        name = read_action_name(str(tmp_path / "metadata.xml"), sbj_id=5,
+                                action_no=1, trial_no=2)
+        assert name == "Seq_2_2_S5"
+        assert read_action_name(str(tmp_path / "metadata.xml"), 1, 99, 1) is None
+
+
+class TestReadPoses:
+    def test_npz_sibling_of_cdf(self, tmp_path, rng):
+        n = 7
+        flat = rng.normal(size=(1, n, 32 * 3)).astype(np.float32)
+        np.savez_compressed(tmp_path / "seq.npz", Pose=flat)
+        out = read_poses(str(tmp_path / "seq.cdf"), is_3d=True)
+        assert out.shape == (n, 17, 3)
+        want = flat[0].reshape(n, 32, 3)[:, np.asarray(H36M_RAW_JOINT_IDS)]
+        np.testing.assert_allclose(out, want, rtol=1e-6)
+
+    def test_2d_shape(self, tmp_path, rng):
+        flat = rng.normal(size=(1, 4, 64)).astype(np.float32)
+        np.savez_compressed(tmp_path / "p.npz", Pose=flat)
+        out = read_poses(str(tmp_path / "p.npz"))
+        assert out.shape == (4, 17, 2)
+
+    def test_cdf_without_spacepy_raises(self, tmp_path):
+        (tmp_path / "x.cdf").write_bytes(b"notacdf")
+        with pytest.raises(RuntimeError, match="spacepy"):
+            read_poses(str(tmp_path / "x.cdf"))
+
+
+@pytest.fixture
+def raw_tree(tmp_path, rng):
+    """Minimal raw H36M layout for one subject, one action, both trials."""
+    _write_metadata_xml(tmp_path / "metadata.xml", rng)
+    sbj = 1
+    for trial in (1, 2):
+        for action_no in (2,):  # mapping action_no=2 -> action_id 1
+            seq = f"Seq_{action_no}_{trial}_S{sbj}"
+            vids = tmp_path / f"S{sbj}" / "Videos"
+            p2 = tmp_path / f"S{sbj}" / "MyPoseFeatures" / "D2_Positions"
+            p3 = tmp_path / f"S{sbj}" / "MyPoseFeatures" / "D3_Positions_mono"
+            for d in (vids, p2, p3):
+                d.mkdir(parents=True, exist_ok=True)
+            for cam in range(1, 5):
+                (vids / f"{seq}.{cam}.mp4").write_bytes(b"fakemp4")
+                np.savez_compressed(
+                    p2 / f"{seq}.{cam}.npz",
+                    Pose=rng.normal(size=(1, 10, 64)).astype(np.float32),
+                )
+                (p2 / f"{seq}.{cam}.cdf").write_bytes(b"")
+                np.savez_compressed(
+                    p3 / f"{seq}.{cam}.npz",
+                    Pose=rng.normal(size=(1, 10, 96)).astype(np.float32),
+                )
+                (p3 / f"{seq}.{cam}.cdf").write_bytes(b"")
+    return tmp_path
+
+
+class TestIngest:
+    def test_full_tree(self, raw_tree, tmp_path):
+        out = tmp_path / "out"
+        n = ingest(str(raw_tree), str(out), subjects=[1], actions=[1],
+                   verbose=False)
+        assert n == 8  # 1 subject x 1 action x 2 trials x 4 cams
+
+        for trial0 in (0, 1):
+            base = out / "S1" / f"{ACTION_NAMES[0]}_{trial0}"
+            assert (base / "orig_seq_name.txt").exists()
+            for cam0 in range(4):
+                cdir = base / f"cam_{cam0}"
+                with open(cdir / "camera_wext.pkl", "rb") as f:
+                    cam = pickle.load(f)
+                assert set(cam) == {"f", "c", "k", "rt", "t"}
+                with open(cdir / "gt_poses.pkl", "rb") as f:
+                    gt = pickle.load(f)
+                assert np.asarray(gt["2d"]).shape == (10, 17, 2)
+                assert np.asarray(gt["3d"]).shape == (10, 17, 3)
+                mp4s = list(cdir.glob("*.mp4"))
+                assert len(mp4s) == 1 and mp4s[0].is_symlink()
+
+    def test_idempotent(self, raw_tree, tmp_path):
+        out = tmp_path / "out"
+        ingest(str(raw_tree), str(out), subjects=[1], actions=[1], verbose=False)
+        gt = out / "S1" / f"{ACTION_NAMES[0]}_0" / "cam_0" / "gt_poses.pkl"
+        mtime = gt.stat().st_mtime_ns
+        ingest(str(raw_tree), str(out), subjects=[1], actions=[1], verbose=False)
+        assert gt.stat().st_mtime_ns == mtime  # skip-if-exists
+
+    def test_ingested_tree_feeds_clip_scanner(self, raw_tree, tmp_path):
+        """L1 -> L2 contract: scan_clips consumes ingest() output."""
+        from h36x.data.clips import scan_clips
+
+        out = tmp_path / "out"
+        ingest(str(raw_tree), str(out), subjects=[1], actions=[1], verbose=False)
+        clips, gt_cache, cam_cache = scan_clips(
+            str(out), subjects=[1], seq_len=4, stride=1, frame_skip=2
+        )
+        # 10 frames / skip 2 = 5 subsampled; windows of 4 at stride 1 -> 2 per video
+        assert len(clips) == 2 * 8
+        assert clips[0].cam_params["f"].shape == (2,)

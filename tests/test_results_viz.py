@@ -1,0 +1,125 @@
+"""Results stage + viz: evaluate_test, NPZ dumps (field-name parity with
+reference results.py:227-236 / teste.py:82-89), video pad/trim, viewers
+render off-screen."""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from h36x.data.features import FeatureClipDataset
+from h36x.models.phd import PHDFor3DJoints
+from h36x.train.results import (
+    dump_debug_batch,
+    evaluate_test,
+    find_video_path,
+    pad_or_trim_video,
+    resize_video_hw,
+)
+from tests.helpers import make_synthetic_store
+
+
+@pytest.fixture
+def store(tmp_path):
+    make_synthetic_store(tmp_path, n_shards=2, clips_per_shard=4, n_vars=1,
+                         seq_len=6, feat_dim=32, subjects=(9,))
+    return tmp_path
+
+
+@pytest.fixture(scope="module")
+def model_params():
+    model = PHDFor3DJoints(latent_dim=64, feature_dim=32, number_blocks=1)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 6, 32)))["params"]
+    return model, params
+
+
+class TestEvaluateTest:
+    def test_metrics_finite_and_consistent(self, store, model_params):
+        model, params = model_params
+        ds = FeatureClipDataset(store, subjects=[9], test_set=True)
+        loss, mp, l3d, l2d = evaluate_test(model, params, ds, batch_size=4)
+        assert np.isfinite(loss) and np.isfinite(mp)
+        assert l3d == loss and l2d == 0.0
+
+
+class TestVideoHelpers:
+    def test_pad_or_trim(self, rng):
+        v = rng.integers(0, 255, size=(5, 4, 4, 3)).astype(np.uint8)
+        assert pad_or_trim_video(v, 5).shape[0] == 5
+        assert pad_or_trim_video(v, 3).shape[0] == 3
+        padded = pad_or_trim_video(v, 8)
+        assert padded.shape[0] == 8
+        np.testing.assert_array_equal(padded[5], v[-1])
+
+    def test_resize(self, rng):
+        v = rng.integers(0, 255, size=(2, 32, 32, 3)).astype(np.uint8)
+        out = resize_video_hw(v, 16)
+        assert out.shape == (2, 16, 16, 3)
+        assert resize_video_hw(v, None) is v
+
+    def test_find_video_path(self, tmp_path):
+        d = tmp_path / "S9" / "Walking_0" / "cam_0"
+        d.mkdir(parents=True)
+        (d / "S9_Walking_0_cam_0.mp4").write_bytes(b"x")
+        meta = {"subject": 9, "action": "Walking_0", "cam": "cam_0"}
+        assert find_video_path(str(tmp_path), meta).endswith(".mp4")
+        meta_bare = {"subject": 9, "action": "Walking_0", "cam": "0"}
+        assert find_video_path(str(tmp_path), meta_bare).endswith(".mp4")
+        with pytest.raises(FileNotFoundError):
+            find_video_path(str(tmp_path), {"subject": 1, "action": "X", "cam": "0"})
+
+
+class TestDebugBatchDump:
+    def test_npz_fields(self, store, tmp_path):
+        ds = FeatureClipDataset(store, subjects=[9], test_set=True)
+        out = tmp_path / "debug_batch.npz"
+        dump_debug_batch(ds, str(out), batch_size=4)
+        data = np.load(out, allow_pickle=True)
+        # field-name parity with reference teste.py:82-89
+        assert set(data.files) == {"video", "joints3d", "joints2d", "cam_K", "meta"}
+        assert data["joints3d"].shape == (4, 6, 17, 3)
+        assert data["cam_K"].shape == (4, 3, 3)
+        assert isinstance(data["meta"][0], dict)
+
+
+class TestViewers:
+    def test_to_uint8_rgb_roundtrip(self, rng):
+        from h36x.ops.preprocess import IMAGENET_MEAN, IMAGENET_STD
+        from h36x.viz import to_uint8_rgb
+
+        img = rng.random((3, 8, 8)).astype(np.float32)
+        # [0,1] path
+        out = to_uint8_rgb(img)
+        assert out.shape == (8, 8, 3) and out.dtype == np.uint8
+        # normalized path inverts ImageNet normalization
+        norm = (img.transpose(1, 2, 0) - IMAGENET_MEAN) / IMAGENET_STD
+        out2 = to_uint8_rgb(norm.transpose(2, 0, 1) * 1.0 + 3.0 - 3.0)
+        np.testing.assert_allclose(
+            out2.astype(np.float32) / 255.0, img.transpose(1, 2, 0), atol=0.01
+        )
+
+    def test_animations_build(self, rng):
+        from h36x.viz import (
+            plot_batch_sample,
+            plot_batch_sample_2d_2dproj_3d,
+            plot_batch_sample_2d_2dproj_3d_no_video,
+        )
+
+        B, T = 1, 3
+        video = rng.random((B, T, 3, 16, 16)).astype(np.float32)
+        j3d = rng.normal(size=(B, T, 17, 3)).astype(np.float32)
+        j3d[..., 2] += 5.0
+        j2d = rng.random((B, T, 17, 2)).astype(np.float32) * 16
+        K = np.tile(np.eye(3, dtype=np.float32) * 8, (B, 1, 1))
+        a1 = plot_batch_sample(video, j3d, show=False)
+        a2 = plot_batch_sample_2d_2dproj_3d(video, j3d, j2d, K, show=False)
+        a3 = plot_batch_sample_2d_2dproj_3d_no_video(j3d, j2d, K, show=False)
+        for anim in (a1, a2, a3):
+            assert anim is not None
+        import matplotlib.pyplot as plt
+
+        plt.close("all")
