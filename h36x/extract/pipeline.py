@@ -159,15 +159,21 @@ def crop_resize_host(frames: np.ndarray, joints2d: np.ndarray, out_size: int,
                      crop_scale: float = 1.6):
     """Square person crop + bilinear resize on the host (decode worker).
 
-    frames (T,H,W,3) u8 -> ((T,out,out,3) u8, box). cv2.INTER_LINEAR uses the
-    same half-pixel sampling convention as the reference's torchvision resize
+    frames (T,H,W,3) u8 -> ((T,out,out,3) u8, box). Uses the threaded native
+    library when built (h36x/native), else cv2. Both use the half-pixel
+    sampling convention of the reference's torchvision resize
     (antialias=False), so geometry parity holds within u8 rounding.
     """
-    import cv2
+    from h36x import native
 
     t_len, img_h, img_w, _ = frames.shape
     box = compute_square_crop_from_2d(joints2d, img_h, img_w, scale=crop_scale)
     top, left, hh, ww = (int(v) for v in box)
+    if native.available():
+        return native.crop_resize_clip(frames, top, left, hh, out_size), box
+
+    import cv2
+
     crop = frames[:, top : top + hh, left : left + ww]
     out = np.empty((t_len, out_size, out_size, 3), np.uint8)
     for t in range(t_len):

@@ -38,6 +38,11 @@ def compute_square_crop_from_2d(
     left_i = int(round(left))
     top_i = int(round(top))
     side_i = int(round(side))
+    # When side exceeds an image dimension the clip above goes negative
+    # (the reference then slices with wrapping negative indices —
+    # src/dataset.py:94-103 latent edge case); clamp to a valid in-image box.
+    left_i = max(0, left_i)
+    top_i = max(0, top_i)
     side_i = max(1, min(side_i, img_w - left_i, img_h - top_i))
     return np.array([top_i, left_i, side_i, side_i], dtype=np.int64)
 

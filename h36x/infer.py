@@ -1,0 +1,113 @@
+"""Fused inference engine for the PHD model (the serving path).
+
+Runs the exact computation of PHDFor3DJoints.apply in eval mode, but with
+the hot ops lowered to Pallas TPU kernels reading the flax param tree
+directly:
+
+  - every ResidualBlock -> two fused GN+ReLU+causal-conv kernels
+    (:mod:`h36x.ops.pallas_temporal`), activations stay in VMEM between
+    norm and conv;
+  - the iterative joint regressor -> one fused kernel holding all MLP
+    weights in VMEM for the 3 refinement rounds
+    (:mod:`h36x.ops.pallas_regressor`).
+
+Parity with model.apply is covered by tests (interpret mode on CPU, real
+kernels on TPU). Use `use_pallas=False` to run the same engine on pure-XLA
+ops (useful to isolate kernel issues).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from h36x.ops.pallas_regressor import _reference_forward, fused_joint_regressor
+from h36x.ops.pallas_temporal import fused_residual_block, reference_gn_relu_cconv
+from h36x.ops.causal_conv import causal_conv1d
+
+
+def _temporal_net(x, net_params, groups, use_pallas, interpret, tile_o):
+    blocks = sorted(net_params.keys())  # block0, block1, ...
+    for name in blocks:
+        p = net_params[name]
+        if use_pallas:
+            x = fused_residual_block(
+                x, p, groups=groups, tile_o=tile_o, interpret=interpret
+            )
+        else:
+            h = reference_gn_relu_cconv(
+                x, p["gn1"]["scale"], p["gn1"]["bias"],
+                p["conv1"]["kernel"], p["conv1"]["bias"], groups=groups,
+            )
+            x = reference_gn_relu_cconv(
+                h, p["gn2"]["scale"], p["gn2"]["bias"],
+                p["conv2"]["kernel"], p["conv2"]["bias"],
+                residual=x, groups=groups,
+            )
+    return x
+
+
+def _regressor(phi, reg_params, joints_num, use_pallas, interpret, iters=3):
+    b, t, d = phi.shape
+    out_dim = joints_num * 3
+    w1 = reg_params["fc1"]["kernel"]
+    b1 = reg_params["fc1"]["bias"]
+    w2 = reg_params["fc2"]["kernel"]
+    b2 = reg_params["fc2"]["bias"]
+    w3 = reg_params["fc3"]["kernel"]
+    b3 = reg_params["fc3"]["bias"]
+    phi2d = phi.reshape(b * t, d)
+    if use_pallas:
+        y = fused_joint_regressor(
+            phi2d, w1, b1, w2, b2, w3, b3, iters, out_dim, 256, interpret
+        )
+    else:
+        y = _reference_forward(phi2d, w1, b1, w2, b2, w3, b3, iters, out_dim)
+    return y.reshape(b, t, joints_num, 3)
+
+
+def phd_forward_fused(
+    params: dict,
+    feats: jnp.ndarray,
+    predict_future: bool = False,
+    *,
+    joints_num: int = 17,
+    groups: int = 32,
+    use_pallas: bool = True,
+    interpret: bool = False,
+    tile_o: int = 256,
+):
+    """Eval-mode PHD forward over precomputed features.
+
+    params: the flax param tree of PHDFor3DJoints. Returns
+    (phi, phi_hat, joints_phi, joints_hat|None) like the model.
+    """
+    x = feats @ params["input_proj"]["kernel"] + params["input_proj"]["bias"]
+    phi = _temporal_net(x, params["f_movie"], groups, use_pallas, interpret, tile_o)
+    ar_out = _temporal_net(phi, params["f_AR"], groups, use_pallas, interpret, tile_o)
+    phi_hat = jnp.concatenate(
+        [jnp.zeros_like(ar_out[:, :1]), ar_out[:, :-1]], axis=1
+    )
+    joints_phi = _regressor(phi, params["f_3D"], joints_num, use_pallas, interpret)
+    joints_hat: Optional[jnp.ndarray] = None
+    if predict_future:
+        joints_hat = _regressor(
+            phi_hat, params["f_3D"], joints_num, use_pallas, interpret
+        )
+    return phi, phi_hat, joints_phi, joints_hat
+
+
+def make_fused_forward(joints_num: int = 17, groups: int = 32,
+                       use_pallas: bool = True, interpret: bool = False):
+    """jit-compiled (params, feats) -> joints (B,T,J,3) via the fused path."""
+
+    @jax.jit
+    def forward(params, feats):
+        return phd_forward_fused(
+            params, feats, joints_num=joints_num, groups=groups,
+            use_pallas=use_pallas, interpret=interpret,
+        )[2]
+
+    return forward

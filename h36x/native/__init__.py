@@ -1,0 +1,120 @@
+"""ctypes loader for the h36x native runtime library.
+
+Builds lazily with `make` on first use if the .so is missing (g++ is part of
+the target image); every entry point has a pure-Python/cv2 fallback, so the
+framework works without the native library — just slower on the host path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_DIR = Path(__file__).resolve().parent
+_LIB_PATH = _DIR / "libh36xio.so"
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-s", "libh36xio.so"], cwd=_DIR, check=True,
+            capture_output=True, timeout=120,
+        )
+        return _LIB_PATH.exists()
+    except Exception:
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """The native library, building it on first call; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _LIB_PATH.exists() and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+    lib.h36x_crop_resize_clip_u8.restype = ctypes.c_int
+    lib.h36x_crop_resize_clip_u8.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.h36x_hflip_clip_u8.restype = ctypes.c_int
+    lib.h36x_hflip_clip_u8.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int
+    ]
+    lib.h36x_bcs_jitter_u8.restype = ctypes.c_int
+    lib.h36x_bcs_jitter_u8.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def crop_resize_clip(
+    frames: np.ndarray, top: int, left: int, side: int, out_size: int,
+    n_threads: int = 4,
+) -> np.ndarray:
+    """(T,H,W,3) u8 -> (T,out,out,3) u8 square crop + bilinear resize."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    t, h, w, c = frames.shape
+    assert c == 3
+    out = np.empty((t, out_size, out_size, 3), np.uint8)
+    rc = lib.h36x_crop_resize_clip_u8(
+        frames.ctypes.data, t, h, w, int(top), int(left), int(side),
+        out.ctypes.data, out_size, n_threads,
+    )
+    if rc != 0:
+        raise ValueError(
+            f"invalid crop box (top={top}, left={left}, side={side}) "
+            f"for frames {frames.shape}"
+        )
+    return out
+
+
+def hflip_clip(frames: np.ndarray, n_threads: int = 4) -> np.ndarray:
+    """Horizontally flip (T,H,W,3) u8 frames (returns a new array)."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    out = np.ascontiguousarray(frames, dtype=np.uint8).copy()
+    t, h, w, _ = out.shape
+    lib.h36x_hflip_clip_u8(out.ctypes.data, t, h, w, n_threads)
+    return out
+
+
+def bcs_jitter_clip(
+    frames: np.ndarray, fb: float, fc: float, fs: float, order, n_threads: int = 4
+) -> np.ndarray:
+    """Brightness/contrast/saturation jitter on a copy of (T,H,W,3) u8."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    out = np.ascontiguousarray(frames, dtype=np.uint8).copy()
+    t, h, w, _ = out.shape
+    order_arr = np.asarray(order, dtype=np.int32)
+    lib.h36x_bcs_jitter_u8(
+        out.ctypes.data, t, h, w, float(fb), float(fc), float(fs),
+        order_arr.ctypes.data, len(order_arr), n_threads,
+    )
+    return out

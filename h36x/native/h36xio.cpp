@@ -1,0 +1,182 @@
+// h36x native runtime ops: threaded uint8 crop + bilinear resize (and the
+// photometric jitter helpers) for the extraction decode workers.
+//
+// The TPU host has no NVDEC/NVJPEG: video decode and person-cropping run on
+// CPU. Python-side this was cv2 per frame under the GIL-released thread
+// pool; this library does a whole clip per call with its own worker threads
+// and no per-frame Python dispatch. Sampling convention matches bilinear
+// align_corners=False (half-pixel centers), i.e. the reference's
+// torchvision resize(antialias=False) on the cropped tensor
+// (reference src/dataset.py:141-152).
+//
+// Build: see Makefile (g++ -O3 -march=native -shared -fPIC).
+// ABI: plain C functions, loaded via ctypes (no pybind11 in this image).
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Grid {
+  std::vector<int> lo, hi;
+  std::vector<float> frac;
+};
+
+// Sampling grid for crop [start, start+size) resized to out (half-pixel).
+Grid make_grid(int start, int size, int in_size, int out) {
+  Grid g;
+  g.lo.resize(out);
+  g.hi.resize(out);
+  g.frac.resize(out);
+  const double scale = static_cast<double>(size) / out;
+  for (int i = 0; i < out; ++i) {
+    double src = start + (i + 0.5) * scale - 0.5;
+    src = std::min(std::max(src, static_cast<double>(start)),
+                   static_cast<double>(start + size - 1));
+    src = std::min(std::max(src, 0.0), static_cast<double>(in_size - 1));
+    int lo = static_cast<int>(std::floor(src));
+    g.lo[i] = lo;
+    g.hi[i] = std::min(lo + 1, in_size - 1);
+    g.frac[i] = static_cast<float>(src - lo);
+  }
+  return g;
+}
+
+void resize_frame(const uint8_t* src, int H, int W, const Grid& gy,
+                  const Grid& gx, int out, uint8_t* dst) {
+  // Two-pass separable: rows first into a float scratch, then columns.
+  std::vector<float> rows(static_cast<size_t>(out) * W * 3);
+  for (int oy = 0; oy < out; ++oy) {
+    const uint8_t* r0 = src + static_cast<size_t>(gy.lo[oy]) * W * 3;
+    const uint8_t* r1 = src + static_cast<size_t>(gy.hi[oy]) * W * 3;
+    const float fy = gy.frac[oy];
+    float* dr = rows.data() + static_cast<size_t>(oy) * W * 3;
+    for (int x = 0; x < W * 3; ++x) {
+      dr[x] = (1.0f - fy) * r0[x] + fy * r1[x];
+    }
+  }
+  for (int oy = 0; oy < out; ++oy) {
+    const float* dr = rows.data() + static_cast<size_t>(oy) * W * 3;
+    uint8_t* out_row = dst + static_cast<size_t>(oy) * out * 3;
+    for (int ox = 0; ox < out; ++ox) {
+      const float fx = gx.frac[ox];
+      const float* p0 = dr + static_cast<size_t>(gx.lo[ox]) * 3;
+      const float* p1 = dr + static_cast<size_t>(gx.hi[ox]) * 3;
+      for (int c = 0; c < 3; ++c) {
+        float v = (1.0f - fx) * p0[c] + fx * p1[c];
+        out_row[ox * 3 + c] =
+            static_cast<uint8_t>(std::min(std::max(v + 0.5f, 0.0f), 255.0f));
+      }
+    }
+  }
+}
+
+void parallel_for(int n, int n_threads, const std::function<void(int)>& fn) {
+  if (n_threads <= 1 || n <= 1) {
+    for (int i = 0; i < n; ++i) fn(i);
+    return;
+  }
+  std::atomic<int> next(0);
+  auto worker = [&] {
+    int i;
+    while ((i = next.fetch_add(1)) < n) fn(i);
+  };
+  std::vector<std::thread> threads;
+  const int k = std::min(n_threads, n);
+  threads.reserve(k);
+  for (int t = 0; t < k; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Crop [top,left,side,side] out of every (H,W,3) frame and bilinear-resize
+// to (out,out,3). src: (T,H,W,3) u8 contiguous; dst: (T,out,out,3) u8.
+// Returns 0 on success.
+int h36x_crop_resize_clip_u8(const uint8_t* src, int T, int H, int W, int top,
+                             int left, int side, uint8_t* dst, int out,
+                             int n_threads) {
+  if (side <= 0 || out <= 0 || top < 0 || left < 0 || top + side > H ||
+      left + side > W) {
+    return 1;
+  }
+  const Grid gy = make_grid(top, side, H, out);
+  const Grid gx = make_grid(left, side, W, out);
+  const size_t frame_in = static_cast<size_t>(H) * W * 3;
+  const size_t frame_out = static_cast<size_t>(out) * out * 3;
+  parallel_for(T, n_threads, [&](int t) {
+    resize_frame(src + t * frame_in, H, W, gy, gx, out, dst + t * frame_out);
+  });
+  return 0;
+}
+
+// In-place horizontal flip of (T,H,W,3) u8 frames.
+int h36x_hflip_clip_u8(uint8_t* data, int T, int H, int W, int n_threads) {
+  const size_t frame = static_cast<size_t>(H) * W * 3;
+  parallel_for(T, n_threads, [&](int t) {
+    uint8_t* f = data + t * frame;
+    for (int y = 0; y < H; ++y) {
+      uint8_t* row = f + static_cast<size_t>(y) * W * 3;
+      for (int x = 0; x < W / 2; ++x) {
+        for (int c = 0; c < 3; ++c) {
+          std::swap(row[x * 3 + c], row[(W - 1 - x) * 3 + c]);
+        }
+      }
+    }
+  });
+  return 0;
+}
+
+// Brightness/contrast/saturation on u8 frames (hue stays in numpy — it is
+// rare in the op ordering to dominate). factors: b, c, s applied in the
+// order given by order[0..2] (0=brightness, 1=contrast, 2=saturation).
+int h36x_bcs_jitter_u8(uint8_t* data, int T, int H, int W, float fb, float fc,
+                       float fs, const int* order, int n_ops, int n_threads) {
+  const size_t npix = static_cast<size_t>(H) * W;
+  const size_t frame = npix * 3;
+  parallel_for(T, n_threads, [&](int t) {
+    uint8_t* f = data + t * frame;
+    for (int oi = 0; oi < n_ops; ++oi) {
+      const int op = order[oi];
+      if (op == 0) {  // brightness: v*fb
+        for (size_t i = 0; i < frame; ++i) {
+          float v = f[i] * fb;
+          f[i] = static_cast<uint8_t>(std::min(std::max(v, 0.0f), 255.0f) + 0.5f);
+        }
+      } else if (op == 1) {  // contrast: blend with mean gray
+        double acc = 0.0;
+        for (size_t i = 0; i < npix; ++i) {
+          const uint8_t* p = f + i * 3;
+          acc += 0.2989 * p[0] + 0.587 * p[1] + 0.114 * p[2];
+        }
+        const float mean = static_cast<float>(acc / npix);
+        for (size_t i = 0; i < frame; ++i) {
+          float v = fc * f[i] + (1.0f - fc) * mean;
+          f[i] = static_cast<uint8_t>(std::min(std::max(v, 0.0f), 255.0f) + 0.5f);
+        }
+      } else {  // saturation: blend with per-pixel gray
+        for (size_t i = 0; i < npix; ++i) {
+          uint8_t* p = f + i * 3;
+          const float gray = 0.2989f * p[0] + 0.587f * p[1] + 0.114f * p[2];
+          for (int c = 0; c < 3; ++c) {
+            float v = fs * p[c] + (1.0f - fs) * gray;
+            p[c] = static_cast<uint8_t>(std::min(std::max(v, 0.0f), 255.0f) + 0.5f);
+          }
+        }
+      }
+    }
+  });
+  return 0;
+}
+
+int h36x_native_abi_version() { return 1; }
+
+}  // extern "C"

@@ -1,0 +1,141 @@
+"""Pallas kernels (interpret mode on CPU): fused regressor and fused
+GN+ReLU+causal-conv vs the jnp reference computations, plus the full fused
+inference engine vs model.apply."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from h36x.models.phd import PHDFor3DJoints
+from h36x.ops.pallas_regressor import _reference_forward, fused_joint_regressor
+from h36x.ops.pallas_temporal import (
+    fused_gn_relu_cconv,
+    fused_residual_block,
+    reference_gn_relu_cconv,
+)
+
+
+class TestFusedRegressor:
+    @pytest.fixture()
+    def weights(self, rng):
+        d, h, out = 128, 64, 51
+        return (
+            rng.normal(size=(40, d)).astype(np.float32),
+            (rng.normal(size=(d + out, h)) * 0.1).astype(np.float32),
+            rng.normal(size=(h,)).astype(np.float32) * 0.1,
+            (rng.normal(size=(h, h)) * 0.1).astype(np.float32),
+            rng.normal(size=(h,)).astype(np.float32) * 0.1,
+            (rng.normal(size=(h, out)) * 0.1).astype(np.float32),
+            rng.normal(size=(out,)).astype(np.float32) * 0.1,
+        )
+
+    def test_matches_reference(self, weights):
+        phi, w1, b1, w2, b2, w3, b3 = (jnp.asarray(w) for w in weights)
+        got = fused_joint_regressor(phi, w1, b1, w2, b2, w3, b3, 3, 51, 8, True)
+        want = _reference_forward(phi, w1, b1, w2, b2, w3, b3, 3, 51)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_row_padding(self, weights):
+        """N not divisible by the tile: padded rows must not leak."""
+        phi, w1, b1, w2, b2, w3, b3 = (jnp.asarray(w) for w in weights)
+        got = fused_joint_regressor(phi[:13], w1, b1, w2, b2, w3, b3, 3, 51, 8, True)
+        want = _reference_forward(phi[:13], w1, b1, w2, b2, w3, b3, 3, 51)
+        assert got.shape == (13, 51)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_gradients_via_custom_vjp(self, weights):
+        phi, w1, b1, w2, b2, w3, b3 = (jnp.asarray(w) for w in weights)
+
+        def loss_fused(w1):
+            return fused_joint_regressor(phi, w1, b1, w2, b2, w3, b3, 3, 51, 8, True).sum()
+
+        def loss_ref(w1):
+            return _reference_forward(phi, w1, b1, w2, b2, w3, b3, 3, 51).sum()
+
+        g_fused = jax.grad(loss_fused)(w1)
+        g_ref = jax.grad(loss_ref)(w1)
+        np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestFusedTemporal:
+    @pytest.fixture()
+    def inputs(self, rng):
+        b, t, d = 2, 8, 64
+        return (
+            rng.normal(size=(b, t, d)).astype(np.float32),
+            rng.normal(size=(d,)).astype(np.float32),
+            rng.normal(size=(d,)).astype(np.float32),
+            (rng.normal(size=(3, d, d)) * 0.1).astype(np.float32),
+            rng.normal(size=(d,)).astype(np.float32) * 0.1,
+        )
+
+    def test_matches_reference(self, inputs):
+        x, scale, bias, w, cb = (jnp.asarray(v) for v in inputs)
+        got = fused_gn_relu_cconv(x, scale, bias, w, cb, groups=8,
+                                  tile_o=32, interpret=True)
+        want = reference_gn_relu_cconv(x, scale, bias, w, cb, groups=8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_residual_add(self, inputs, rng):
+        x, scale, bias, w, cb = (jnp.asarray(v) for v in inputs)
+        res = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+        got = fused_gn_relu_cconv(x, scale, bias, w, cb, residual=res,
+                                  groups=8, tile_o=32, interpret=True)
+        want = reference_gn_relu_cconv(x, scale, bias, w, cb, residual=res, groups=8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_full_block_matches_flax(self, rng):
+        """fused_residual_block == flax ResidualBlock in eval mode."""
+        from h36x.models.phd import ResidualBlock
+
+        b, t, d = 2, 8, 64
+        block = ResidualBlock(channels=d, groups=8, dropout=0.0)
+        x = jnp.asarray(rng.normal(size=(b, t, d)), dtype=jnp.float32)
+        variables = block.init(jax.random.key(0), x)
+        want = block.apply(variables, x)
+        got = fused_residual_block(x, variables["params"], groups=8,
+                                   tile_o=32, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-3, atol=1e-4)
+
+
+class TestFusedInferenceEngine:
+    def test_matches_model_apply(self, rng):
+        from h36x.infer import phd_forward_fused
+
+        model = PHDFor3DJoints(latent_dim=64, feature_dim=32, number_blocks=2,
+                               groups=8)
+        feats = jnp.asarray(rng.normal(size=(2, 8, 32)), dtype=jnp.float32)
+        params = model.init(jax.random.key(0), feats)["params"]
+
+        want_phi, want_phat, want_j, _ = model.apply({"params": params}, feats,
+                                                     predict_future=True)
+        phi, phat, j, jh = phd_forward_fused(
+            params, feats, predict_future=True, groups=8,
+            use_pallas=True, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(phi), np.asarray(want_phi),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(phat), np.asarray(want_phat),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(j), np.asarray(want_j),
+                                   rtol=1e-3, atol=1e-4)
+        assert jh is not None
+
+    def test_xla_fallback_matches(self, rng):
+        from h36x.infer import phd_forward_fused
+
+        model = PHDFor3DJoints(latent_dim=64, feature_dim=32, number_blocks=1,
+                               groups=8)
+        feats = jnp.asarray(rng.normal(size=(1, 6, 32)), dtype=jnp.float32)
+        params = model.init(jax.random.key(0), feats)["params"]
+        want = model.apply({"params": params}, feats)[2]
+        got = phd_forward_fused(params, feats, groups=8, use_pallas=False)[2]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
