@@ -79,6 +79,11 @@ class OptimConfig:
     epochs: int = EPOCHS
     batch_size: int = BATCH_SIZE
     freeze_ar: bool = True  # phase-1: f_AR frozen (reference train.py:373-376)
+    phase: int = 1  # 1: train f_movie+f_3D; 2: train f_AR (curriculum); 0: all
+    input_len: int = INPUT_LEN
+    pred_len: int = PRED_LEN
+    curriculum_steps: int = CURRICULUM_STEPS
+    lambda_future: float = 1.0
     early_stop_patience: int = 10
     early_stop_min_delta: float = 0.0
     seed: int = 0
@@ -105,6 +110,7 @@ class TrainConfig:
     resume: str = ""
     train_subjects: List[int] = field(default_factory=lambda: list(TRAIN_SUBJECTS))
     val_subjects: List[int] = field(default_factory=lambda: list(VAL_SUBJECTS))
+    profile_dir: str = ""  # jax profiler traces for epoch 1 when set
 
 
 @dataclass

@@ -1,0 +1,68 @@
+"""Multi-host (multi-process) SPMD helpers.
+
+Single-host meshes need nothing from here. On a TPU pod slice, call
+:func:`initialize` once per process before any jax call; `jax.devices()`
+then spans the slice and the same `make_mesh`/`shard_params` code paths
+produce a global mesh whose collectives ride ICI (DCN only between slices).
+
+Data loading is host-local: each process materializes only its shard of the
+global batch (:func:`local_batch_slice`) and `make_global_batch` assembles
+the global-shape jax.Array from per-host shards without gathering.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """jax.distributed.initialize wrapper (no-op when single-process)."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def process_info() -> Tuple[int, int]:
+    return jax.process_index(), jax.process_count()
+
+
+def local_batch_slice(global_batch: int, process_id: Optional[int] = None,
+                      process_count: Optional[int] = None) -> slice:
+    """Half-open row range of the global batch owned by this process."""
+    pid = jax.process_index() if process_id is None else process_id
+    pcount = jax.process_count() if process_count is None else process_count
+    if global_batch % pcount != 0:
+        raise ValueError(f"global batch {global_batch} not divisible by "
+                         f"{pcount} processes")
+    per = global_batch // pcount
+    return slice(pid * per, (pid + 1) * per)
+
+
+def make_global_batch(local_arrays, mesh, global_batch: int):
+    """Per-host numpy shards -> global jax.Arrays sharded over mesh 'data'.
+
+    local_arrays: pytree of host arrays whose leading dim is the LOCAL batch
+    (global_batch / process_count rows). Uses
+    jax.make_array_from_process_local_data, which never gathers across hosts.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P("data"))
+
+    def convert(x):
+        x = np.asarray(x)
+        global_shape = (global_batch,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x, global_shape)
+
+    return jax.tree.map(convert, local_arrays)

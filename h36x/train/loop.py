@@ -28,7 +28,13 @@ from h36x.train.state import (
     make_optimizer,
     set_learning_rate,
 )
-from h36x.train.step import make_eval_step, make_train_step
+from h36x.train.step import (
+    curriculum_horizon,
+    make_eval_step,
+    make_future_train_step,
+    make_train_step,
+)
+from h36x.utils.profiling import maybe_trace
 from h36x.utils.timers import PhaseTimers
 
 
@@ -115,8 +121,10 @@ def fit(
     """Full training run; returns (final_state, best_val)."""
     mesh = mesh or make_mesh(cfg.mesh.data, cfg.mesh.model)
     model = build_model(cfg)
+    phase = getattr(cfg.optim, "phase", 1)
     optimizer, _frozen = make_optimizer(
-        cfg.optim.lr, cfg.optim.weight_decay, freeze_ar=cfg.optim.freeze_ar
+        cfg.optim.lr, cfg.optim.weight_decay, freeze_ar=cfg.optim.freeze_ar,
+        phase=phase if phase != 1 else None,
     )
 
     rng = jax.random.key(cfg.optim.seed)
@@ -126,7 +134,14 @@ def fit(
         state = create_train_state(model, optimizer, init_rng, example)
     state = TrainState(shard_params(state.params, mesh), state.opt_state, state.step)
 
-    train_step = make_train_step(model, optimizer)
+    if phase == 2:
+        future_step = make_future_train_step(
+            model, optimizer, input_len=cfg.optim.input_len,
+            pred_len=cfg.optim.pred_len, lambda_joints=cfg.optim.lambda_future,
+        )
+        train_step = None  # bound per-epoch with the curriculum horizon
+    else:
+        train_step = make_train_step(model, optimizer)
     eval_step = make_eval_step(model)
     data_sharding = batch_sharding(mesh)
 
@@ -146,13 +161,23 @@ def fit(
         train_sampler.set_epoch(epoch)
         lr = cosine_lr(epoch, cfg.optim.lr, cfg.optim.epochs)
         set_learning_rate(state.opt_state, lr, freeze_ar=cfg.optim.freeze_ar)
-        print(f"\nEpoch {epoch+1}/{cfg.optim.epochs} (lr {lr:.2e})", flush=True)
+        if phase == 2:
+            horizon = curriculum_horizon(
+                epoch, cfg.optim.pred_len, cfg.optim.curriculum_steps
+            )
+            step_fn = lambda s, b, r, _h=jnp.int32(horizon): future_step(s, b, r, _h)  # noqa: E731
+            print(f"\nEpoch {epoch+1}/{cfg.optim.epochs} (lr {lr:.2e}, "
+                  f"AR horizon {horizon})", flush=True)
+        else:
+            step_fn = train_step
+            print(f"\nEpoch {epoch+1}/{cfg.optim.epochs} (lr {lr:.2e})", flush=True)
         t0 = time.perf_counter()
 
-        state, tr, rng = train_epoch(
-            train_step, state, train_set, train_sampler, data_sharding, rng,
-            log_every=cfg.optim.log_every,
-        )
+        with maybe_trace(cfg.profile_dir if epoch == start_epoch else None):
+            state, tr, rng = train_epoch(
+                step_fn, state, train_set, train_sampler, data_sharding, rng,
+                log_every=cfg.optim.log_every,
+            )
         va = evaluate(eval_step, state.params, val_set, val_sampler, data_sharding)
 
         print(

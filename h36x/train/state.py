@@ -32,19 +32,30 @@ def cosine_lr(epoch: int, base_lr: float, total_epochs: int, min_lr: float = 0.0
     return min_lr + (base_lr - min_lr) * 0.5 * (1.0 + math.cos(math.pi * t / total_epochs))
 
 
-def _freeze_labels(params, frozen_prefix: Optional[str]):
-    """Label tree: 'frozen' under frozen_prefix (a top-level module name),
-    'trainable' elsewhere."""
+def _freeze_labels(params, frozen_prefixes):
+    """Label tree: 'frozen' under any of frozen_prefixes (top-level module
+    names), 'trainable' elsewhere."""
 
     def label_subtree(tree, label):
         return jax.tree.map(lambda _: label, tree)
 
-    if frozen_prefix is None:
+    if not frozen_prefixes:
         return label_subtree(params, "trainable")
+    frozen = set(frozen_prefixes)
     out = {}
     for key, sub in params.items():
-        out[key] = label_subtree(sub, "frozen" if key == frozen_prefix else "trainable")
+        out[key] = label_subtree(sub, "frozen" if key in frozen else "trainable")
     return out
+
+
+# Training phases (reference phase-1: src/train.py:373-376; phase-2 is the
+# PHD paper's AR-predictor stage the reference stubbed via
+# CURRICULUM_STEPS/PRED_LEN in config.py:8-21).
+PHASE_FROZEN = {
+    1: ("f_AR",),
+    2: ("f_movie", "f_3D", "input_proj"),
+    0: (),  # train everything
+}
 
 
 def make_optimizer(
@@ -54,31 +65,42 @@ def make_optimizer(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    phase: Optional[int] = None,
 ):
-    """AdamW with an injectable learning rate and optional f_AR freeze.
+    """AdamW with an injectable learning rate and per-phase module freezing.
 
     The learning rate lives in the optimizer state (optax.inject_hyperparams)
     so the epoch loop can set the cosine-annealed value without recompiling
-    the jitted step.
+    the jitted step. `phase` overrides `freeze_ar` when given.
     """
     trainable = optax.inject_hyperparams(optax.adamw)(
         learning_rate=lr, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay
     )
-    if not freeze_ar:
+    if phase is None:
+        frozen = ("f_AR",) if freeze_ar else ()
+    else:
+        frozen = PHASE_FROZEN[phase]
+    if not frozen:
         return trainable, None
 
     def label_fn(params):
-        return _freeze_labels(params, "f_AR")
+        return _freeze_labels(params, frozen)
 
     tx = optax.multi_transform(
         {"trainable": trainable, "frozen": optax.set_to_zero()}, label_fn
     )
-    return tx, "f_AR"
+    return tx, frozen
 
 
 def set_learning_rate(opt_state, lr: float, freeze_ar: bool = True):
-    """Update the injected learning rate inside the optimizer state."""
-    if freeze_ar:
+    """Update the injected learning rate inside the optimizer state.
+
+    Handles both the plain-AdamW and the multi_transform (frozen modules)
+    state layouts; `freeze_ar` is accepted for API compatibility but the
+    layout is detected from the state itself.
+    """
+    del freeze_ar
+    if hasattr(opt_state, "inner_states"):
         inner = opt_state.inner_states["trainable"].inner_state
         inner.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
     else:

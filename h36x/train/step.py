@@ -56,6 +56,81 @@ def make_train_step(model, optimizer, donate: bool = True) -> Callable:
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
+def make_future_train_step(
+    model,
+    optimizer,
+    input_len: int = 15,
+    pred_len: int = 25,
+    lambda_joints: float = 1.0,
+    donate: bool = True,
+) -> Callable:
+    """Phase-2 step: train the autoregressive predictor f_AR.
+
+    The reference stubs this phase (config.py INPUT_LEN/PRED_LEN/
+    CURRICULUM_STEPS are defined but unused); this implements the PHD
+    paper's AR stage on top of the same model:
+
+      loss = mse(phi_hat, stop_grad(phi))        over the curriculum window
+           + lambda_joints * mse(joints_hat, gt) over the curriculum window
+
+    phi_hat[t] is f_AR's one-step prediction of phi[t]. The curriculum
+    horizon h (passed per step, typically min(1+epoch*pred_len//steps,
+    pred_len)) masks the loss to frames [input_len, input_len + h): early
+    epochs supervise short-range prediction only, later epochs the full
+    horizon. f_movie / f_3D / input_proj stay frozen by the phase-2
+    optimizer, so gradients only flow into f_AR.
+
+    step(state, batch, rng, horizon:int32) -> (state, metrics).
+    """
+
+    def loss_fn(params, feats, joints3d, rng, horizon):
+        phi, phi_hat, _, joints_hat = model.apply(
+            {"params": params}, feats, predict_future=True,
+            train=True, rngs={"dropout": rng},
+        )
+        t_len = phi.shape[1]
+        t_idx = jnp.arange(t_len)
+        mask = (t_idx >= input_len) & (t_idx < input_len + horizon)
+        mask_f = mask.astype(phi.dtype)
+        denom = jnp.maximum(mask_f.sum(), 1.0)
+
+        phi_target = jax.lax.stop_gradient(phi)
+        l_ar = jnp.sum(
+            jnp.mean((phi_hat - phi_target) ** 2, axis=(0, 2)) * mask_f
+        ) / denom
+        l_j = jnp.sum(
+            jnp.mean((joints_hat - joints3d) ** 2, axis=(0, 2, 3)) * mask_f
+        ) / denom
+        loss = l_ar + lambda_joints * l_j
+        return loss, (l_ar, l_j, joints_hat)
+
+    def step(state: TrainState, batch, rng, horizon):
+        feats, joints3d = batch[0], batch[1]
+        (loss, (l_ar, l_j, joints_hat)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, feats, joints3d, rng, horizon)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        metrics = {
+            "loss": loss,
+            "l_ar": l_ar,
+            "l3d": l_j,
+            "mpjpe": mpjpe(joints_hat, joints3d),
+        }
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def curriculum_horizon(epoch: int, pred_len: int = 25, steps: int = 25) -> int:
+    """AR supervision horizon for an epoch: 1 -> pred_len over `steps` epochs
+    (reference config.py:21 CURRICULUM_STEPS intent)."""
+    if steps <= 0:
+        return pred_len
+    return min(pred_len, 1 + epoch * pred_len // steps)
+
+
 def make_eval_step(model, return_preds: bool = False) -> Callable:
     """Jitted eval step: (params, batch) -> metrics (and optionally preds)."""
 

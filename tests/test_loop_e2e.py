@@ -69,6 +69,19 @@ def test_fit_end_to_end(cfg, tmp_path, capsys):
     assert np.isfinite(best2)
 
 
+def test_phase2_fit(cfg, capsys):
+    """Phase-2 curriculum training runs through the same loop."""
+    cfg.optim.phase = 2
+    cfg.optim.input_len = 2
+    cfg.optim.pred_len = 4
+    cfg.optim.curriculum_steps = 2
+    state, best = fit(cfg, *_datasets(cfg))
+    out = capsys.readouterr().out
+    assert "AR horizon 1" in out  # epoch 0 curriculum
+    assert "AR horizon 3" in out  # epoch 1
+    assert np.isfinite(best)
+
+
 def test_early_stopping(cfg, capsys):
     cfg.optim.epochs = 6
     cfg.optim.early_stop_patience = 1

@@ -1,0 +1,131 @@
+"""Phase-2 (AR predictor) training: freezing, curriculum, loss masking,
+and the distributed/profiling helpers."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from h36x.models.phd import PHDFor3DJoints
+from h36x.train.state import PHASE_FROZEN, create_train_state, make_optimizer
+from h36x.train.step import curriculum_horizon, make_future_train_step
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = PHDFor3DJoints(latent_dim=64, feature_dim=32, number_blocks=1,
+                           dropout=0.0)
+    optimizer, frozen = make_optimizer(lr=1e-3, phase=2)
+    state = create_train_state(model, optimizer, jax.random.key(0),
+                               jnp.zeros((2, 20, 32)))
+    return model, optimizer, state, frozen
+
+
+def batch(rng, b=4, t=20, f=32):
+    return (
+        jnp.asarray(rng.normal(size=(b, t, f)).astype(np.float32)),
+        jnp.asarray((rng.normal(size=(b, t, 17, 3)) * 0.1).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(b, t, 17, 2)).astype(np.float32)),
+        jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (b, 1, 1))),
+    )
+
+
+class TestCurriculum:
+    def test_schedule(self):
+        assert curriculum_horizon(0, 25, 25) == 1
+        assert curriculum_horizon(12, 25, 25) == 13
+        assert curriculum_horizon(25, 25, 25) == 25
+        assert curriculum_horizon(100, 25, 25) == 25
+        assert curriculum_horizon(0, 25, 0) == 25
+
+    def test_phase_tables(self):
+        assert PHASE_FROZEN[1] == ("f_AR",)
+        assert set(PHASE_FROZEN[2]) == {"f_movie", "f_3D", "input_proj"}
+
+
+class TestPhase2Step:
+    def test_only_far_updates(self, setup, rng):
+        model, optimizer, state, frozen = setup
+        step = make_future_train_step(model, optimizer, input_len=5,
+                                      pred_len=10, donate=False)
+        b = batch(rng)
+        s2, metrics = step(state, b, jax.random.key(1), jnp.int32(5))
+        assert np.isfinite(float(metrics["loss"]))
+
+        for mod in ("f_movie", "f_3D", "input_proj"):
+            for a, c in zip(jax.tree.leaves(jax.device_get(state.params[mod])),
+                            jax.tree.leaves(jax.device_get(s2.params[mod]))):
+                np.testing.assert_array_equal(a, c)
+        changed = any(
+            not np.allclose(a, c)
+            for a, c in zip(jax.tree.leaves(jax.device_get(state.params["f_AR"])),
+                            jax.tree.leaves(jax.device_get(s2.params["f_AR"])))
+        )
+        assert changed
+
+    def test_loss_decreases(self, setup, rng):
+        model, optimizer, state, _ = setup
+        step = make_future_train_step(model, optimizer, input_len=5,
+                                      pred_len=10, donate=False)
+        b = batch(rng)
+        losses = []
+        key = jax.random.key(0)
+        for _ in range(25):
+            key, sub = jax.random.split(key)
+            state, m = step(state, b, sub, jnp.int32(10))
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
+
+    def test_horizon_masks_loss(self, setup, rng):
+        """With horizon h, frames beyond input_len+h contribute nothing:
+        a gt perturbation outside the window leaves the loss unchanged."""
+        model, optimizer, state, _ = setup
+        step = make_future_train_step(model, optimizer, input_len=5,
+                                      pred_len=10, donate=False)
+        feats, j3d, j2d, K = batch(rng)
+        h = jnp.int32(3)  # window = frames [5, 8)
+        _, m1 = step(state, (feats, j3d, j2d, K), jax.random.key(1), h)
+        j3d_mod = j3d.at[:, 10:].add(100.0)  # outside the window
+        _, m2 = step(state, (feats, j3d_mod, j2d, K), jax.random.key(1), h)
+        assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-6)
+        j3d_in = j3d.at[:, 6].add(100.0)  # inside the window
+        _, m3 = step(state, (feats, j3d_in, j2d, K), jax.random.key(1), h)
+        assert float(m3["loss"]) != pytest.approx(float(m1["loss"]), rel=1e-3)
+
+
+class TestDistributedHelpers:
+    def test_local_batch_slice(self):
+        from h36x.parallel.distributed import local_batch_slice
+
+        s = local_batch_slice(32, process_id=1, process_count=4)
+        assert (s.start, s.stop) == (8, 16)
+        with pytest.raises(ValueError):
+            local_batch_slice(30, process_id=0, process_count=4)
+
+    def test_make_global_batch_single_host(self, rng):
+        from h36x.parallel.distributed import make_global_batch
+        from h36x.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        mesh = make_mesh()
+        local = {"x": rng.normal(size=(16, 4)).astype(np.float32)}
+        out = make_global_batch(local, mesh, global_batch=16)
+        assert out["x"].shape == (16, 4)
+        np.testing.assert_allclose(np.asarray(out["x"]), local["x"], rtol=1e-6)
+
+
+class TestProfilingHooks:
+    def test_maybe_trace_noop(self):
+        from h36x.utils.profiling import maybe_trace
+
+        with maybe_trace(None):
+            pass
+
+    def test_trace_writes(self, tmp_path):
+        from h36x.utils.profiling import maybe_trace, step_annotation
+
+        with maybe_trace(str(tmp_path)):
+            with step_annotation("unit-test-step"):
+                jnp.ones((4, 4)).sum().block_until_ready()
+        assert any(tmp_path.rglob("*")), "no trace files written"
