@@ -130,8 +130,18 @@ def decode_clip(
 ) -> np.ndarray:
     """Decode frames [start, end) in subsampled units as uint8 RGB (T,H,W,3).
 
-    Seeks to start*frame_skip, then keeps every frame_skip-th frame.
+    Fast path seeks to start*frame_skip and keeps every frame_skip-th frame;
+    if seeking under-delivers (keyframe-sparse videos), falls back to a
+    sequential scan from frame 0 — the same two-tier strategy as the
+    reference's VideoReader-then-read_video (src/dataset.py:323-368).
     """
+    try:
+        return _decode_seek(video_path, start, end, frame_skip)
+    except RuntimeError:
+        return _decode_scan(video_path, start, end, frame_skip)
+
+
+def _decode_seek(video_path: str, start: int, end: int, frame_skip: int) -> np.ndarray:
     import cv2
 
     target = end - start
@@ -159,6 +169,103 @@ def decode_clip(
         return np.ascontiguousarray(np.stack(frames[:target]))
     finally:
         cap.release()
+
+
+def _decode_scan(video_path: str, start: int, end: int, frame_skip: int) -> np.ndarray:
+    """Sequential full-scan decode keeping subsampled frames [start, end)."""
+    import cv2
+
+    target = end - start
+    first_orig = start * frame_skip
+    cap = cv2.VideoCapture(video_path)
+    try:
+        if not cap.isOpened():
+            raise RuntimeError(f"cannot open video {video_path}")
+        frames = []
+        frame_idx = 0
+        while len(frames) < target:
+            ok, img = cap.read()
+            if not ok:
+                break
+            if frame_idx >= first_orig and (frame_idx % frame_skip == 0):
+                frames.append(img[:, :, ::-1])
+            frame_idx += 1
+        if len(frames) < target:
+            raise RuntimeError(
+                f"frame count mismatch scanning {video_path}: got {len(frames)}, "
+                f"expected {target} for slice [{start}:{end}] (skip={frame_skip})"
+            )
+        return np.ascontiguousarray(np.stack(frames[:target]))
+    finally:
+        cap.release()
+
+
+class PreprocessedClips:
+    """Reference-style clip dataset API (src/dataset.py Human36MPreprocessedClips).
+
+    Items are fully preprocessed host arrays, channels-last:
+      augment=False -> (video (T,o,o,3) f32 ImageNet-normalized,
+                        joints3d (T,17,3), joints2d (T,17,2) cropped px,
+                        K (3,3) adjusted, box (4,))
+      augment=True  -> list of 4 variants [(video, j3d, j2d, K), ...] in the
+                       order (orig, cjitter, hflip, trev).
+
+    The extraction pipeline does NOT use this class (it keeps pixels u8 and
+    normalizes on device); this is the convenience API for users of the
+    reference coming to h36x.
+    """
+
+    def __init__(self, root: str, subjects: List[int], seq_len: int = 40,
+                 stride: int = 10, frame_skip: int = 2,
+                 cams: Optional[List[int]] = None, resize: int = 224,
+                 crop_scale: float = 1.6, max_clips: Optional[int] = None,
+                 augment: bool = False, jitter_seed: int = 0):
+        self._ds = ClipDataset(root, subjects, seq_len, stride, frame_skip,
+                               cams, max_clips)
+        self.resize = resize
+        self.crop_scale = crop_scale
+        self.augment = augment
+        self.jitter_seed = jitter_seed
+
+    def __len__(self):
+        return len(self._ds)
+
+    @property
+    def clips(self):
+        return self._ds.clips
+
+    def __getitem__(self, idx: int):
+        from h36x.data.augment import color_jitter_host, hflip_joints, reverse_joints
+        from h36x.extract.pipeline import crop_resize_host
+        from h36x.geometry.camera import adjust_camera_after_crop_and_resize
+        from h36x.geometry.crop import adjust_joints2d_after_crop_and_resize
+        from h36x.ops.preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+        frames, j3d, j2d_raw, cam, _ci = self._ds[idx]
+        small, box = crop_resize_host(
+            frames, j2d_raw, self.resize, crop_scale=self.crop_scale
+        )
+        j2d = adjust_joints2d_after_crop_and_resize(j2d_raw, box, self.resize)
+        K = adjust_camera_after_crop_and_resize(cam["f"], cam["c"], box, self.resize)
+
+        video01 = small.astype(np.float32) / 255.0
+
+        def norm(v):
+            return (v - IMAGENET_MEAN) / IMAGENET_STD
+
+        if not self.augment:
+            return norm(video01), j3d, j2d, K, np.asarray(box)
+
+        rng = np.random.default_rng(self.jitter_seed * 1_000_003 + idx)
+        cj = color_jitter_host(video01, rng)
+        j3d_hf, j2d_hf, K_hf = hflip_joints(j3d, j2d, K, width=self.resize)
+        j3d_tr, j2d_tr = reverse_joints(j3d, j2d)
+        return [
+            (norm(video01), j3d, j2d, K),
+            (norm(cj), j3d, j2d, K),
+            (norm(video01[:, :, ::-1, :]), j3d_hf, j2d_hf, K_hf),
+            (norm(video01[::-1]), j3d_tr, j2d_tr, K),
+        ]
 
 
 class ClipDataset:

@@ -66,12 +66,15 @@ def make_backbone_fn(model: ResNet50):
     return fn
 
 
-def make_feature_fn(model: ResNet50):
+def make_feature_fn(model: ResNet50, mesh=None):
     """Device step: (variables, frames_u8 (N, out, out, 3)) -> (N, 2048).
 
     Normalization fuses into the first conv; the flat rank-4 u8 batch keeps
     XLA's image layout assignment happy regardless of how many clips/variants
-    the host packed into N.
+    the host packed into N. With a mesh, frames shard over the `data` axis
+    (params replicated) — the multi-chip extraction mode replacing the
+    reference's nn.DataParallel backbone (preprocess_resnet_features.py:214-217);
+    rows are zero-padded to the data-axis size and sliced back.
     """
 
     @jax.jit
@@ -79,7 +82,25 @@ def make_feature_fn(model: ResNet50):
         video = imagenet_normalize(frames_u8.astype(jnp.float32) * (1.0 / 255.0))
         return model.apply(variables, video.astype(model.dtype))
 
-    return fn
+    if mesh is None:
+        return fn
+
+    from h36x.parallel.mesh import batch_sharding
+
+    sharding = batch_sharding(mesh)
+    n_data = mesh.shape["data"]
+
+    def sharded_fn(variables, frames_u8):
+        n = frames_u8.shape[0]
+        n_pad = (n + n_data - 1) // n_data * n_data
+        if n_pad != n:
+            frames_u8 = np.concatenate(
+                [frames_u8, np.zeros((n_pad - n,) + frames_u8.shape[1:], np.uint8)]
+            )
+        frames_dev = jax.device_put(jnp.asarray(frames_u8), sharding)
+        return fn(variables, frames_dev)[:n]
+
+    return sharded_fn
 
 
 class ShufflePool:
@@ -220,7 +241,13 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
     )
 
     model, variables = _load_backbone(cfg)
-    feature_fn = make_feature_fn(model)
+    mesh = None
+    if len(jax.devices()) > 1:
+        from h36x.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=-1, model=1)
+        print(f"Extraction over {mesh.shape['data']} chips (data-parallel backbone)")
+    feature_fn = make_feature_fn(model, mesh=mesh)
 
     async_writer = AsyncWriter()
     shard_writer = ShardWriter(out_root, n_vars, async_writer=async_writer)

@@ -1,0 +1,102 @@
+"""Reference-style PreprocessedClips API, mask utilities, decode fallback."""
+
+import numpy as np
+import pytest
+
+from h36x.data.masks import clean_mask_to_crop, crop_from_silhouettes, reroot_joints
+
+
+class TestMasks:
+    def test_crop_from_silhouettes(self):
+        masks = np.zeros((2, 20, 30), bool)
+        masks[0, 5:10, 8:20] = True
+        masks[1, 6:12, 10:22] = True
+        x, y, w, h = crop_from_silhouettes(masks)
+        assert (x, y) == (8, 5)
+        assert w >= 13 and h >= 6
+
+    def test_empty_raises(self):
+        with pytest.raises(ValueError):
+            crop_from_silhouettes(np.zeros((1, 5, 5), bool))
+
+    def test_clean_mask_keeps_largest(self):
+        mask = np.zeros((20, 20), bool)
+        mask[2:10, 2:10] = True  # big blob
+        mask[15:17, 15:17] = True  # small blob
+        out = clean_mask_to_crop(mask, 0, 0, 20, 20)
+        assert out[5, 5] == 255
+        assert out[16, 16] == 0
+
+    def test_reroot(self):
+        joints = np.array([[0.0, 0, 0], [1, 0, 0], [0, 2, 0]])
+        out = reroot_joints(joints, np.array([10.0, 10, 10]))
+        np.testing.assert_allclose(out[0], [10, 10, 10])
+        np.testing.assert_allclose(out[1], [11, 10, 10])
+        out_m = reroot_joints(joints, np.array([1000.0, 0, 0]), in_meter=True)
+        np.testing.assert_allclose(out_m[0], [1, 0, 0])
+
+
+class TestPreprocessedClips:
+    @pytest.fixture
+    def tree(self, tmp_path, rng):
+        """Tiny ingested tree with a real (synthesized) mp4."""
+        cv2 = pytest.importorskip("cv2")
+        import pickle
+
+        cam_dir = tmp_path / "S1" / "Walking_0" / "cam_0"
+        cam_dir.mkdir(parents=True)
+        h, w, n = 64, 64, 24
+        vw = cv2.VideoWriter(
+            str(cam_dir / "clip.mp4"), cv2.VideoWriter_fourcc(*"mp4v"), 25, (w, h)
+        )
+        for i in range(n):
+            frame = np.full((h, w, 3), i * 10 % 255, np.uint8)
+            vw.write(frame)
+        vw.release()
+        j3d = rng.normal(size=(n, 17, 3)).astype(np.float32) * 100
+        j2d = (rng.random((n, 17, 2)) * 40 + 10).astype(np.float32)
+        with open(cam_dir / "gt_poses.pkl", "wb") as f:
+            pickle.dump({"2d": j2d, "3d": j3d}, f)
+        with open(cam_dir / "camera_wext.pkl", "wb") as f:
+            pickle.dump({"f": np.array([100.0, 100.0]), "c": np.array([27.0, 32.0]),
+                         "k": np.zeros(5), "rt": np.eye(3), "t": np.zeros(3)}, f)
+        return tmp_path
+
+    def test_plain_item(self, tree):
+        from h36x.data.clips import PreprocessedClips
+
+        ds = PreprocessedClips(str(tree), subjects=[1], seq_len=4, stride=2,
+                               frame_skip=2, resize=32)
+        assert len(ds) > 0
+        video, j3d, j2d, K, box = ds[0]
+        assert video.shape == (4, 32, 32, 3)
+        assert video.dtype == np.float32
+        assert j3d.shape == (4, 17, 3)
+        assert j2d.shape == (4, 17, 2)
+        assert K.shape == (3, 3)
+        assert box.shape == (4,)
+        # ImageNet normalization applied: uniform frames go negative-ish
+        assert video.min() < 0
+
+    def test_augmented_variants(self, tree):
+        from h36x.data.clips import PreprocessedClips
+
+        ds = PreprocessedClips(str(tree), subjects=[1], seq_len=4, stride=2,
+                               frame_skip=2, resize=32, augment=True)
+        variants = ds[0]
+        assert len(variants) == 4
+        v0, j0, _, K0 = variants[0]
+        v_hf, j_hf, _, K_hf = variants[2]
+        v_tr, j_tr, _, _ = variants[3]
+        np.testing.assert_allclose(v_hf, v0[:, :, ::-1, :], rtol=1e-5)
+        np.testing.assert_allclose(v_tr, v0[::-1], rtol=1e-5)
+        np.testing.assert_allclose(j_tr, j0[::-1], rtol=1e-6)
+        assert K_hf[0, 2] != K0[0, 2]
+
+    def test_decode_scan_fallback_matches_seek(self, tree):
+        from h36x.data.clips import _decode_scan, _decode_seek
+
+        mp4 = next((tree / "S1" / "Walking_0" / "cam_0").glob("*.mp4"))
+        a = _decode_seek(str(mp4), 2, 6, 2)
+        b = _decode_scan(str(mp4), 2, 6, 2)
+        np.testing.assert_array_equal(a, b)
