@@ -51,33 +51,59 @@ def build_model(cfg: TrainConfig) -> PHDFor3DJoints:
     )
 
 
-def _batches(dataset, sampler, sharding, drop_meta: bool = True):
+def _batches(dataset, sampler, sharding, drop_meta: bool = True, pad_to: int = 1):
+    """Host batches -> sharded device batches. Tail batches whose row count
+    does not divide the data axis are padded by repeating the last row (the
+    per-batch mean then weights those rows slightly; the reference averages
+    per-batch means too, so the deviation is bounded by one tail batch)."""
+
     def gen():
         for idx_batch in sampler:
+            if pad_to > 1 and len(idx_batch) % pad_to != 0:
+                short = pad_to - len(idx_batch) % pad_to
+                idx_batch = list(idx_batch) + [idx_batch[-1]] * short
             batch = dataset.get_batch(idx_batch)
             yield batch[:4] if drop_meta else batch
 
     return prefetch_to_device(gen(), sharding=sharding)
 
 
+def _data_axis(sharding) -> int:
+    """Rows a batch must be divisible by under this sharding (data-axis size)."""
+    try:
+        return sharding.mesh.shape.get("data", 1)
+    except AttributeError:
+        return 1
+
+
 def train_epoch(train_step, state, dataset, sampler, sharding, rng, log_every=500):
+    """One epoch. Metric tensors stay on device until a log point or epoch
+    end, so step dispatches pipeline instead of synchronizing per batch
+    (device_get every iteration would serialize host<->device)."""
     timers = PhaseTimers()
+    pending = []  # device-resident per-step metric dicts
     totals = {"loss": 0.0, "l3d": 0.0, "mpjpe": 0.0}
     n = 0
     epoch_start = time.perf_counter()
+
+    def drain():
+        nonlocal pending
+        for m in jax.device_get(pending):
+            for k in totals:
+                totals[k] += float(m[k])
+        pending = []
+
     timers.start("data")
-    for batch in _batches(dataset, sampler, sharding):
+    for batch in _batches(dataset, sampler, sharding, pad_to=_data_axis(sharding)):
         timers.stop("data")
         timers.start("step")
         rng, sub = jax.random.split(rng)
         state, metrics = train_step(state, batch, sub)
-        # Block so the timer measures the device step, not dispatch.
-        metrics = jax.device_get(metrics)
+        pending.append(metrics)
         timers.stop("step")
-        for k in totals:
-            totals[k] += float(metrics[k])
         n += 1
         if log_every > 0 and n % log_every == 0:
+            drain()  # synchronizes: every queued step must finish
             print(
                 f"[3D]  iter {n:05d} | loss {totals['loss']/n:.6f} "
                 f"(3d {totals['l3d']/n:.6f}) | mpjpe {totals['mpjpe']/n:.3f} | "
@@ -86,6 +112,9 @@ def train_epoch(train_step, state, dataset, sampler, sharding, rng, log_every=50
             )
         timers.start("data")
     timers.stop("data")
+    timers.start("drain")
+    drain()
+    timers.stop("drain")
     print("[Train timing]\n" + timers.summary(n), flush=True)
     return state, {k: v / max(n, 1) for k, v in totals.items()}, rng
 
@@ -95,7 +124,7 @@ def evaluate(eval_step, params, dataset, sampler, sharding):
     totals = {"loss": 0.0, "l3d": 0.0, "mpjpe": 0.0, "bone": 0.0}
     n = 0
     timers.start("data")
-    for batch in _batches(dataset, sampler, sharding):
+    for batch in _batches(dataset, sampler, sharding, pad_to=_data_axis(sharding)):
         timers.stop("data")
         timers.start("step")
         metrics = jax.device_get(eval_step(params, batch))
@@ -119,7 +148,19 @@ def fit(
     state: Optional[TrainState] = None,
 ):
     """Full training run; returns (final_state, best_val)."""
-    mesh = mesh or make_mesh(cfg.mesh.data, cfg.mesh.model)
+    if mesh is None:
+        n_dev = len(jax.devices())
+        model_ax = max(1, cfg.mesh.model)
+        data_ax = cfg.mesh.data if cfg.mesh.data > 0 else n_dev // model_ax
+        # the batch must divide the data axis; shrink to the largest divisor
+        while data_ax > 1 and cfg.optim.batch_size % data_ax != 0:
+            data_ax -= 1
+        n_used = data_ax * model_ax
+        if n_used != n_dev:
+            print(f"mesh: using {n_used}/{n_dev} devices "
+                  f"(data={data_ax}, model={model_ax}; batch "
+                  f"{cfg.optim.batch_size} must divide the data axis)")
+        mesh = make_mesh(data_ax, model_ax, devices=jax.devices()[:n_used])
     model = build_model(cfg)
     phase = getattr(cfg.optim, "phase", 1)
     optimizer, _frozen = make_optimizer(
