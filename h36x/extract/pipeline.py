@@ -268,7 +268,7 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
         boxes = [it[5] for it in items]
         flat = frames.reshape((B * V * T,) + frames.shape[3:])
         feats_flat = np.asarray(
-            feature_fn(variables, jnp.asarray(flat)), dtype=feat_np_dtype
+            feature_fn(variables, flat), dtype=feat_np_dtype
         )
         feats = feats_flat.reshape(B, V, T, -1)
         if cfg.augment:

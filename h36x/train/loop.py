@@ -14,7 +14,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from h36x.config import TrainConfig
 from h36x.models.phd import PHDFor3DJoints

@@ -13,7 +13,6 @@ import glob
 import os
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

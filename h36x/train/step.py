@@ -12,8 +12,7 @@ MPJPE and bone-length are computed as metrics.
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
