@@ -108,6 +108,7 @@ class TrainConfig:
     val_root: str = ""
     outdir: str = "./runs/phase1"
     resume: str = ""
+    init_from: str = ""  # warm-start weights from a checkpoint .msgpack
     train_subjects: List[int] = field(default_factory=lambda: list(TRAIN_SUBJECTS))
     val_subjects: List[int] = field(default_factory=lambda: list(VAL_SUBJECTS))
     profile_dir: str = ""  # jax profiler traces for epoch 1 when set

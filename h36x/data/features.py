@@ -103,19 +103,21 @@ class FeatureClipDataset:
         joints3d are converted mm -> m here, matching __getitem__.
         """
         n = len(indices)
-        first = self[indices[0]]
-        feats = np.empty((n,) + first[0].shape, dtype=np.float32)
-        joints3d = np.empty((n,) + first[1].shape, dtype=np.float32)
-        joints2d = np.empty((n,) + first[2].shape, dtype=np.float32)
-        K = np.empty((n, 3, 3), dtype=np.float32)
-        meta: list = [None] * n
-
         by_shard: dict = {}
         for pos, idx in enumerate(indices):
             clip, var = self._items[idx]
             by_shard.setdefault(int(clip["shard_id"]), []).append(
                 (pos, int(clip["row"]) + var)
             )
+
+        # Row shapes come from the first shard we gather from anyway — no
+        # separate priming fetch.
+        first_shard = self._shard(next(iter(by_shard)))
+        feats = np.empty((n,) + first_shard["feats"].shape[1:], dtype=np.float32)
+        joints3d = np.empty((n,) + first_shard["joints3d"].shape[1:], dtype=np.float32)
+        joints2d = np.empty((n,) + first_shard["joints2d"].shape[1:], dtype=np.float32)
+        K = np.empty((n, 3, 3), dtype=np.float32)
+        meta: list = [None] * n
         for sid, rows in by_shard.items():
             shard = self._shard(sid)
             pos_arr = np.array([p for p, _ in rows])

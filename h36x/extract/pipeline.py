@@ -97,7 +97,9 @@ def make_feature_fn(model: ResNet50, mesh=None):
             frames_u8 = np.concatenate(
                 [frames_u8, np.zeros((n_pad - n,) + frames_u8.shape[1:], np.uint8)]
             )
-        frames_dev = jax.device_put(jnp.asarray(frames_u8), sharding)
+        # device_put on the host array splits per shard on host and sends
+        # each shard straight to its device (no single-chip staging copy)
+        frames_dev = jax.device_put(np.ascontiguousarray(frames_u8), sharding)
         return fn(variables, frames_dev)[:n]
 
     return sharded_fn

@@ -29,7 +29,7 @@ from h36x.ops.causal_conv import causal_conv1d
 
 
 def _temporal_net(x, net_params, groups, use_pallas, interpret, tile_o):
-    blocks = sorted(net_params.keys())  # block0, block1, ...
+    blocks = sorted(net_params.keys(), key=lambda n: int(n.removeprefix("block")))
     for name in blocks:
         p = net_params[name]
         if use_pallas:

@@ -89,6 +89,7 @@ class CausalTemporalNet(nn.Module):
     num_blocks: int = 3
     dropout: float = 0.5
     groups: int = 32
+    kernel_size: int = 3
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -97,6 +98,7 @@ class CausalTemporalNet(nn.Module):
                 self.latent_dim,
                 groups=self.groups,
                 dropout=self.dropout,
+                kernel_size=self.kernel_size,
                 name=f"block{i}",
             )(x, train=train)
         return x
@@ -157,6 +159,9 @@ class PHDFor3DJoints(nn.Module):
     ar_blocks: int = 3
     dropout: float = 0.5
     groups: int = 32
+    kernel_size: int = 3
+    regressor_iters: int = 3
+    regressor_hidden: int = 1024
 
     @nn.compact
     def __call__(
@@ -172,6 +177,7 @@ class PHDFor3DJoints(nn.Module):
             num_blocks=self.number_blocks,
             dropout=self.dropout,
             groups=self.groups,
+            kernel_size=self.kernel_size,
             name="f_movie",
         )(x, train=train)
 
@@ -180,6 +186,7 @@ class PHDFor3DJoints(nn.Module):
             num_blocks=self.ar_blocks,
             dropout=self.dropout,
             groups=self.groups,
+            kernel_size=self.kernel_size,
             name="f_AR",
         )(phi, train=train)
         # Shift the AR stream one step into the future: phi_hat[t] predicts
@@ -191,6 +198,8 @@ class PHDFor3DJoints(nn.Module):
         f_3d = JointRegressor(
             self.latent_dim,
             joints_num=self.joints_num,
+            iters=self.regressor_iters,
+            hidden=self.regressor_hidden,
             dropout=self.dropout,
             name="f_3D",
         )

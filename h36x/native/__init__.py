@@ -38,7 +38,9 @@ def load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not _LIB_PATH.exists() and not _build():
+    # make is a no-op when the .so is fresh and rebuilds when the source is
+    # newer; fall back to an existing .so if the toolchain is unavailable.
+    if not _build() and not _LIB_PATH.exists():
         return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))

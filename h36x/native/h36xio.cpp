@@ -51,23 +51,28 @@ Grid make_grid(int start, int size, int in_size, int out) {
 void resize_frame(const uint8_t* src, int H, int W, const Grid& gy,
                   const Grid& gx, int out, uint8_t* dst) {
   // Two-pass separable: rows first into a float scratch, then columns.
-  std::vector<float> rows(static_cast<size_t>(out) * W * 3);
+  // The vertical pass only materializes the column window the horizontal
+  // pass will read ([x0, x1] = the crop's x-support), not the full width.
+  const int x0 = *std::min_element(gx.lo.begin(), gx.lo.end());
+  const int x1 = *std::max_element(gx.hi.begin(), gx.hi.end());
+  const int wc = x1 - x0 + 1;
+  std::vector<float> rows(static_cast<size_t>(out) * wc * 3);
   for (int oy = 0; oy < out; ++oy) {
-    const uint8_t* r0 = src + static_cast<size_t>(gy.lo[oy]) * W * 3;
-    const uint8_t* r1 = src + static_cast<size_t>(gy.hi[oy]) * W * 3;
+    const uint8_t* r0 = src + (static_cast<size_t>(gy.lo[oy]) * W + x0) * 3;
+    const uint8_t* r1 = src + (static_cast<size_t>(gy.hi[oy]) * W + x0) * 3;
     const float fy = gy.frac[oy];
-    float* dr = rows.data() + static_cast<size_t>(oy) * W * 3;
-    for (int x = 0; x < W * 3; ++x) {
+    float* dr = rows.data() + static_cast<size_t>(oy) * wc * 3;
+    for (int x = 0; x < wc * 3; ++x) {
       dr[x] = (1.0f - fy) * r0[x] + fy * r1[x];
     }
   }
   for (int oy = 0; oy < out; ++oy) {
-    const float* dr = rows.data() + static_cast<size_t>(oy) * W * 3;
+    const float* dr = rows.data() + static_cast<size_t>(oy) * wc * 3;
     uint8_t* out_row = dst + static_cast<size_t>(oy) * out * 3;
     for (int ox = 0; ox < out; ++ox) {
       const float fx = gx.frac[ox];
-      const float* p0 = dr + static_cast<size_t>(gx.lo[ox]) * 3;
-      const float* p1 = dr + static_cast<size_t>(gx.hi[ox]) * 3;
+      const float* p0 = dr + static_cast<size_t>(gx.lo[ox] - x0) * 3;
+      const float* p1 = dr + static_cast<size_t>(gx.hi[ox] - x0) * 3;
       for (int c = 0; c < 3; ++c) {
         float v = (1.0f - fx) * p0[c] + fx * p1[c];
         out_row[ox * 3 + c] =

@@ -47,6 +47,9 @@ def build_model(cfg: TrainConfig) -> PHDFor3DJoints:
         ar_blocks=m.ar_num_blocks,
         dropout=m.dropout,
         groups=m.groups,
+        kernel_size=m.kernel_size,
+        regressor_iters=m.regressor_iters,
+        regressor_hidden=m.regressor_hidden,
     )
 
 
@@ -172,6 +175,13 @@ def fit(
     if state is None:
         example = jnp.zeros((2, cfg.data.seq_len, cfg.model.feature_dim))
         state = create_train_state(model, optimizer, init_rng, example)
+    if cfg.init_from:
+        # Warm-start model weights from another run's checkpoint (e.g. a
+        # phase-1 run feeding phase-2: the param tree is phase-independent,
+        # only the optimizer state layout differs).
+        params = ckpt.load_params_only(cfg.init_from, jax.device_get(state.params))
+        state = TrainState(params, optimizer.init(params), state.step)
+        print(f"Initialized model weights from {cfg.init_from}")
     state = TrainState(shard_params(state.params, mesh), state.opt_state, state.step)
 
     if phase == 2:
@@ -191,6 +201,12 @@ def fit(
 
     if cfg.resume:
         state, manifest = ckpt.load_checkpoint(cfg.resume, "last", state)
+        # restored leaves are host numpy; re-apply the mesh placement
+        state = TrainState(
+            shard_params(jax.device_get(state.params), mesh),
+            state.opt_state,
+            state.step,
+        )
         start_epoch = manifest["epoch"] + 1
         best_val = manifest["best_val"]
         print(f"Resumed from {cfg.resume} (epoch={start_epoch}, best={best_val:.4f})")

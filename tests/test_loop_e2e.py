@@ -82,6 +82,33 @@ def test_phase2_fit(cfg, capsys):
     assert np.isfinite(best)
 
 
+def test_phase2_warm_start_from_phase1(cfg, tmp_path, capsys):
+    """init_from inherits phase-1 weights into a phase-2 run (the optimizer
+    states are phase-specific, so resume cannot cross phases — init_from
+    rebuilds the phase-2 optimizer around the restored params)."""
+    import jax
+
+    cfg.optim.epochs = 1
+    state1, _ = fit(cfg, *_datasets(cfg))
+    capsys.readouterr()
+
+    cfg2 = cfg
+    cfg2.optim.phase = 2
+    cfg2.optim.input_len = 2
+    cfg2.optim.pred_len = 4
+    cfg2.outdir = str(tmp_path / "runs2")
+    cfg2.init_from = str(tmp_path / "runs" / "best.msgpack")
+    state2, _ = fit(cfg2, *_datasets(cfg2))
+    out = capsys.readouterr().out
+    assert "Initialized model weights from" in out
+    # frozen modules kept the phase-1 weights through the phase-2 epoch
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(state1.params["f_movie"])),
+        jax.tree.leaves(jax.device_get(state2.params["f_movie"])),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_early_stopping(cfg, capsys):
     cfg.optim.epochs = 6
     cfg.optim.early_stop_patience = 1
