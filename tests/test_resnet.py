@@ -111,6 +111,72 @@ class TestOpSemanticsVsTorch:
         np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)
 
 
+class TestBottleneckComposition:
+    """Whole Bottleneck block vs a torch-functional oracle — validates the
+    v1.5 stride placement (on the 3x3), projection shortcut, and BN wiring
+    as a composition, not just per-op."""
+
+    def test_projection_block_stride2(self, rng):
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        cin, width = 16, 8
+        x = rng.normal(size=(2, 9, 9, cin)).astype(np.float32)
+
+        from h36x.models.resnet import Bottleneck
+
+        block = Bottleneck(features=width, strides=2)
+        variables = block.init(jax.random.key(0), jnp.asarray(x))
+
+        # overwrite with random-but-known weights/stats
+        def randomize(tree, path=""):
+            return jax.tree.map(
+                lambda p: jnp.asarray(
+                    np.random.default_rng(abs(hash(path)) % 2**31 or 1)
+                    .normal(size=p.shape)
+                    .astype(np.float32)
+                    * 0.2
+                ),
+                tree,
+            )
+
+        params = randomize(variables["params"])
+        stats = jax.tree.map(
+            lambda s: jnp.abs(jnp.asarray(
+                np.random.default_rng(3).normal(size=s.shape).astype(np.float32)
+            )) + 0.5,
+            variables["batch_stats"],
+        )
+        got = np.asarray(
+            block.apply({"params": params, "batch_stats": stats}, jnp.asarray(x))
+        )
+
+        def t(a):
+            return torch.from_numpy(np.asarray(a))
+
+        def conv(tx, kernel, stride):
+            w = t(np.transpose(np.asarray(kernel), (3, 2, 0, 1)))  # HWIO->OIHW
+            pad = (kernel.shape[0] - 1) // 2
+            return F.conv2d(tx, w, stride=stride, padding=pad)
+
+        def bn(tx, p, s):
+            return F.batch_norm(
+                tx, t(s["mean"]), t(s["var"]), t(p["scale"]), t(p["bias"]),
+                training=False, eps=1e-5,
+            )
+
+        tx = t(np.transpose(x, (0, 3, 1, 2)))
+        y = F.relu(bn(conv(tx, params["conv1"]["kernel"], 1),
+                      params["bn1"], stats["bn1"]))
+        y = F.relu(bn(conv(y, params["conv2"]["kernel"], 2),
+                      params["bn2"], stats["bn2"]))
+        y = bn(conv(y, params["conv3"]["kernel"], 1), params["bn3"], stats["bn3"])
+        res = bn(conv(tx, params["downsample_conv"]["kernel"], 2),
+                 params["downsample_bn"], stats["downsample_bn"])
+        want = np.transpose(F.relu(y + res).numpy(), (0, 2, 3, 1))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
 def _fake_torchvision_state_dict(rng):
     """Build a state_dict with torchvision resnet50's exact key structure."""
     sd = {}
