@@ -86,3 +86,86 @@ def load_torch_resnet50(path) -> dict:
     if isinstance(raw, dict) and "state_dict" in raw:
         raw = raw["state_dict"]
     return convert_torch_resnet50(raw)
+
+
+# ---------------------------------------------------------------------------
+# PHD pose-model checkpoints (the reference's last.pt / best.pt)
+# ---------------------------------------------------------------------------
+
+
+def convert_torch_phd(state_dict: dict) -> dict:
+    """Reference PHD state_dict -> h36x flax param tree.
+
+    Key layout of the reference model (src/model.py:127-146 + train.py
+    checkpoints, which store the bare module state_dict under 'model'):
+
+        input_proj.{weight,bias}
+        f_movie.blocks.{i}.{gn1,gn2}.{weight,bias}
+        f_movie.blocks.{i}.{conv1,conv2}.conv.{weight,bias}
+        f_AR.blocks.{i}...
+        f_3D.mlp.{0,3,6}.{weight,bias}   (Linear indices in the Sequential)
+        f_3D.y0                          (zero buffer; dropped)
+
+    torch Linear weights are (out, in) -> transposed kernels; torch Conv1d
+    weights are (out, in, k) -> our causal-conv kernels (k, in, out) with
+    tap order preserved (both index taps oldest-first over the same
+    left-padded window).
+    """
+    params: dict = {}
+
+    def put(path, value):
+        node = params
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = value
+
+    mlp_names = {"0": "fc1", "3": "fc2", "6": "fc3"}
+
+    for key, value in state_dict.items():
+        if key == "f_3D.y0":
+            continue
+        v = _to_numpy(value)
+        parts = key.split(".")
+        if parts[0] == "input_proj":
+            if parts[1] == "weight":
+                put(["input_proj", "kernel"], v.T)
+            else:
+                put(["input_proj", "bias"], v)
+        elif parts[0] in ("f_movie", "f_AR"):
+            # f_movie.blocks.{i}.<layer>...
+            block = f"block{parts[2]}"
+            layer = parts[3]
+            if layer in ("gn1", "gn2"):
+                field = "scale" if parts[4] == "weight" else "bias"
+                put([parts[0], block, layer, field], v)
+            elif layer in ("conv1", "conv2"):
+                # conv1.conv.weight (O, I, K) -> kernel (K, I, O)
+                if parts[-1] == "weight":
+                    put([parts[0], block, layer, "kernel"], np.transpose(v, (2, 1, 0)))
+                else:
+                    put([parts[0], block, layer, "bias"], v)
+            else:
+                raise KeyError(f"unrecognized PHD key {key!r}")
+        elif parts[0] == "f_3D" and parts[1] == "mlp":
+            name = mlp_names.get(parts[2])
+            if name is None:
+                raise KeyError(f"unrecognized regressor layer in {key!r}")
+            if parts[3] == "weight":
+                put(["f_3D", name, "kernel"], v.T)
+            else:
+                put(["f_3D", name, "bias"], v)
+        else:
+            raise KeyError(f"unrecognized PHD key {key!r}")
+
+    return params
+
+
+def load_torch_phd(path) -> dict:
+    """Load a reference training checkpoint (last.pt/best.pt or a bare
+    state_dict) and convert the model weights."""
+    import torch
+
+    raw = torch.load(Path(path), map_location="cpu", weights_only=True)
+    if isinstance(raw, dict) and "model" in raw:
+        raw = raw["model"]
+    return convert_torch_phd(raw)
