@@ -27,7 +27,7 @@ import numpy as np
 BASELINE_FRAMES_PER_SEC = 445.0
 
 
-def bench_feature_extraction(clips_per_batch=4, seq_len=40, out_hw=224, iters=5):
+def bench_feature_extraction(clips_per_batch=8, seq_len=40, out_hw=224, iters=5):
     """Clip-frames/s of the augmented extract path.
 
     The device work per clip is 3 backbone passes over T frames (orig,
