@@ -123,6 +123,9 @@ def bench_train_step(iters=50):
 
 
 def main():
+    from h36x.utils.runtime import setup_jax_cache
+
+    setup_jax_cache()
     try:
         value = bench_feature_extraction()
         metric = "h36m_feature_extract_frames_per_sec_per_chip"

@@ -6,6 +6,10 @@ from h36x.extract.pipeline import run_extract
 
 
 def main(argv=None):
+    from h36x.utils.runtime import setup_jax_cache
+
+    setup_jax_cache()
+
     cfg = parse_into(ExtractConfig(), argv, description=__doc__)
     if not cfg.root or not cfg.out:
         raise SystemExit("--root and --out are required")

@@ -28,6 +28,10 @@ def main(argv=None):
     p.add_argument("--num-blocks", type=int, default=2)
     args = p.parse_args(argv)
 
+    from h36x.utils.runtime import setup_jax_cache
+
+    setup_jax_cache()
+
     test_set = FeatureClipDataset(args.features_root, subjects=args.subjects,
                                   test_set=True)
     model = PHDFor3DJoints(latent_dim=args.latent_dim, joints_num=JOINTS_NUM,

@@ -8,6 +8,10 @@ from h36x.train.loop import fit
 
 
 def main(argv=None):
+    from h36x.utils.runtime import setup_jax_cache
+
+    setup_jax_cache()
+
     cfg = parse_into(TrainConfig(), argv, description=__doc__)
     if not cfg.train_root:
         raise SystemExit("--train-root is required")

@@ -160,6 +160,36 @@ def convert_torch_phd(state_dict: dict) -> dict:
     return params
 
 
+def export_phd_to_torch(params: dict) -> dict:
+    """h36x flax PHD params -> reference-layout torch state_dict (numpy
+    values; wrap with torch.from_numpy to load into the reference model).
+
+    Inverse of :func:`convert_torch_phd`, so h36x-trained checkpoints flow
+    back to users of the reference unchanged (y0 is emitted as zeros)."""
+    out: dict = {}
+    out["input_proj.weight"] = np.asarray(params["input_proj"]["kernel"]).T
+    out["input_proj.bias"] = np.asarray(params["input_proj"]["bias"])
+    for mod in ("f_movie", "f_AR"):
+        for block_name, block in params[mod].items():
+            i = block_name.removeprefix("block")
+            base = f"{mod}.blocks.{i}"
+            for gn in ("gn1", "gn2"):
+                out[f"{base}.{gn}.weight"] = np.asarray(block[gn]["scale"])
+                out[f"{base}.{gn}.bias"] = np.asarray(block[gn]["bias"])
+            for conv in ("conv1", "conv2"):
+                out[f"{base}.{conv}.conv.weight"] = np.transpose(
+                    np.asarray(block[conv]["kernel"]), (2, 1, 0)
+                )
+                out[f"{base}.{conv}.conv.bias"] = np.asarray(block[conv]["bias"])
+    for name, idx in (("fc1", "0"), ("fc2", "3"), ("fc3", "6")):
+        out[f"f_3D.mlp.{idx}.weight"] = np.asarray(params["f_3D"][name]["kernel"]).T
+        out[f"f_3D.mlp.{idx}.bias"] = np.asarray(params["f_3D"][name]["bias"])
+    out["f_3D.y0"] = np.zeros(
+        params["f_3D"]["fc3"]["kernel"].shape[1], dtype=np.float32
+    )
+    return out
+
+
 def load_torch_phd(path) -> dict:
     """Load a reference training checkpoint (last.pt/best.pt or a bare
     state_dict) and convert the model weights."""

@@ -80,6 +80,20 @@ class TestPHDConversion:
             convert_torch_phd({"f_movie.blocks.0.bogus.weight": np.zeros(3)})
 
 
+class TestExportRoundTrip:
+    def test_convert_export_is_identity(self, rng):
+        from h36x.models.torch_import import export_phd_to_torch
+
+        sd = _fake_phd_state_dict(rng)
+        back = export_phd_to_torch(convert_torch_phd(sd))
+        assert set(back) == set(sd)
+        for k in sd:
+            if k == "f_3D.y0":
+                np.testing.assert_array_equal(back[k], np.zeros(51, np.float32))
+            else:
+                np.testing.assert_array_equal(back[k], sd[k])
+
+
 class TestCausalConvTapOrder:
     def test_matches_torch_replicate_pad_conv1d(self, rng):
         """Converted (O,I,K)->(K,I,O) weights through our causal_conv1d must
