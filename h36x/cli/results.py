@@ -26,6 +26,9 @@ def main(argv=None):
     p.add_argument("--subjects", type=int, nargs="+", default=list(TEST_SUBJECTS))
     p.add_argument("--latent-dim", type=int, default=1024)
     p.add_argument("--num-blocks", type=int, default=2)
+    p.add_argument("--fused", action="store_true",
+                   help="use the Pallas fused serving path (h36x.infer) for "
+                        "the one-batch prediction dump")
     args = p.parse_args(argv)
 
     from h36x.utils.runtime import setup_jax_cache
@@ -48,10 +51,17 @@ def main(argv=None):
     )
 
     out_hw = None if args.video_size == 0 else args.video_size
+    forward_fn = None
+    if args.fused:
+        from h36x.infer import make_fused_forward
+
+        fused = make_fused_forward()
+        forward_fn = lambda p, feats: fused(p, feats)  # noqa: E731
     dump_result_batch(
         model, params, test_set, args.preprocessed_root, args.out,
         seq_len=args.seq_len, batch_size=args.batch_size, save_n=args.save_n,
         video_size=out_hw, test_metrics=(loss, mp, l3d, l2d),
+        forward_fn=forward_fn,
     )
     print(f"[OK] Saved batch to: {args.out}")
 

@@ -101,9 +101,13 @@ def dump_result_batch(
     save_n: int = 16,
     video_size: Optional[int] = 224,
     test_metrics=(0.0, 0.0, 0.0, 0.0),
+    forward_fn=None,
 ) -> dict:
-    """Predict one batch and write the results NPZ; returns the payload."""
-    forward = make_forward(model)
+    """Predict one batch and write the results NPZ; returns the payload.
+
+    forward_fn optionally overrides the jitted (params, feats) -> joints
+    forward (e.g. h36x.infer.make_fused_forward for the Pallas path)."""
+    forward = forward_fn if forward_fn is not None else make_forward(model)
     idx = list(range(min(batch_size, len(dataset))))
     feats, j3d, j2d, K, meta = dataset.get_batch(idx)
     pred = np.asarray(forward(params, jnp.asarray(feats)))
