@@ -11,9 +11,11 @@ directly:
     weights in VMEM for the 3 refinement rounds
     (:mod:`h36x.ops.pallas_regressor`).
 
-Parity with model.apply is covered by tests (interpret mode on CPU, real
-kernels on TPU). Use `use_pallas=False` to run the same engine on pure-XLA
-ops (useful to isolate kernel issues).
+Precision contract: the kernels' matmuls run at the MXU's default f32
+path, giving ~1e-3-relative agreement with model.apply (a few mm absolute
+on metre-scale joints) — right for serving/visualization throughput
+(~1.4x faster than XLA end to end). For bit-level parity work (e.g. the
+0.1 mm criterion in h36x-parity) use `use_pallas=False` or model.apply.
 """
 
 from __future__ import annotations

@@ -37,15 +37,17 @@ def _kernel(x_ref, scale_ref, bias_ref, w_ref, cb_ref, res_ref, out_ref,
     cnt = float(t_len * (d // groups))
 
     s1 = jnp.sum(x, axis=0, keepdims=True)  # (1, D)
-    s2 = jnp.sum(x * x, axis=0, keepdims=True)
     mean_g = jnp.dot(s1, sel, preferred_element_type=jnp.float32) / cnt  # (1, G)
-    e2_g = jnp.dot(s2, sel, preferred_element_type=jnp.float32) / cnt
-    var_g = e2_g - mean_g * mean_g
     mean_ch = jnp.dot(mean_g, sel.T, preferred_element_type=jnp.float32)  # (1, D)
+    # two-pass variance (E[(x-mean)^2]) — the E[x^2]-E[x]^2 form cancels
+    # catastrophically in f32 for large activations
+    centered = x - mean_ch
+    s2 = jnp.sum(centered * centered, axis=0, keepdims=True)
+    var_g = jnp.dot(s2, sel, preferred_element_type=jnp.float32) / cnt
     rstd_ch = jnp.dot(
         jax.lax.rsqrt(var_g + eps), sel.T, preferred_element_type=jnp.float32
     )
-    xn = (x - mean_ch) * rstd_ch
+    xn = centered * rstd_ch
     xn = xn * scale_ref[:] + bias_ref[:]
     xn = jnp.maximum(xn, 0.0)
 
