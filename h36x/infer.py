@@ -51,6 +51,26 @@ def _temporal_net(x, net_params, groups, use_pallas, interpret, tile_o):
     return x
 
 
+def _temporal_net_masked(x, net_params, groups, valid_len):
+    """XLA-path temporal net with GroupNorm statistics masked to
+    [0, valid_len) — required for fixed-shape autoregressive rollout (GN is
+    the block's one non-causal op). Outputs at t >= valid_len are invalid."""
+    blocks = sorted(net_params.keys(), key=lambda n: int(n.removeprefix("block")))
+    for name in blocks:
+        p = net_params[name]
+        h = reference_gn_relu_cconv(
+            x, p["gn1"]["scale"], p["gn1"]["bias"],
+            p["conv1"]["kernel"], p["conv1"]["bias"], groups=groups,
+            valid_len=valid_len,
+        )
+        x = reference_gn_relu_cconv(
+            h, p["gn2"]["scale"], p["gn2"]["bias"],
+            p["conv2"]["kernel"], p["conv2"]["bias"],
+            residual=x, groups=groups, valid_len=valid_len,
+        )
+    return x
+
+
 def _regressor(phi, reg_params, joints_num, use_pallas, interpret, iters=3):
     b, t, d = phi.shape
     out_dim = joints_num * 3

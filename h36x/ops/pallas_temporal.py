@@ -120,14 +120,28 @@ def fused_gn_relu_cconv(
 
 
 def reference_gn_relu_cconv(x, scale, bias, kernel, conv_bias, residual=None,
-                            groups: int = 32, eps: float = 1e-5):
-    """jnp mirror (GN -> ReLU -> causal conv [+ residual]) for testing/vjp."""
+                            groups: int = 32, eps: float = 1e-5,
+                            valid_len=None):
+    """jnp mirror (GN -> ReLU -> causal conv [+ residual]) for testing/vjp.
+
+    valid_len (optional, traced scalar): GroupNorm statistics are computed
+    over frames [0, valid_len) only. GN is the one non-causal piece of the
+    block, so autoregressive rollout over a fixed-shape buffer must mask its
+    statistics to the frames that exist; outputs at t >= valid_len are
+    garbage and must not be read.
+    """
     from h36x.ops.causal_conv import causal_conv1d
 
     b, t_len, d = x.shape
     xg = x.reshape(b, t_len, groups, d // groups)
-    mean = xg.mean(axis=(1, 3), keepdims=True)
-    var = xg.var(axis=(1, 3), keepdims=True)
+    if valid_len is None:
+        mean = xg.mean(axis=(1, 3), keepdims=True)
+        var = xg.var(axis=(1, 3), keepdims=True)
+    else:
+        mask = (jnp.arange(t_len) < valid_len).astype(x.dtype)[None, :, None, None]
+        cnt = valid_len * (d // groups)
+        mean = jnp.sum(xg * mask, axis=(1, 3), keepdims=True) / cnt
+        var = jnp.sum(((xg - mean) ** 2) * mask, axis=(1, 3), keepdims=True) / cnt
     xn = ((xg - mean) / jnp.sqrt(var + eps)).reshape(b, t_len, d)
     xn = jax.nn.relu(xn * scale + bias)
     out = causal_conv1d(xn, kernel, conv_bias)
