@@ -27,7 +27,6 @@ import jax.numpy as jnp
 
 from h36x.ops.pallas_regressor import _reference_forward, fused_joint_regressor
 from h36x.ops.pallas_temporal import fused_residual_block, reference_gn_relu_cconv
-from h36x.ops.causal_conv import causal_conv1d
 
 
 def _temporal_net(x, net_params, groups, use_pallas, interpret, tile_o):

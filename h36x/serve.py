@@ -21,7 +21,6 @@ of the param-tree engines in :mod:`h36x.infer`:
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
