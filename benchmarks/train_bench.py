@@ -24,10 +24,7 @@ def main(argv=None):
     p.add_argument("--latent", type=int, default=1024)
     args = p.parse_args(argv)
 
-    import sys
-
-    sys.path.insert(0, "tests")
-    from helpers import make_synthetic_store
+    from tests.helpers import make_synthetic_store
 
     with tempfile.TemporaryDirectory() as store, tempfile.TemporaryDirectory() as runs:
         shard_clips = 64

@@ -103,7 +103,9 @@ def convert_torch_phd(state_dict: dict) -> dict:
         f_movie.blocks.{i}.{gn1,gn2}.{weight,bias}
         f_movie.blocks.{i}.{conv1,conv2}.conv.{weight,bias}
         f_AR.blocks.{i}...
-        f_3D.mlp.{0,3,6}.{weight,bias}   (Linear indices in the Sequential)
+        f_3D.mlp.{0,3,5}.{weight,bias}   (Linear indices in the Sequential;
+                                          the 2nd Dropout is commented out in
+                                          the reference, src/model.py:97)
         f_3D.y0                          (zero buffer; dropped)
 
     torch Linear weights are (out, in) -> transposed kernels; torch Conv1d
@@ -119,7 +121,11 @@ def convert_torch_phd(state_dict: dict) -> dict:
             node = node.setdefault(k, {})
         node[path[-1]] = value
 
-    mlp_names = {"0": "fc1", "3": "fc2", "6": "fc3"}
+    # Sequential(Linear, ReLU, Dropout, Linear, ReLU, Linear): the second
+    # Dropout is commented out in the reference (src/model.py:97), so the
+    # final Linear sits at index 5. Index 6 is also accepted (the layout if
+    # that Dropout were re-enabled).
+    mlp_names = {"0": "fc1", "3": "fc2", "5": "fc3", "6": "fc3"}
 
     for key, value in state_dict.items():
         if key == "f_3D.y0":
@@ -181,7 +187,7 @@ def export_phd_to_torch(params: dict) -> dict:
                     np.asarray(block[conv]["kernel"]), (2, 1, 0)
                 )
                 out[f"{base}.{conv}.conv.bias"] = np.asarray(block[conv]["bias"])
-    for name, idx in (("fc1", "0"), ("fc2", "3"), ("fc3", "6")):
+    for name, idx in (("fc1", "0"), ("fc2", "3"), ("fc3", "5")):
         out[f"f_3D.mlp.{idx}.weight"] = np.asarray(params["f_3D"][name]["kernel"]).T
         out[f"f_3D.mlp.{idx}.bias"] = np.asarray(params["f_3D"][name]["bias"])
     out["f_3D.y0"] = np.zeros(

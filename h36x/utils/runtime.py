@@ -22,8 +22,8 @@ def setup_jax_cache(cache_dir: str | None = None) -> None:
         return
     _done = True
     env = os.environ.get("H36X_JAX_CACHE_DIR")
-    if env == "":
-        return
+    if cache_dir is None and env == "":
+        return  # env kill-switch (explicit cache_dir still wins)
     path = cache_dir or env or _DEFAULT_CACHE
     try:
         import jax

@@ -28,8 +28,9 @@ def _fake_phd_state_dict(rng, latent=64, feature=32, blocks=(2, 3), hidden=1024)
                     rng.normal(size=(latent, latent, 3)).astype(np.float32) * 0.05
                 )
                 sd[f"{base}.{conv}.conv.bias"] = rng.normal(size=latent).astype(np.float32)
+    # real reference layout: final Linear at Sequential index 5
     dims = [(latent + 51, hidden), (hidden, hidden), (hidden, 51)]
-    for idx, (i_dim, o_dim) in zip(("0", "3", "6"), dims):
+    for idx, (i_dim, o_dim) in zip(("0", "3", "5"), dims):
         sd[f"f_3D.mlp.{idx}.weight"] = (
             rng.normal(size=(o_dim, i_dim)).astype(np.float32) * 0.05
         )
