@@ -4,11 +4,15 @@ Orchestrates: sharded batches over the mesh, per-epoch cosine LR, train +
 eval passes with phase timers, last/best checkpoints, early stopping, resume.
 Reference behavior being reproduced: src/train.py:114-279 (train/evaluate)
 and src/train.py:418-459 (epoch loop / checkpoint / early-stop policy).
+Epoch metrics additionally append to <outdir>/metrics.jsonl (the reference
+only prints; SLURM stdout was its log store).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import json
+import os
 import time
 from typing import Optional
 
@@ -140,6 +144,12 @@ def evaluate(eval_step, params, dataset, sampler, sharding):
     return {k: v / max(n, 1) for k, v in totals.items()}
 
 
+def _append_metrics(outdir, record: dict) -> None:
+    os.makedirs(outdir, exist_ok=True)
+    with open(os.path.join(outdir, "metrics.jsonl"), "a") as f:
+        f.write(json.dumps(record) + "\n")
+
+
 def fit(
     cfg: TrainConfig,
     train_set,
@@ -244,6 +254,19 @@ def fit(
         )
 
         ckpt.save_checkpoint(cfg.outdir, "last", state, epoch, best_val, cfg_json)
+        _append_metrics(
+            cfg.outdir,
+            {
+                "epoch": epoch,
+                "lr": lr,
+                "train_loss": tr["loss"],
+                "train_mpjpe": tr["mpjpe"],
+                "val_loss": va["loss"],
+                "val_mpjpe": va["mpjpe"],
+                "val_bone": va.get("bone"),
+                "epoch_seconds": time.perf_counter() - t0,
+            },
+        )
 
         improved = (best_val - va["mpjpe"]) > cfg.optim.early_stop_min_delta
         if improved:

@@ -59,6 +59,12 @@ def test_fit_end_to_end(cfg, tmp_path, capsys):
     assert (runs / "last.json").exists()
     assert (runs / "best.msgpack").exists()
 
+    import json
+    lines = (runs / "metrics.jsonl").read_text().strip().splitlines()
+    assert len(lines) == 2  # one record per epoch
+    rec = json.loads(lines[0])
+    assert {"epoch", "lr", "train_loss", "val_mpjpe", "epoch_seconds"} <= set(rec)
+
     # resume continues from epoch 2 (i.e. does nothing more at epochs=2);
     # the restored best_val is the one recorded in `last` (pre-update, the
     # same semantics as the reference's last.pt policy)
