@@ -133,6 +133,7 @@ class ExtractConfig:
     shuffle_pool: int = 8192  # clips buffered before a shuffled flush
     shuffle_seed: int = 123
     weights: str = ""  # optional path to a converted ResNet-50 checkpoint
+    resume: bool = False  # continue an interrupted extraction (progress.json)
 
 
 @dataclass

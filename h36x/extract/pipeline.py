@@ -115,7 +115,7 @@ class ShufflePool:
     """
 
     def __init__(self, writer: ShardWriter, n_vars: int, shard_size: int,
-                 pool_size: int, seed: int):
+                 pool_size: int, seed: int, on_flush=None):
         import random
 
         self.writer = writer
@@ -126,6 +126,7 @@ class ShufflePool:
         self.pool: List[List[dict]] = []
         self.carry: List[List[dict]] = []
         self.clip_index: List[dict] = []
+        self.on_flush = on_flush
 
     def add(self, group: List[dict]) -> None:
         if len(group) != self.n_vars:
@@ -173,6 +174,8 @@ class ShufflePool:
             self.carry = []
         else:
             self.carry = leftover
+        if n_full and self.on_flush is not None:
+            self.on_flush(self)
 
     def finish(self) -> None:
         self._flush(final=True)
@@ -223,13 +226,27 @@ def _load_backbone(cfg: ExtractConfig):
     return model, variables
 
 
+def _clip_key(entry: dict):
+    return (int(entry["subject"]), str(entry["action"]), str(entry["cam"]),
+            int(entry["start"]))
+
+
 def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> dict:
-    """Run the full extraction stage; returns a summary dict."""
+    """Run the full extraction stage; returns a summary dict.
+
+    Resumable (unlike the reference): after every shard flush a progress
+    file records which clips landed in which shard rows; an interrupted run
+    restarted with resume=True skips those clips, re-processes only the ones
+    that were still buffered in the shuffle pool, and appends new shards.
+    """
+    import json as _json
+
     out_root = Path(cfg.out)
     out_root.mkdir(parents=True, exist_ok=True)
     n_vars = len(AUG_NAMES) if cfg.augment else 1
     aug_names = list(AUG_NAMES) if cfg.augment else ["orig"]
     feat_np_dtype = np.float16 if cfg.save_fp16 else np.float32
+    progress_path = out_root / "progress.json"
 
     if dataset is None:
         dataset = ClipDataset(
@@ -253,9 +270,27 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
 
     async_writer = AsyncWriter()
     shard_writer = ShardWriter(out_root, n_vars, async_writer=async_writer)
+
+    def write_progress(pool):
+        payload = _json.dumps(
+            {"clips": pool.clip_index, "n_shards": pool.writer.shard_id}
+        )
+        # same FIFO as the shard writes: progress never claims unwritten shards
+        async_writer.submit(progress_path.write_text, payload)
+
     pool = ShufflePool(
-        shard_writer, n_vars, cfg.shard_size, cfg.shuffle_pool, cfg.shuffle_seed
+        shard_writer, n_vars, cfg.shard_size, cfg.shuffle_pool, cfg.shuffle_seed,
+        on_flush=write_progress,
     )
+
+    done_keys = set()
+    if getattr(cfg, "resume", False) and progress_path.exists():
+        prog = _json.loads(progress_path.read_text())
+        pool.clip_index = prog["clips"]
+        shard_writer.shard_id = int(prog["n_shards"])
+        done_keys = {_clip_key(c) for c in prog["clips"]}
+        print(f"Resuming: {len(done_keys)} clips already in "
+              f"{shard_writer.shard_id} shards")
 
     t_all = time.perf_counter()
     t_last = t_all
@@ -339,18 +374,29 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
             variants = small[None]  # (1,T,o,o,3)
         return variants, j3d, j2d, cam, ci, box
 
+    todo = [
+        i for i in range(n_clips)
+        if not done_keys
+        or (int(dataset.clips[i].subject), str(dataset.clips[i].action),
+            str(dataset.clips[i].cam), int(dataset.clips[i].start)) not in done_keys
+    ] if hasattr(dataset, "clips") else list(range(n_clips))
+    if done_keys and not hasattr(dataset, "clips"):
+        raise RuntimeError("resume needs a dataset exposing .clips metadata")
+    if len(todo) < n_clips:
+        print(f"{n_clips - len(todo)} clips already done; {len(todo)} to go")
+
     # Decode with a thread pool; crops have static shapes, so batches are
     # simple fixed-size windows overlapped with device compute.
     with ThreadPoolExecutor(max_workers=max(1, cfg.num_workers)) as ex:
         pending: List = []
         window = cfg.num_workers * 2 + cfg.batch_size
-        futures = [ex.submit(load_item, i) for i in range(min(window, n_clips))]
+        futures = [ex.submit(load_item, i) for i in todo[:window]]
         next_submit = len(futures)
-        for i in range(n_clips):
-            item = futures[i].result()
-            futures[i] = None  # free memory
-            if next_submit < n_clips:
-                futures.append(ex.submit(load_item, next_submit))
+        for pos in range(len(todo)):
+            item = futures[pos].result()
+            futures[pos] = None  # free memory
+            if next_submit < len(todo):
+                futures.append(ex.submit(load_item, todo[next_submit]))
                 next_submit += 1
             pending.append(item)
             if len(pending) == cfg.batch_size:
@@ -360,6 +406,9 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
             process_batch(pending)
 
     pool.finish()
+    async_writer.wait()
+    if progress_path.exists():
+        progress_path.unlink()  # superseded by the final index.json
     async_writer.stop()
 
     write_index(

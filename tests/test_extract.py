@@ -176,6 +176,67 @@ def test_trev_features_are_reversed_orig(tmp_path):
         np.testing.assert_allclose(j_trev, j_orig[::-1], rtol=1e-5)
 
 
+class FlakyClipDataset(FakeClipDataset):
+    """Raises on a chosen clip index to simulate a mid-run crash."""
+
+    def __init__(self, fail_at, **kw):
+        super().__init__(**kw)
+        self.fail_at = fail_at
+
+    def __getitem__(self, i):
+        if self.fail_at is not None and i == self.fail_at:
+            raise RuntimeError("simulated decode crash")
+        return super().__getitem__(i)
+
+    @property
+    def clips(self):
+        """Clip metadata matching FakeClipDataset.__getitem__'s ClipIndex."""
+        from h36x.data.clips import ClipIndex
+
+        return [
+            ClipIndex("fake.mp4", "fake.pkl", 1 + i % 2, "Act", "cam_0",
+                      {}, i * 5, i * 5 + self.t)
+            for i in range(self.n)
+        ]
+
+
+def test_resume_after_crash(tmp_path):
+    """Extraction interrupted mid-run resumes without duplicating clips."""
+    import time as _time
+
+    cfg = ExtractConfig(
+        out=str(tmp_path / "out"), seq_len=4, resize=16, batch_size=2,
+        num_workers=1, augment=False, shard_size=2, shuffle_pool=2,
+        resume=False,
+    )
+    flaky = FlakyClipDataset(fail_at=4, n_clips=6)
+    with pytest.raises(RuntimeError, match="simulated decode crash"):
+        run_extract(cfg, dataset=flaky)
+
+    progress = tmp_path / "out" / "progress.json"
+    for _ in range(50):  # async writer may still be draining
+        if progress.exists():
+            break
+        _time.sleep(0.1)
+    assert progress.exists()
+    assert not (tmp_path / "out" / "index.json").exists()
+
+    cfg.resume = True
+    ok = FlakyClipDataset(fail_at=None, n_clips=6)
+    summary = run_extract(cfg, dataset=ok)
+    assert summary["n_shards"] >= 3
+    assert not progress.exists()  # superseded by index.json
+
+    ds = FeatureClipDataset(tmp_path / "out")
+    assert len(ds) == 6
+    keys = set()
+    ds_meta = FeatureClipDataset(tmp_path / "out", test_set=True)
+    for i in range(len(ds_meta)):
+        *_, meta = ds_meta[i]
+        keys.add((meta["subject"], meta["start"]))
+    assert len(keys) == 6  # every clip exactly once, none duplicated
+
+
 def test_extracted_store_trains(tmp_path):
     """Extraction output feeds the training loop end to end."""
     import jax
