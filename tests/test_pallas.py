@@ -47,18 +47,32 @@ class TestFusedRegressor:
                                    rtol=1e-4, atol=1e-4)
 
     def test_gradients_via_custom_vjp(self, weights):
-        phi, w1, b1, w2, b2, w3, b3 = (jnp.asarray(w) for w in weights)
+        """Pallas backward kernel vs jax.grad of the reference — every
+        input's gradient (interpret mode exercises the fused bwd path)."""
+        args = tuple(jnp.asarray(w) for w in weights)
 
-        def loss_fused(w1):
-            return fused_joint_regressor(phi, w1, b1, w2, b2, w3, b3, 3, 51, 8, True).sum()
+        def loss_fused(*a):
+            return (fused_joint_regressor(*a, 3, 51, 8, True) ** 2).sum()
 
-        def loss_ref(w1):
-            return _reference_forward(phi, w1, b1, w2, b2, w3, b3, 3, 51).sum()
+        def loss_ref(*a):
+            return (_reference_forward(*a, 3, 51) ** 2).sum()
 
-        g_fused = jax.grad(loss_fused)(w1)
-        g_ref = jax.grad(loss_ref)(w1)
-        np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
-                                   rtol=1e-4, atol=1e-4)
+        g_fused = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+        g_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+        for name, a, b in zip(
+            ("dphi", "dw1", "db1", "dw2", "db2", "dw3", "db3"), g_fused, g_ref
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+                err_msg=f"gradient mismatch for {name}",
+            )
+
+    def test_bwd_vmem_budget_selection(self):
+        from h36x.ops.pallas_regressor import _BWD_VMEM_BUDGET, _bwd_vmem_bytes
+
+        # small config fits; the full training config does not
+        assert _bwd_vmem_bytes(256, 256, 128, 3) <= _BWD_VMEM_BUDGET
+        assert _bwd_vmem_bytes(1024, 1024, 128, 3) > _BWD_VMEM_BUDGET
 
 
 class TestFusedTemporal:
