@@ -26,8 +26,6 @@ class MixedShardBatchSampler:
             raise ValueError("batch_size must be divisible by shards_per_batch")
         self.dataset = dataset
         self.batch_size = batch_size
-        self.k = shards_per_batch
-        self.per_shard = batch_size // shards_per_batch
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
@@ -36,6 +34,21 @@ class MixedShardBatchSampler:
         for idx in range(len(dataset)):
             buckets.setdefault(dataset.shard_id_of(idx), []).append(idx)
         self.buckets = buckets
+
+        # The round-robin draw needs K distinct active shards; a store with
+        # fewer shards than requested would silently yield ZERO batches
+        # (latent in the reference, samplers.py:48). Clamp K to the largest
+        # divisor of batch_size that the store can actually sustain.
+        k = min(shards_per_batch, max(1, len(buckets)))
+        while batch_size % k != 0:
+            k -= 1
+        if k != shards_per_batch:
+            print(
+                f"MixedShardBatchSampler: only {len(buckets)} shard(s); "
+                f"using shards_per_batch={k} (requested {shards_per_batch})"
+            )
+        self.k = k
+        self.per_shard = batch_size // k
 
     def set_epoch(self, epoch: int) -> None:
         self.seed = epoch

@@ -121,6 +121,13 @@ def train_epoch(train_step, state, dataset, sampler, sharding, rng, log_every=50
     timers.start("drain")
     drain()
     timers.stop("drain")
+    if n == 0:
+        print(
+            "WARNING: the train sampler yielded ZERO batches this epoch — "
+            "check batch_size / shards_per_batch against the store's shard "
+            "count and split sizes.",
+            flush=True,
+        )
     print("[Train timing]\n" + timers.summary(n), flush=True)
     return state, {k: v / max(n, 1) for k, v in totals.items()}, rng
 
