@@ -1,0 +1,140 @@
+"""Edge-case robustness: corrupt/truncated shards, empty stores, cams
+filtering, feed buffering, checkpoint manifest integrity."""
+
+import numpy as np
+import pytest
+
+from h36x.data import shards as shard_store
+from h36x.data.features import FeatureClipDataset
+from tests.helpers import make_synthetic_store
+
+
+class TestShardCorruption:
+    def test_truncated_payload(self, tmp_path, rng):
+        make_synthetic_store(tmp_path, n_shards=1, clips_per_shard=2, n_vars=1)
+        path = shard_store.shard_path(tmp_path, 0)
+        data = path.read_bytes()
+        path.write_bytes(data[: len(data) // 2])
+        # memmap of a truncated file raises on construction or on access
+        with pytest.raises(Exception):
+            shard = shard_store.read_shard(path, mmap=False)
+            np.asarray(shard["feats"]).sum()
+
+    def test_truncated_header(self, tmp_path):
+        p = tmp_path / "shard_00000.h36x"
+        p.write_bytes(shard_store.MAGIC + b"\xff\xff\xff\x7f")  # huge header len
+        with pytest.raises(Exception):
+            shard_store.read_shard(p)
+
+    def test_empty_file(self, tmp_path):
+        p = tmp_path / "shard_00000.h36x"
+        p.write_bytes(b"")
+        with pytest.raises(ValueError):
+            shard_store.read_shard(p)
+
+
+class TestIngestCamsFilter:
+    def test_scan_clips_cam_filter(self, tmp_path, rng):
+        import pickle
+
+        for cam in range(3):
+            d = tmp_path / "S1" / "Act_0" / f"cam_{cam}"
+            d.mkdir(parents=True)
+            (d / "v.mp4").write_bytes(b"x")
+            with open(d / "gt_poses.pkl", "wb") as f:
+                pickle.dump({"2d": np.zeros((20, 17, 2), np.float32),
+                             "3d": np.zeros((20, 17, 3), np.float32)}, f)
+            with open(d / "camera_wext.pkl", "wb") as f:
+                pickle.dump({"f": np.ones(2), "c": np.ones(2)}, f)
+
+        from h36x.data.clips import scan_clips
+
+        all_clips, _, _ = scan_clips(str(tmp_path), [1], seq_len=4, stride=2,
+                                     frame_skip=2)
+        cams_0_2, _, _ = scan_clips(str(tmp_path), [1], seq_len=4, stride=2,
+                                    frame_skip=2, cams=[0, 2])
+        assert len(cams_0_2) == len(all_clips) * 2 // 3
+        assert {c.cam for c in cams_0_2} == {"cam_0", "cam_2"}
+
+    def test_max_clips(self, tmp_path, rng):
+        import pickle
+
+        d = tmp_path / "S1" / "Act_0" / "cam_0"
+        d.mkdir(parents=True)
+        (d / "v.mp4").write_bytes(b"x")
+        with open(d / "gt_poses.pkl", "wb") as f:
+            pickle.dump({"2d": np.zeros((100, 17, 2), np.float32),
+                         "3d": np.zeros((100, 17, 3), np.float32)}, f)
+        with open(d / "camera_wext.pkl", "wb") as f:
+            pickle.dump({"f": np.ones(2), "c": np.ones(2)}, f)
+
+        from h36x.data.clips import scan_clips
+
+        clips, _, _ = scan_clips(str(tmp_path), [1], seq_len=4, stride=1,
+                                 frame_skip=2, max_clips=5)
+        assert len(clips) == 5
+
+
+class TestFeedBuffering:
+    def test_large_buffer(self):
+        from h36x.parallel.feed import prefetch_to_device
+
+        batches = [(np.full((2,), i, np.float32),) for i in range(20)]
+        out = list(prefetch_to_device(iter(batches), buffer_size=8))
+        assert [int(b[0][0]) for b in out] == list(range(20))
+
+    def test_empty_iterator(self):
+        from h36x.parallel.feed import prefetch_to_device
+
+        assert list(prefetch_to_device(iter([]))) == []
+
+
+class TestCheckpointManifest:
+    def test_manifest_readable_standalone(self, tmp_path):
+        import json
+
+        import jax
+        import jax.numpy as jnp
+
+        from h36x.models.phd import PHDFor3DJoints
+        from h36x.train import checkpoint as ckpt
+        from h36x.train.state import create_train_state, make_optimizer
+
+        model = PHDFor3DJoints(latent_dim=64, feature_dim=32, number_blocks=1)
+        optimizer, _ = make_optimizer(lr=1e-3)
+        state = create_train_state(model, optimizer, jax.random.key(0),
+                                   jnp.zeros((1, 4, 32)))
+        ckpt.save_checkpoint(tmp_path, "last", state, epoch=7, best_val=0.5,
+                             config={"optim": {"lr": 1e-3}})
+        with open(tmp_path / "last.json") as f:
+            manifest = json.load(f)
+        assert manifest["epoch"] == 7
+        assert manifest["step"] == 0
+        assert manifest["config"]["optim"]["lr"] == 1e-3
+
+
+class TestFeatureStoreDtypes:
+    def test_float16_store_reads_as_f32(self, tmp_path, rng):
+        rows, t, f = 3, 4, 8
+        arrays = {
+            "feats": rng.normal(size=(rows, t, f)).astype(np.float16),
+            "joints3d": rng.normal(size=(rows, t, 17, 3)).astype(np.float32),
+            "joints2d": rng.normal(size=(rows, t, 17, 2)).astype(np.float32),
+            "K": np.tile(np.eye(3, dtype=np.float32), (rows, 1, 1)),
+        }
+        meta = [{"subject": 1, "action": "A", "cam": "c", "start": 0,
+                 "end": t, "aug": "orig"}] * rows
+        shard_store.write_shard(shard_store.shard_path(tmp_path, 0), arrays, meta, 1)
+        shard_store.write_index(
+            tmp_path,
+            [{"shard_id": 0, "row": r, "subject": 1, "action": "A",
+              "cam": "c", "start": 0, "end": t} for r in range(rows)],
+            n_shards=1, n_clips=rows, n_variants=1, aug_names=["orig"],
+            seq_len=t, frame_skip=2, feat_dtype="float16",
+        )
+        ds = FeatureClipDataset(tmp_path)
+        feats, *_ = ds[1]
+        assert feats.dtype == np.float32
+        np.testing.assert_allclose(feats, arrays["feats"][1].astype(np.float32))
+        batch = ds.get_batch([0, 2])
+        assert batch[0].dtype == np.float32
