@@ -69,21 +69,10 @@ def _kernel(x_ref, scale_ref, bias_ref, w_ref, cb_ref, res_ref, out_ref,
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def fused_gn_relu_cconv(
-    x: jnp.ndarray,
-    scale: jnp.ndarray,
-    bias: jnp.ndarray,
-    kernel: jnp.ndarray,
-    conv_bias: jnp.ndarray,
-    residual: jnp.ndarray | None = None,
-    *,
-    groups: int = 32,
-    eps: float = 1e-5,
-    tile_o: int = 256,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """x (B, T, D), scale/bias (D,), kernel (K, D, O), conv_bias (O,),
-    residual optional (B, T, O). Returns (B, T, O) in x.dtype."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _fused_gn_relu_cconv_p(x, scale, bias, kernel, conv_bias, residual,
+                           groups, eps, tile_o, interpret):
+    """Positional custom_vjp core (jax.custom_vjp takes no kwargs)."""
     b, t_len, d = x.shape
     k_taps, _, d_out = kernel.shape
     tile_o = min(tile_o, d_out)
@@ -117,6 +106,61 @@ def fused_gn_relu_cconv(
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x, scale[None, :], bias[None, :], kernel, conv_bias[None, :], residual)
+
+
+def _fused_fwd(x, scale, bias, kernel, conv_bias, residual,
+               groups, eps, tile_o, interpret):
+    out = _fused_gn_relu_cconv_p(
+        x, scale, bias, kernel, conv_bias, residual, groups, eps, tile_o,
+        interpret,
+    )
+    return out, (x, scale, bias, kernel, conv_bias, residual)
+
+
+def _fused_bwd(groups, eps, tile_o, interpret, resids, g):
+    x, scale, bias, kernel, conv_bias, residual = resids
+    diff_res = residual is not None
+    args = (x, scale, bias, kernel, conv_bias) + ((residual,) if diff_res else ())
+
+    def ref(*a):
+        res = a[5] if diff_res else None
+        return reference_gn_relu_cconv(
+            a[0], a[1], a[2], a[3], a[4], res, groups=groups, eps=eps
+        )
+
+    _, vjp = jax.vjp(ref, *args)
+    grads = vjp(g.astype(x.dtype))
+    if not diff_res:
+        grads = grads + (None,)
+    return grads
+
+
+_fused_gn_relu_cconv_p.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_gn_relu_cconv(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    kernel: jnp.ndarray,
+    conv_bias: jnp.ndarray,
+    residual: jnp.ndarray | None = None,
+    *,
+    groups: int = 32,
+    eps: float = 1e-5,
+    tile_o: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x (B, T, D), scale/bias (D,), kernel (K, D, O), conv_bias (O,),
+    residual optional (B, T, O). Returns (B, T, O) in x.dtype.
+
+    Differentiable: pallas_call has no autodiff rule, so a custom_vjp routes
+    the backward through the jnp reference computation (XLA) while the
+    forward stays on the fused kernel."""
+    return _fused_gn_relu_cconv_p(
+        x, scale, bias, kernel, conv_bias, residual, groups, eps, tile_o,
+        interpret,
+    )
 
 
 def reference_gn_relu_cconv(x, scale, bias, kernel, conv_bias, residual=None,

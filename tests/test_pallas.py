@@ -104,6 +104,28 @@ class TestFusedTemporal:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-4)
 
+    def test_gradients_through_fused_kernel(self, inputs, rng):
+        """custom_vjp makes the fused kernel differentiable; grads match
+        jax.grad of the reference computation."""
+        x, scale, bias, w, cb = (jnp.asarray(v) for v in inputs)
+        res = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+
+        def lf(x, scale, w, res):
+            return (fused_gn_relu_cconv(x, scale, bias, w, cb, res, groups=8,
+                                        tile_o=32, interpret=True) ** 2).sum()
+
+        def lr(x, scale, w, res):
+            return (reference_gn_relu_cconv(x, scale, bias, w, cb, res,
+                                            groups=8) ** 2).sum()
+
+        gf = jax.grad(lf, argnums=(0, 1, 2, 3))(x, scale, w, res)
+        gr = jax.grad(lr, argnums=(0, 1, 2, 3))(x, scale, w, res)
+        for name, a, b in zip(("dx", "dscale", "dw", "dres"), gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4,
+                err_msg=f"gradient mismatch for {name}",
+            )
+
     def test_full_block_matches_flax(self, rng):
         """fused_residual_block == flax ResidualBlock in eval mode."""
         from h36x.models.phd import ResidualBlock
