@@ -5,6 +5,10 @@ synthetic in-memory clip source: decode is simulated (frames are generated),
 so the number isolates the pipeline — host crop/resize/jitter workers,
 batching, device feature passes, shuffle pool, async shard writes.
 
+NOTE: on the tunneled dev runtime this number is dominated by per-dispatch
+round trips and host->device transfer over the network relay; it reflects a
+real TPU host only when run on one (see CLAUDE.md / DESIGN.md).
+
 Usage: python -m benchmarks.extract_bench [--clips 64] [--seq-len 40]
        [--hw 1000] [--resize 224] [--augment true]
 """
@@ -53,6 +57,9 @@ class SyntheticClips:
 
 
 def main(argv=None):
+    from h36x.utils.runtime import setup_jax_cache
+
+    setup_jax_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--clips", type=int, default=64)
     p.add_argument("--seq-len", type=int, default=40)

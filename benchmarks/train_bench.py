@@ -16,6 +16,9 @@ from h36x.train.loop import fit
 
 
 def main(argv=None):
+    from h36x.utils.runtime import setup_jax_cache
+
+    setup_jax_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--clips", type=int, default=512)
     p.add_argument("--seq-len", type=int, default=40)
