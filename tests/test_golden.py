@@ -54,6 +54,13 @@ def _compute_all():
         )
     )
 
+    # AR rollout (masked-GN fixed-shape semantics, h36x/serve.py)
+    from h36x.serve import make_rollout_fn
+
+    ctx, fut = make_rollout_fn(steps=3, groups=32)(params, feats)
+    out["rollout_ctx"] = np.asarray(ctx)
+    out["rollout_future"] = np.asarray(fut)
+
     # crop geometry
     j2d = rng.random((8, 17, 2)).astype(np.float32) * np.array([900, 950]) + 30
     out["crop_box"] = compute_square_crop_from_2d(j2d, 1000, 1000).astype(np.int64)
