@@ -53,32 +53,44 @@ class MixedShardBatchSampler:
     def set_epoch(self, epoch: int) -> None:
         self.seed = epoch
 
+    def _epoch_plan(self, rng: random.Random):
+        """Per-epoch immutable item orders + a cursor per shard.
+
+        Returns ordered shard ids, a {shard: tuple_of_indices} table and a
+        {shard: int} cursor dict; drawing advances cursors only, so the
+        underlying buckets are never mutated across epochs.
+        """
+        order = list(self.buckets)
+        if self.shuffle:
+            rng.shuffle(order)
+        table = {}
+        for sid in order:
+            items = list(self.buckets[sid])
+            if self.shuffle:
+                rng.shuffle(items)
+            table[sid] = tuple(items)
+        return order, table, dict.fromkeys(order, 0)
+
     def __iter__(self) -> Iterator[List[int]]:
         rng = random.Random(self.seed)
-        shard_ids = list(self.buckets.keys())
-        if self.shuffle:
-            rng.shuffle(shard_ids)
+        order, table, cursor = self._epoch_plan(rng)
 
-        streams = {}
-        for sid in shard_ids:
-            inds = self.buckets[sid].copy()
-            if self.shuffle:
-                rng.shuffle(inds)
-            streams[sid] = inds
+        def remaining():
+            return [s for s in order if cursor[s] < len(table[s])]
 
-        active = [sid for sid in shard_ids if streams[sid]]
-        while len(active) >= self.k:
-            chosen = rng.sample(active, self.k) if self.shuffle else active[: self.k]
+        while True:
+            live = remaining()
+            if len(live) < self.k:
+                return
+            picks = rng.sample(live, self.k) if self.shuffle else live[: self.k]
             batch: List[int] = []
-            for sid in chosen:
-                take = min(self.per_shard, len(streams[sid]))
-                batch.extend(streams[sid][:take])
-                del streams[sid][:take]
-                if not streams[sid]:
-                    active.remove(sid)
-            if len(batch) < self.batch_size and self.drop_last:
-                continue
-            yield batch
+            for sid in picks:
+                lo = cursor[sid]
+                hi = min(lo + self.per_shard, len(table[sid]))
+                batch.extend(table[sid][lo:hi])
+                cursor[sid] = hi
+            if len(batch) == self.batch_size or not self.drop_last:
+                yield batch
 
     def __len__(self) -> int:
         total = len(self.dataset)
