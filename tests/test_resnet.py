@@ -255,3 +255,98 @@ class TestTorchImport:
         k = out["params"]["conv1"]["kernel"]
         assert k.shape == (7, 7, 3, 64)
         np.testing.assert_array_equal(k[1, 2, 0, 5], sd["conv1.weight"][5, 0, 1, 2])
+
+
+def _build_torch_resnet50():
+    """torchvision's resnet50 graph in plain torch (torchvision itself is not
+    installed here). Key layout, init and forward match
+    torchvision.models.resnet.ResNet(Bottleneck, [3, 4, 6, 3]) so the
+    resulting state_dict is a faithful stand-in for the real
+    IMAGENET1K_V2 file (reference src/preprocess_resnet_features.py:207-209).
+    """
+    import torch
+    from torch import nn as tnn
+
+    class Bottleneck(tnn.Module):
+        def __init__(self, cin, width, stride=1):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(cin, width, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(width)
+            self.conv2 = tnn.Conv2d(width, width, 3, stride=stride,
+                                    padding=1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(width)
+            self.conv3 = tnn.Conv2d(width, width * 4, 1, bias=False)
+            self.bn3 = tnn.BatchNorm2d(width * 4)
+            self.relu = tnn.ReLU(inplace=True)
+            if stride != 1 or cin != width * 4:
+                self.downsample = tnn.Sequential(
+                    tnn.Conv2d(cin, width * 4, 1, stride=stride, bias=False),
+                    tnn.BatchNorm2d(width * 4),
+                )
+            else:
+                self.downsample = None
+
+        def forward(self, x):
+            idt = x if self.downsample is None else self.downsample(x)
+            y = self.relu(self.bn1(self.conv1(x)))
+            y = self.relu(self.bn2(self.conv2(y)))
+            y = self.bn3(self.conv3(y))
+            return self.relu(y + idt)
+
+    class ResNet50Torch(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.relu = tnn.ReLU(inplace=True)
+            self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+            cin = 64
+            for stage, blocks in enumerate((3, 4, 6, 3)):
+                width = 64 * 2**stage
+                layer = []
+                for b in range(blocks):
+                    stride = 2 if (stage > 0 and b == 0) else 1
+                    layer.append(Bottleneck(cin, width, stride))
+                    cin = width * 4
+                setattr(self, f"layer{stage + 1}", tnn.Sequential(*layer))
+            self.fc = tnn.Linear(2048, 1000)
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            for i in (1, 2, 3, 4):
+                x = getattr(self, f"layer{i}")(x)
+            return x.mean(dim=(2, 3))  # headless: pooled 2048-D features
+
+    return ResNet50Torch()
+
+
+class TestFullNetworkOracle:
+    """End-to-end: full 50-layer torch network -> state_dict -> converter ->
+    flax ResNet50 agree on pooled features (VERDICT round-1 missing item #2)."""
+
+    def test_full_resnet50_feature_agreement(self, rng):
+        import torch
+
+        torch.manual_seed(0)
+        ref = _build_torch_resnet50().eval()
+        # Randomize BN running stats so running-average semantics are
+        # actually exercised (fresh init is mean=0/var=1, which would let a
+        # stats-mapping bug pass unnoticed).
+        with torch.no_grad():
+            for m in ref.modules():
+                if isinstance(m, torch.nn.BatchNorm2d):
+                    m.running_mean.normal_(0.0, 0.05)
+                    m.running_var.uniform_(0.8, 1.3)
+
+        x = rng.normal(size=(2, 96, 96, 3)).astype(np.float32)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+
+        converted = jax.tree.map(
+            jnp.asarray, convert_torch_resnet50(ref.state_dict())
+        )
+        got = np.asarray(ResNet50().apply(converted, jnp.asarray(x)))
+
+        assert got.shape == want.shape == (2, 2048)
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4 * scale)
