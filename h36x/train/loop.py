@@ -18,6 +18,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from h36x.config import TrainConfig
 from h36x.models.phd import PHDFor3DJoints
@@ -33,9 +34,9 @@ from h36x.train.state import (
 )
 from h36x.train.step import (
     curriculum_horizon,
-    make_eval_step,
     make_future_train_step,
     make_train_step,
+    make_weighted_eval_step,
 )
 from h36x.utils.profiling import maybe_trace
 from h36x.utils.timers import PhaseTimers
@@ -57,19 +58,35 @@ def build_model(cfg: TrainConfig) -> PHDFor3DJoints:
     )
 
 
-def _batches(dataset, sampler, sharding, drop_meta: bool = True, pad_to: int = 1):
+def _batches(
+    dataset,
+    sampler,
+    sharding,
+    drop_meta: bool = True,
+    pad_to: int = 1,
+    with_weights: bool = False,
+):
     """Host batches -> sharded device batches. Tail batches whose row count
-    does not divide the data axis are padded by repeating the last row (the
-    per-batch mean then weights those rows slightly; the reference averages
-    per-batch means too, so the deviation is bounded by one tail batch)."""
+    does not divide the data axis are padded by repeating the last row.
+    With with_weights=True every batch gains a trailing float32 (B,) weight
+    vector that is 0 on those padded rows, so weighted eval steps can form
+    exact dataset means (training keeps the cheap per-batch-mean contract:
+    the reference averages per-batch means too, so the deviation there is
+    bounded by one tail batch per epoch)."""
 
     def gen():
         for idx_batch in sampler:
-            if pad_to > 1 and len(idx_batch) % pad_to != 0:
-                short = pad_to - len(idx_batch) % pad_to
+            real = len(idx_batch)
+            if pad_to > 1 and real % pad_to != 0:
+                short = pad_to - real % pad_to
                 idx_batch = list(idx_batch) + [idx_batch[-1]] * short
             batch = dataset.get_batch(idx_batch)
-            yield batch[:4] if drop_meta else batch
+            batch = batch[:4] if drop_meta else batch
+            if with_weights:
+                w = np.zeros(len(idx_batch), dtype=np.float32)
+                w[:real] = 1.0
+                batch = (*batch, w)
+            yield batch
 
     return prefetch_to_device(gen(), sharding=sharding)
 
@@ -133,22 +150,35 @@ def train_epoch(train_step, state, dataset, sampler, sharding, rng, log_every=50
 
 
 def evaluate(eval_step, params, dataset, sampler, sharding):
+    """Validation pass. eval_step must be a weighted step
+    (:func:`h36x.train.step.make_weighted_eval_step`): it returns per-batch
+    SUMS over real (non-padded) rows plus the row count. Metric tensors stay
+    on device until the final drain, so dispatches pipeline exactly like
+    train_epoch instead of synchronizing host<->device every batch."""
     timers = PhaseTimers()
-    totals = {"loss": 0.0, "l3d": 0.0, "mpjpe": 0.0, "bone": 0.0}
+    pending = []  # device-resident per-batch sum dicts
     n = 0
     timers.start("data")
-    for batch in _batches(dataset, sampler, sharding, pad_to=_data_axis(sharding)):
+    for batch in _batches(
+        dataset, sampler, sharding, pad_to=_data_axis(sharding), with_weights=True
+    ):
         timers.stop("data")
         timers.start("step")
-        metrics = jax.device_get(eval_step(params, batch))
+        pending.append(eval_step(params, batch))
         timers.stop("step")
-        for k in totals:
-            totals[k] += float(metrics[k])
         n += 1
         timers.start("data")
     timers.stop("data")
+    timers.start("drain")
+    totals = {"loss": 0.0, "l3d": 0.0, "mpjpe": 0.0, "bone": 0.0}
+    rows = 0.0
+    for m in jax.device_get(pending):
+        for k in totals:
+            totals[k] += float(m[k])
+        rows += float(m["n"])
+    timers.stop("drain")
     print("[Val timing]\n" + timers.summary(n), flush=True)
-    return {k: v / max(n, 1) for k, v in totals.items()}
+    return {k: v / max(rows, 1.0) for k, v in totals.items()}
 
 
 def _append_metrics(outdir, record: dict) -> None:
@@ -209,7 +239,7 @@ def fit(
         train_step = None  # bound per-epoch with the curriculum horizon
     else:
         train_step = make_train_step(model, optimizer)
-    eval_step = make_eval_step(model)
+    eval_step = make_weighted_eval_step(model)
     data_sharding = batch_sharding(mesh)
 
     start_epoch = 0

@@ -41,3 +41,27 @@ def bone_length_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
         jnp.take(gt, dst, axis=-2) - jnp.take(gt, src, axis=-2), axis=-1
     )
     return jnp.mean((pred_len - gt_len) ** 2)
+
+
+# --- per-row variants (shape (B,)); used by the weighted eval step so that
+# padded tail rows can be masked out of dataset-level means exactly ---
+
+
+def mse3d_per_row(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean((pred - gt) ** 2, axis=(1, 2, 3))
+
+
+def mpjpe_per_row(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.linalg.norm(pred - gt, axis=-1), axis=(1, 2))
+
+
+def bone_length_per_row(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    src = jnp.asarray(_EDGE_SRC)
+    dst = jnp.asarray(_EDGE_DST)
+    pred_len = jnp.linalg.norm(
+        jnp.take(pred, dst, axis=-2) - jnp.take(pred, src, axis=-2), axis=-1
+    )
+    gt_len = jnp.linalg.norm(
+        jnp.take(gt, dst, axis=-2) - jnp.take(gt, src, axis=-2), axis=-1
+    )
+    return jnp.mean((pred_len - gt_len) ** 2, axis=(1, 2))

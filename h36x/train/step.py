@@ -17,7 +17,14 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from h36x.train.losses import bone_length_loss, mpjpe, mse3d
+from h36x.train.losses import (
+    bone_length_loss,
+    bone_length_per_row,
+    mpjpe,
+    mpjpe_per_row,
+    mse3d,
+    mse3d_per_row,
+)
 from h36x.train.state import TrainState
 
 
@@ -146,6 +153,34 @@ def make_eval_step(model, return_preds: bool = False) -> Callable:
         if return_preds:
             return metrics, joints_pred
         return metrics
+
+    return jax.jit(step)
+
+
+def make_weighted_eval_step(model) -> Callable:
+    """Eval step returning weighted per-batch SUMS instead of means.
+
+    step(params, batch) where batch = (feats, joints3d, ..., weights) and
+    weights is float32 (B,) with 0 on padded tail rows (train/loop.py pads
+    short batches up to the mesh data axis). Returning sums + the weight
+    total lets the host form exact dataset means: padded rows contribute
+    nothing and small tail batches are not over-weighted the way
+    average-of-batch-means is. The weight vector shards over `data` like
+    every other batch row, so each metric reduction is a global (psum'd)
+    scalar under pjit.
+    """
+
+    def step(params, batch):
+        feats, joints3d, w = batch[0], batch[1], batch[-1]
+        _, _, joints_pred, _ = model.apply({"params": params}, feats)
+        l3d = jnp.vdot(w, mse3d_per_row(joints_pred, joints3d))
+        return {
+            "loss": l3d,
+            "l3d": l3d,
+            "mpjpe": jnp.vdot(w, mpjpe_per_row(joints_pred, joints3d)),
+            "bone": jnp.vdot(w, bone_length_per_row(joints_pred, joints3d)),
+            "n": jnp.sum(w),
+        }
 
     return jax.jit(step)
 

@@ -122,3 +122,48 @@ def test_early_stopping(cfg, capsys):
     fit(cfg, *_datasets(cfg))
     out = capsys.readouterr().out
     assert "Early stopping" in out
+
+
+def test_evaluate_masks_padded_tail_rows(tmp_path):
+    """evaluate() must equal the exact dataset-level mean even when the last
+    batch is short and padded up to the mesh data axis (round-1 VERDICT: the
+    old average-of-batch-means over-weighted duplicated tail rows)."""
+    import jax
+    import jax.numpy as jnp
+
+    from h36x.models.phd import PHDFor3DJoints
+    from h36x.parallel.mesh import batch_sharding, make_mesh
+    from h36x.train.loop import evaluate
+    from h36x.train.losses import mpjpe, mse3d
+    from h36x.train.step import make_weighted_eval_step
+
+    store = tmp_path / "store"
+    store.mkdir()
+    # 1 shard x 5 clips x 2 variants = 10 rows; batch 4 -> tail batch of 2
+    make_synthetic_store(
+        store, n_shards=1, clips_per_shard=5, n_vars=2, seq_len=8, feat_dim=32,
+        subjects=(1,),
+    )
+    ds = FeatureClipDataset(str(store), subjects=[1], augment=True)
+    assert len(ds) == 10
+
+    model = PHDFor3DJoints(latent_dim=64, feature_dim=32, joints_num=17,
+                           number_blocks=1)
+    feats_all, j3d_all = [], []
+    for i in range(len(ds)):
+        b = ds.get_batch([i])
+        feats_all.append(b[0][0])
+        j3d_all.append(b[1][0])
+    feats_all = jnp.asarray(np.stack(feats_all))
+    j3d_all = jnp.asarray(np.stack(j3d_all))
+    params = model.init(jax.random.key(0), feats_all[:2])["params"]
+
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    got = evaluate(
+        make_weighted_eval_step(model), params, ds,
+        SequentialBatchSampler(ds, batch_size=4), batch_sharding(mesh),
+    )
+
+    pred = model.apply({"params": params}, feats_all)[2]
+    np.testing.assert_allclose(got["loss"], float(mse3d(pred, j3d_all)), rtol=1e-5)
+    np.testing.assert_allclose(got["mpjpe"], float(mpjpe(pred, j3d_all)), rtol=1e-5)
