@@ -49,16 +49,54 @@ def local_batch_slice(global_batch: int, process_id: Optional[int] = None,
     return slice(pid * per, (pid + 1) * per)
 
 
+def make_multislice_mesh(slices: int, data: int = -1, model: int = 1,
+                         devices=None):
+    """(slice, data, model) mesh for multi-slice pods.
+
+    The leading `slice` axis is the DCN dimension (inter-slice links);
+    `data` and `model` stay intra-slice so TP collectives and the first
+    hop of the gradient reduction ride ICI, with only the final psum
+    crossing DCN. Batch rows shard jointly over slice x data
+    (:func:`multislice_batch_sharding`); params use the same TP rules as
+    the 2-axis mesh (the `model` axis name is shared), replicated over
+    `slice`.
+    """
+    from jax.sharding import Mesh
+
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        if n % (slices * model) != 0:
+            raise ValueError(
+                f"{n} devices not divisible by slices*model={slices * model}")
+        data = n // (slices * model)
+    if slices * data * model != n:
+        raise ValueError(f"mesh {slices}x{data}x{model} != {n} devices")
+    arr = np.array(devices).reshape(slices, data, model)
+    return Mesh(arr, axis_names=("slice", "data", "model"))
+
+
+def multislice_batch_sharding(mesh):
+    """Batch rows shard over the combined (slice, data) super-axis."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P(("slice", "data")))
+
+
 def make_global_batch(local_arrays, mesh, global_batch: int):
     """Per-host numpy shards -> global jax.Arrays sharded over mesh 'data'.
 
     local_arrays: pytree of host arrays whose leading dim is the LOCAL batch
     (global_batch / process_count rows). Uses
     jax.make_array_from_process_local_data, which never gathers across hosts.
+    On a multi-slice mesh rows shard over the (slice, data) super-axis.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    sharding = NamedSharding(mesh, P("data"))
+    if "slice" in mesh.axis_names:
+        sharding = NamedSharding(mesh, P(("slice", "data")))
+    else:
+        sharding = NamedSharding(mesh, P("data"))
 
     def convert(x):
         x = np.asarray(x)

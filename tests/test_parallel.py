@@ -164,3 +164,105 @@ class TestPrefetch:
         next(it)
         with pytest.raises(RuntimeError, match="boom"):
             list(it)
+
+
+class TestMultiHostHelpers:
+    """Single-process contracts of h36x/parallel/distributed.py (a pod run
+    only changes who owns which rows, not these shapes/shardings)."""
+
+    def test_local_batch_slice_partitions(self):
+        from h36x.parallel.distributed import local_batch_slice
+
+        rows = list(range(32))
+        seen = []
+        for pid in range(4):
+            s = local_batch_slice(32, process_id=pid, process_count=4)
+            assert s.stop - s.start == 8
+            seen.extend(rows[s])
+        assert seen == rows  # disjoint, ordered, complete
+
+    def test_local_batch_slice_indivisible_raises(self):
+        from h36x.parallel.distributed import local_batch_slice
+
+        with pytest.raises(ValueError, match="not divisible"):
+            local_batch_slice(30, process_id=0, process_count=4)
+
+    def test_make_global_batch_shapes_and_sharding(self):
+        from h36x.parallel.distributed import local_batch_slice, make_global_batch
+
+        _require_devices(8)
+        mesh = make_mesh(data=8, model=1)
+        rng = np.random.default_rng(0)
+        full = {
+            "feats": rng.normal(size=(16, 4, 8)).astype(np.float32),
+            "k": rng.normal(size=(16, 3, 3)).astype(np.float32),
+        }
+        # single process owns every row; the call must still produce
+        # global-shape arrays laid out over the data axis
+        s = local_batch_slice(16, process_id=0, process_count=1)
+        out = make_global_batch({k: v[s] for k, v in full.items()}, mesh, 16)
+        assert out["feats"].shape == (16, 4, 8)
+        assert out["k"].shape == (16, 3, 3)
+        assert out["feats"].sharding.spec == P("data")
+        np.testing.assert_array_equal(np.asarray(out["feats"]), full["feats"])
+
+    def test_make_global_batch_multislice_spec(self):
+        from h36x.parallel.distributed import (
+            make_global_batch,
+            make_multislice_mesh,
+            multislice_batch_sharding,
+        )
+
+        _require_devices(8)
+        mesh = make_multislice_mesh(slices=2, data=2, model=2)
+        assert mesh.shape == {"slice": 2, "data": 2, "model": 2}
+        x = np.arange(48, dtype=np.float32).reshape(12, 4)
+        out = make_global_batch({"x": x}, mesh, 12)
+        assert out["x"].sharding.spec == P(("slice", "data"))
+        assert out["x"].sharding == multislice_batch_sharding(mesh)
+        np.testing.assert_array_equal(np.asarray(out["x"]), x)
+
+    def test_multislice_mesh_bad_factorization(self):
+        from h36x.parallel.distributed import make_multislice_mesh
+
+        _require_devices(8)
+        with pytest.raises(ValueError):
+            make_multislice_mesh(slices=3, data=2, model=2)
+
+
+class TestMultiSliceTraining:
+    def test_dp_over_slice_x_data_matches_single_device(self, model_state):
+        """One train step on a (slice=2, data=2, model=2) mesh — batch rows
+        sharded over the slice x data super-axis, params TP-sharded over
+        model and replicated across slices — must match the unsharded step.
+        This is the DCN-topology variant of test_dp_matches_single_device."""
+        from h36x.parallel.distributed import (
+            make_multislice_mesh,
+            multislice_batch_sharding,
+        )
+
+        _require_devices(8)
+        model, optimizer, state = model_state
+        step = make_train_step(model, optimizer, donate=False)
+        batch_np = synth(b=8)
+        rng = jax.random.key(3)
+
+        batch1 = tuple(jnp.asarray(x) for x in batch_np)
+        s_single, m_single = step(state, batch1, rng)
+
+        mesh = make_multislice_mesh(slices=2, data=2, model=2)
+        state_sh = state._replace(
+            params=shard_params(jax.device_get(state.params), mesh)
+        )
+        bs = multislice_batch_sharding(mesh)
+        batch_sh = tuple(jax.device_put(x, bs) for x in batch_np)
+        s_sharded, m_sharded = step(state_sh, batch_sh, rng)
+
+        np.testing.assert_allclose(
+            float(m_single["loss"]), float(m_sharded["loss"]), rtol=1e-5
+        )
+        for a, b in zip(
+            jax.tree.leaves(jax.device_get(s_single.params)),
+            jax.tree.leaves(jax.device_get(s_sharded.params)),
+        ):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
