@@ -30,11 +30,11 @@ from h36x.infer import _regressor, _temporal_net, _temporal_net_masked
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _rollout(params, feats, steps: int, joints_num: int, groups: int,
-             use_pallas: bool):
-    """(params, feats (B,T,D_feat)) -> (joints_ctx (B,T,J,3),
-    joints_future (B,steps,J,3), phi_ext (B,T+steps,D))."""
-    x = feats @ params["input_proj"]["kernel"] + params["input_proj"]["bias"]
+def _rollout_from_x(params, x, steps: int, joints_num: int, groups: int,
+                    use_pallas: bool):
+    """Rollout over already-projected inputs x (B,T,latent) -> (joints_ctx,
+    joints_future, phi_ext). The streaming predictor keeps its ring buffer
+    in projected space, so it feeds this entry directly."""
     phi = _temporal_net(x, params["f_movie"], groups, use_pallas, False, 256)
     b, t, d = phi.shape
 
@@ -59,6 +59,14 @@ def _rollout(params, feats, steps: int, joints_num: int, groups: int,
     return joints_ctx, joints_future, buf
 
 
+def _rollout(params, feats, steps: int, joints_num: int, groups: int,
+             use_pallas: bool):
+    """(params, feats (B,T,D_feat)) -> (joints_ctx (B,T,J,3),
+    joints_future (B,steps,J,3), phi_ext (B,T+steps,D))."""
+    x = feats @ params["input_proj"]["kernel"] + params["input_proj"]["bias"]
+    return _rollout_from_x(params, x, steps, joints_num, groups, use_pallas)
+
+
 def make_rollout_fn(steps: int, joints_num: int = 17, groups: int = 32,
                     use_pallas: bool = False):
     """(params, feats (B,T,feature_dim)) ->
@@ -71,6 +79,99 @@ def make_rollout_fn(steps: int, joints_num: int = 17, groups: int = 32,
     return fn
 
 
+# ---------------------------------------------------------------------------
+# Streaming: per-frame inference
+# ---------------------------------------------------------------------------
+#
+# GroupNorm in the residual blocks normalizes over (time, group-channels), so
+# the window STATISTICS change every time the window slides: an exactly-
+# equivalent push must rerun the temporal net over the window — O(window)
+# work is inherent to the model's semantics, not an implementation choice.
+# Two levers remain, both used here:
+#
+#   exact path    — the ring buffer lives in projected (latent) space so
+#                   input_proj runs once per frame, and the joint regressor
+#                   decodes ONLY the newest frame. Bit-identical to a full
+#                   forward; roughly halves per-push FLOPs at the training
+#                   config.
+#   frozen path   — freeze() captures each GroupNorm's window statistics and
+#                   each causal conv's K-1 tap history; push then costs O(1)
+#                   frames of compute regardless of window size. Outputs are
+#                   exact w.r.t. the frozen-stats model (tested), and track
+#                   the sliding-stats model as closely as the statistics are
+#                   stationary — the right trade for long steady-state
+#                   streams; call freeze() again (or unfreeze()) after a
+#                   scene change.
+
+
+def _gn_group_stats(x: jnp.ndarray, groups: int, eps: float):
+    """x (1, T, D) -> per-group (mean (G,), rstd (G,)) over (T, D/G)."""
+    _, t_len, d = x.shape
+    xg = x.reshape(t_len, groups, d // groups)
+    mean = xg.mean(axis=(0, 2))
+    var = jnp.mean((xg - mean[None, :, None]) ** 2, axis=(0, 2))
+    return mean, jax.lax.rsqrt(var + eps)
+
+
+def _frozen_gn_relu(u, mean_g, rstd_g, scale, bias, groups: int):
+    """Per-frame GN+ReLU with externally-fixed per-group statistics.
+    u (N, D); mean_g/rstd_g (G,)."""
+    d = u.shape[-1]
+    rep = d // groups
+    mean = jnp.repeat(mean_g, rep)
+    rstd = jnp.repeat(rstd_g, rep)
+    return jax.nn.relu((u - mean) * rstd * scale + bias)
+
+
+def _sorted_blocks(net_params: dict):
+    return sorted(net_params.keys(), key=lambda n: int(n.removeprefix("block")))
+
+
+def _capture_freeze(x, net_params, groups: int, eps: float):
+    """Run the temporal net over the full window (1, T, D), returning
+    (phi, per-block GN stats, per-block conv tap history). The tap history
+    holds the last K-1 frames of each conv's input stream — exactly the
+    state an O(1) streaming step needs."""
+    from h36x.ops.causal_conv import causal_conv1d
+
+    stats, state = {}, {}
+    for name in _sorted_blocks(net_params):
+        p = net_params[name]
+        k_taps = p["conv1"]["kernel"].shape[0]
+        mu1, rstd1 = _gn_group_stats(x, groups, eps)
+        h = _frozen_gn_relu(x, mu1, rstd1, p["gn1"]["scale"], p["gn1"]["bias"],
+                            groups)
+        c1 = causal_conv1d(h, p["conv1"]["kernel"], p["conv1"]["bias"])
+        mu2, rstd2 = _gn_group_stats(c1, groups, eps)
+        g = _frozen_gn_relu(c1, mu2, rstd2, p["gn2"]["scale"],
+                            p["gn2"]["bias"], groups)
+        c2 = causal_conv1d(g, p["conv2"]["kernel"], p["conv2"]["bias"])
+        stats[name] = {"mu1": mu1, "rstd1": rstd1, "mu2": mu2, "rstd2": rstd2}
+        state[name] = {"h": h[0, -(k_taps - 1):], "g": g[0, -(k_taps - 1):]}
+        x = c2 + x
+    return x, stats, state
+
+
+def _stream_block(u, p, st, fs, groups: int):
+    """One residual block on ONE new frame u (1, D) with frozen GN stats fs
+    and conv tap history st; returns (out (1, D), new history)."""
+    h = _frozen_gn_relu(u, fs["mu1"], fs["rstd1"], p["gn1"]["scale"],
+                        p["gn1"]["bias"], groups)
+    h_hist = jnp.concatenate([st["h"], h], axis=0)  # (K, D)
+    c1 = jnp.einsum(
+        "kd,kdo->o", h_hist, p["conv1"]["kernel"],
+        preferred_element_type=jnp.float32,
+    )[None, :] + p["conv1"]["bias"]
+    g = _frozen_gn_relu(c1, fs["mu2"], fs["rstd2"], p["gn2"]["scale"],
+                        p["gn2"]["bias"], groups)
+    g_hist = jnp.concatenate([st["g"], g], axis=0)
+    c2 = jnp.einsum(
+        "kd,kdo->o", g_hist, p["conv2"]["kernel"],
+        preferred_element_type=jnp.float32,
+    )[None, :] + p["conv2"]["bias"]
+    return c2 + u, {"h": h_hist[1:], "g": g_hist[1:]}
+
+
 class StreamingPredictor:
     """Online per-frame 3D pose over a sliding feature window.
 
@@ -79,52 +180,115 @@ class StreamingPredictor:
     arrived the buffer is left-filled with the first frame (the same edge
     semantics the causal convs use for t<0). `forecast(steps)` rolls the AR
     predictor `steps` frames past the current window.
+
+    The ring buffer is kept in projected (latent) space and only the newest
+    frame is decoded, so a push reruns just the temporal net over the window
+    (required for exact sliding-GroupNorm semantics — see module comment).
+    freeze() switches to O(1)-per-push incremental inference with the
+    GroupNorm statistics pinned at the freeze-time window.
     """
 
     def __init__(self, params, window: int = 40, feature_dim: int = 2048,
                  joints_num: int = 17, groups: int = 32,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, eps: float = 1e-5):
         self.params = params
         self.window = window
         self.joints_num = joints_num
         self.groups = groups
         self.use_pallas = use_pallas
-        self._buf = np.zeros((1, window, feature_dim), dtype=np.float32)
+        self.eps = eps
+        self._xbuf = None  # (1, window, latent) projected, device-resident
         self._seen = 0
-
-        from h36x.infer import phd_forward_fused
+        self._frozen = None  # (stats, state) pytrees when frozen
 
         @jax.jit
-        def forward(params, feats):
-            return phd_forward_fused(
-                params, feats, joints_num=joints_num, groups=groups,
-                use_pallas=use_pallas,
-            )[2]
+        def project(params, feat):  # (feature_dim,) -> (latent,)
+            return feat @ params["input_proj"]["kernel"] + params["input_proj"]["bias"]
 
-        self._forward = forward
+        @jax.jit
+        def step(params, xbuf, xnew):
+            xbuf = jnp.concatenate([xbuf[:, 1:], xnew[None, None, :]], axis=1)
+            phi = _temporal_net(xbuf, params["f_movie"], groups, use_pallas,
+                                False, 256)
+            joints = _regressor(phi[:, -1:], params["f_3D"], joints_num,
+                                use_pallas, False)
+            return xbuf, joints[0, -1]
+
+        @jax.jit
+        def capture(params, xbuf):
+            _, stats, state = _capture_freeze(xbuf, params["f_movie"], groups,
+                                              eps)
+            return stats, state
+
+        @jax.jit
+        def frozen_step(params, xbuf, stats, state, xnew):
+            xbuf = jnp.concatenate([xbuf[:, 1:], xnew[None, None, :]], axis=1)
+            u = xnew[None, :]
+            new_state = {}
+            for name in _sorted_blocks(params["f_movie"]):
+                u, new_state[name] = _stream_block(
+                    u, params["f_movie"][name], state[name], stats[name], groups
+                )
+            joints = _regressor(u[:, None, :], params["f_3D"], joints_num,
+                                use_pallas, False)
+            return xbuf, new_state, joints[0, 0]
+
+        self._project = project
+        self._step = step
+        self._capture = capture
+        self._frozen_step = frozen_step
         self._rollouts: dict = {}
 
     def push(self, feat: np.ndarray) -> np.ndarray:
         """Add one frame's features; returns that frame's joints (J, 3)."""
         feat = np.asarray(feat, dtype=np.float32).reshape(-1)
+        xnew = self._project(self.params, jnp.asarray(feat))
         if self._seen == 0:
-            self._buf[0, :] = feat  # edge-replicate warm start
-        else:
-            self._buf[0, :-1] = self._buf[0, 1:]
-            self._buf[0, -1] = feat
+            # edge-replicate warm start (constant window, so the roll in the
+            # step functions is a no-op on content)
+            self._xbuf = jnp.tile(xnew[None, None, :], (1, self.window, 1))
         self._seen += 1
-        joints = self._forward(self.params, jnp.asarray(self._buf))
-        return np.asarray(joints[0, -1])
+        if self._frozen is not None:
+            stats, state = self._frozen
+            self._xbuf, state, joints = self._frozen_step(
+                self.params, self._xbuf, stats, state, xnew
+            )
+            self._frozen = (stats, state)
+        else:
+            self._xbuf, joints = self._step(self.params, self._xbuf, xnew)
+        return np.asarray(joints)
+
+    def freeze(self) -> None:
+        """Pin GroupNorm statistics at the current window and switch push()
+        to O(1) incremental compute. Requires at least one pushed frame;
+        call again later to re-pin the statistics to a newer window."""
+        if self._seen == 0:
+            raise RuntimeError("no frames pushed yet")
+        self._frozen = self._capture(self.params, self._xbuf)
+
+    def unfreeze(self) -> None:
+        """Return to exact sliding-statistics inference."""
+        self._frozen = None
+
+    @property
+    def frozen(self) -> bool:
+        return self._frozen is not None
 
     def forecast(self, steps: int) -> np.ndarray:
         """AR rollout `steps` frames past the current window -> (steps, J, 3)."""
         if self._seen == 0:
             raise RuntimeError("no frames pushed yet")
         if steps not in self._rollouts:
-            self._rollouts[steps] = make_rollout_fn(
-                steps, self.joints_num, self.groups, self.use_pallas
-            )
-        _, future = self._rollouts[steps](self.params, jnp.asarray(self._buf))
+
+            def fn(params, x, _steps=steps):
+                _, fut, _ = _rollout_from_x(
+                    params, x, _steps, self.joints_num, self.groups,
+                    self.use_pallas,
+                )
+                return fut
+
+            self._rollouts[steps] = fn
+        future = self._rollouts[steps](self.params, self._xbuf)
         return np.asarray(future[0])
 
     @property
