@@ -88,6 +88,9 @@ class OptimConfig:
     early_stop_min_delta: float = 0.0
     seed: int = 0
     log_every: int = 500
+    # Train the phase-1 step through the fused Pallas residual blocks
+    # (precise 3-pass MXU matmuls, Pallas forward AND backward kernels).
+    fused: bool = False
 
 
 @dataclass

@@ -35,7 +35,7 @@ def _rollout_from_x(params, x, steps: int, joints_num: int, groups: int,
     """Rollout over already-projected inputs x (B,T,latent) -> (joints_ctx,
     joints_future, phi_ext). The streaming predictor keeps its ring buffer
     in projected space, so it feeds this entry directly."""
-    phi = _temporal_net(x, params["f_movie"], groups, use_pallas, False, 256)
+    phi = _temporal_net(x, params["f_movie"], groups, use_pallas, False, None)
     b, t, d = phi.shape
 
     buf = jnp.zeros((b, t + steps, d), dtype=phi.dtype)
@@ -209,7 +209,7 @@ class StreamingPredictor:
         def step(params, xbuf, xnew):
             xbuf = jnp.concatenate([xbuf[:, 1:], xnew[None, None, :]], axis=1)
             phi = _temporal_net(xbuf, params["f_movie"], groups, use_pallas,
-                                False, 256)
+                                False, None)
             joints = _regressor(phi[:, -1:], params["f_3D"], joints_num,
                                 use_pallas, False)
             return xbuf, joints[0, -1]

@@ -238,7 +238,9 @@ def fit(
         )
         train_step = None  # bound per-epoch with the curriculum horizon
     else:
-        train_step = make_train_step(model, optimizer)
+        train_step = make_train_step(
+            model, optimizer, fused=getattr(cfg.optim, "fused", False)
+        )
     eval_step = make_weighted_eval_step(model)
     data_sharding = batch_sharding(mesh)
 

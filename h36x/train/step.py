@@ -17,6 +17,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from h36x.infer import phd_forward_train_fused
 from h36x.train.losses import (
     bone_length_loss,
     bone_length_per_row,
@@ -28,20 +29,41 @@ from h36x.train.losses import (
 from h36x.train.state import TrainState
 
 
-def make_train_step(model, optimizer, donate: bool = True) -> Callable:
+def make_train_step(model, optimizer, donate: bool = True,
+                    fused: bool = False, interpret: bool = False,
+                    precise: bool = True) -> Callable:
     """Build the jitted training step.
 
     Returns step(state, batch, rng) -> (state, metrics) where batch =
     (feats (B,T,F), joints3d (B,T,J,3), joints2d, K) and metrics is a dict of
     scalars {loss, l3d, mpjpe, bone}.
+
+    fused=True runs the forward AND backward of every residual block as
+    Pallas kernels at precise (3-pass f32) MXU precision
+    (:func:`h36x.infer.phd_forward_train_fused`); dropout semantics match
+    the flax path. interpret only applies to fused (CPU testing).
     """
 
-    def loss_fn(params, feats, joints3d, rng):
-        _, _, joints_pred, _ = model.apply(
-            {"params": params}, feats, train=True, rngs={"dropout": rng}
-        )
-        l3d = mse3d(joints_pred, joints3d)
-        return l3d, joints_pred
+    if fused:
+
+        def loss_fn(params, feats, joints3d, rng):
+            _, joints_pred = phd_forward_train_fused(
+                params, feats, rng,
+                dropout=model.dropout, joints_num=model.joints_num,
+                groups=model.groups, regressor_iters=model.regressor_iters,
+                interpret=interpret, precise=precise,
+            )
+            l3d = mse3d(joints_pred, joints3d)
+            return l3d, joints_pred
+
+    else:
+
+        def loss_fn(params, feats, joints3d, rng):
+            _, _, joints_pred, _ = model.apply(
+                {"params": params}, feats, train=True, rngs={"dropout": rng}
+            )
+            l3d = mse3d(joints_pred, joints3d)
+            return l3d, joints_pred
 
     def step(state: TrainState, batch, rng):
         feats, joints3d = batch[0], batch[1]

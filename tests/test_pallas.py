@@ -175,3 +175,96 @@ class TestFusedInferenceEngine:
         got = phd_forward_fused(params, feats, groups=8, use_pallas=False)[2]
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestFusedTemporalPallasBackward:
+    """The backward now runs as a Pallas kernel (grid (D/TILE_I, B), weight
+    grads accumulated across the sample axis in VMEM). Verified against
+    jax.grad of the jnp reference for every differentiable input."""
+
+    @pytest.fixture()
+    def inputs(self, rng):
+        b, t, d = 2, 8, 64
+        return (
+            rng.normal(size=(b, t, d)).astype(np.float32),
+            rng.normal(size=(d,)).astype(np.float32),
+            rng.normal(size=(d,)).astype(np.float32),
+            (rng.normal(size=(3, d, d)) * 0.1).astype(np.float32),
+            rng.normal(size=(d,)).astype(np.float32) * 0.1,
+        )
+
+    def test_tile_selection(self):
+        from h36x.ops.pallas_temporal import _bwd_tile_i
+
+        # training config: D=O=1024, groups=32 -> 256-wide tiles fit
+        assert _bwd_tile_i(1024, 32, 40, 1024, 3) == 256
+        # tiny test config routes through the kernel too
+        assert _bwd_tile_i(64, 8, 8, 64, 3) == 64
+        # degenerate T (edge-replication span >= T) must fall back
+        assert _bwd_tile_i(64, 8, 3, 64, 3) is None
+        # group size not dividing any tile -> fallback
+        assert _bwd_tile_i(96, 2, 8, 96, 3) is None
+
+    def test_all_grads_match_reference(self, inputs, rng):
+        x, scale, bias, w, cb = (jnp.asarray(v) for v in inputs)
+        res = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+
+        def lf(*a):
+            return (fused_gn_relu_cconv(*a, groups=8, tile_o=32,
+                                        interpret=True) ** 2).sum()
+
+        def lr(*a):
+            return (reference_gn_relu_cconv(*a, groups=8) ** 2).sum()
+
+        gf = jax.grad(lf, argnums=tuple(range(6)))(x, scale, bias, w, cb, res)
+        gr = jax.grad(lr, argnums=tuple(range(6)))(x, scale, bias, w, cb, res)
+        names = ("dx", "dscale", "dbias", "dw", "dconv_bias", "dres")
+        for name, a, b in zip(names, gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4,
+                err_msg=f"gradient mismatch for {name}",
+            )
+
+    def test_grads_without_residual(self, inputs):
+        x, scale, bias, w, cb = (jnp.asarray(v) for v in inputs)
+
+        def lf(x, w):
+            return (fused_gn_relu_cconv(x, scale, bias, w, cb, groups=8,
+                                        tile_o=32, interpret=True) ** 2).sum()
+
+        def lr(x, w):
+            return (reference_gn_relu_cconv(x, scale, bias, w, cb,
+                                            groups=8) ** 2).sum()
+
+        gf = jax.grad(lf, argnums=(0, 1))(x, w)
+        gr = jax.grad(lr, argnums=(0, 1))(x, w)
+        for name, a, b in zip(("dx", "dw"), gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4,
+                err_msg=f"gradient mismatch for {name}",
+            )
+
+    def test_grads_batch_accumulation(self, rng):
+        """B > 1 exercises the cross-sample accumulation of dW in VMEM."""
+        b, t, d = 5, 9, 64
+        x = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+        scale = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+        w = jnp.asarray((rng.normal(size=(3, d, d)) * 0.1).astype(np.float32))
+        cb = jnp.asarray(rng.normal(size=(d,)).astype(np.float32) * 0.1)
+
+        def lf(x, scale, bias, w, cb):
+            return (fused_gn_relu_cconv(x, scale, bias, w, cb, groups=8,
+                                        tile_o=32, interpret=True) ** 2).sum()
+
+        def lr(x, scale, bias, w, cb):
+            return (reference_gn_relu_cconv(x, scale, bias, w, cb,
+                                            groups=8) ** 2).sum()
+
+        gf = jax.grad(lf, argnums=(0, 1, 2, 3, 4))(x, scale, bias, w, cb)
+        gr = jax.grad(lr, argnums=(0, 1, 2, 3, 4))(x, scale, bias, w, cb)
+        for name, a, b_ in zip(("dx", "dscale", "dbias", "dw", "dcb"), gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-4,
+                err_msg=f"gradient mismatch for {name}",
+            )

@@ -169,3 +169,45 @@ class TestCheckpoint:
         )
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(state.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestFusedTrainStep:
+    """--fused training: Pallas forward+backward residual blocks (precise
+    3-pass MXU) must reproduce the XLA step."""
+
+    def test_matches_xla_step_no_dropout(self, setup, rng):
+        model, optimizer, state = setup
+        batch = synth_batch(rng)
+        key = jax.random.key(2)
+
+        xla_step = make_train_step(model, optimizer, donate=False)
+        fused_step = make_train_step(model, optimizer, donate=False,
+                                     fused=True, interpret=True)
+        s_x, m_x = xla_step(state, batch, key)
+        s_f, m_f = fused_step(state, batch, key)
+
+        np.testing.assert_allclose(float(m_f["loss"]), float(m_x["loss"]),
+                                   rtol=1e-5)
+        for a, b in zip(
+            jax.tree.leaves(jax.device_get(s_x.params)),
+            jax.tree.leaves(jax.device_get(s_f.params)),
+        ):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+    def test_fused_loss_decreases_with_dropout(self, rng):
+        model = PHDFor3DJoints(latent_dim=64, feature_dim=32, number_blocks=1,
+                               dropout=0.3)
+        optimizer, _ = make_optimizer(lr=1e-3, freeze_ar=True)
+        state = create_train_state(model, optimizer, jax.random.key(0),
+                                   jnp.zeros((2, 6, 32)))
+        step = make_train_step(model, optimizer, donate=False, fused=True,
+                               interpret=True)
+        batch = synth_batch(rng)
+        key = jax.random.key(1)
+        losses = []
+        for _ in range(15):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, batch, sub)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0]
+        assert np.isfinite(losses).all()
