@@ -7,6 +7,14 @@ in bf16. This matches the reference's measured configuration
 (preprocess_resnet_features.py with --augment: ~11 clips/s x 40 frames
 = ~445 clip-frames/s on 1x A40, BASELINE.md), counting clip-frames.
 
+Accounting: one CLIP-frame costs 3 backbone passes (orig, color-jitter,
+hflip; temporal-reverse reuses orig's features), so clip-frames/s =
+backbone frames/s / 3. The reference's ~445 clip-frames/s paid 4 passes
+per clip on its A40 — both numbers charge the full augmentation suite.
+Reaching 10k clip-frames/s would need 30k backbone frames/s; the measured
+XLA ceiling on one v5e is ~11.7k backbone frames/s at ~86% of the HBM
+roofline (see DESIGN.md "backbone ceiling").
+
 Methodology: the timed region is a jitted `lax.fori_loop` whose body derives
 a scalar from the features and folds it (times zero) back into the next
 iteration's input — a data dependence that defeats loop hoisting without

@@ -263,3 +263,25 @@ def test_extracted_store_trains(tmp_path):
         state, tuple(jnp.asarray(x) for x in (feats, j3d, j2d, K)), jax.random.key(1)
     )
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_feature_fn_opt_engine_matches_flax(rng):
+    """engine='opt' (folded BN/normalize + s2d stem) must agree with the
+    flax feature fn at the numerics of the compute dtype."""
+    import jax
+    import jax.numpy as jnp
+
+    from h36x.extract.pipeline import make_feature_fn
+    from h36x.models.resnet import ResNet50, init_resnet_params
+
+    model = ResNet50(dtype=jnp.float32)
+    variables = init_resnet_params(model, jax.random.key(0), input_hw=32)
+    frames = jnp.asarray(
+        rng.integers(0, 256, size=(3, 32, 32, 3)), dtype=jnp.uint8
+    )
+    flax_fn = make_feature_fn(model)
+    opt_fn = make_feature_fn(model, engine="opt")
+    a = np.asarray(flax_fn(variables, frames))
+    b = np.asarray(opt_fn(variables, frames))
+    assert a.shape == b.shape == (3, 2048)
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
