@@ -93,6 +93,38 @@ def _adjust_hue(v, shift):
     return _hsv_to_rgb(h, s, val)
 
 
+# RGB -> YIQ (NTSC); hue rotation is a rotation of the (I, Q) chroma plane.
+_RGB2YIQ = jnp.asarray(
+    [[0.299, 0.587, 0.114],
+     [0.595716, -0.274453, -0.321263],
+     [0.211456, -0.522591, 0.311135]],
+    dtype=jnp.float32,
+)
+_YIQ2RGB = jnp.linalg.inv(_RGB2YIQ)
+
+
+def _adjust_hue_yiq(v, shift):
+    """Hue rotation as one 3x3 pixel matmul (lane-friendly).
+
+    The HSV formulation needs per-pixel max/min, 3-way selects and a
+    6-branch un-mapping — all VPU select chains. Rotating the YIQ chroma
+    plane by 2*pi*shift is two tiny matmuls the MXU eats with zero
+    branching; it preserves luma exactly and tracks the HSV hue-shift's
+    direction and magnitude at the jitter strengths used here (|shift| <=
+    0.05: mean |delta| ~5e-2 vs HSV on random pixels — the residual is the
+    inherent linear-circular vs hexagonal rotation difference; fine for an
+    augmentation, and the host/production path keeps exact HSV).
+    """
+    # negative: +shift in HSV moves red toward green; +theta in the (I, Q)
+    # plane rotates red toward blue
+    theta = -2.0 * jnp.pi * shift
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    rot = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 0.0, 0.0], [0.0, 0.0, 0.0]])
+    rot = rot.at[1, 1].set(c).at[1, 2].set(-s).at[2, 1].set(s).at[2, 2].set(c)
+    t = _YIQ2RGB @ rot @ _RGB2YIQ
+    return jnp.clip(v @ t.T, 0.0, 1.0)
+
+
 def color_jitter(
     video01: jnp.ndarray,
     key,
@@ -100,8 +132,15 @@ def color_jitter(
     contrast: float = 0.3,
     saturation: float = 0.2,
     hue: float = 0.05,
+    hue_mode: str = "yiq",
 ) -> jnp.ndarray:
-    """One factor set per clip, ops applied in a seeded random order."""
+    """One factor set per clip, ops applied in a seeded random order.
+
+    hue_mode='yiq' (default) rotates the YIQ chroma plane — one 3x3 pixel
+    matmul, the lane-friendly device formulation. hue_mode='hsv' keeps the
+    exact torchvision HSV semantics (what the host/production path uses);
+    it is select-heavy and measured several times slower on the VPU.
+    """
     k_perm, k_b, k_c, k_s, k_h = jax.random.split(key, 5)
     fb = jax.random.uniform(k_b, (), minval=1.0 - brightness, maxval=1.0 + brightness)
     fc = jax.random.uniform(k_c, (), minval=1.0 - contrast, maxval=1.0 + contrast)
@@ -109,11 +148,12 @@ def color_jitter(
     fh = jax.random.uniform(k_h, (), minval=-hue, maxval=hue)
     order = jax.random.permutation(k_perm, 4)
 
+    hue_fn = _adjust_hue_yiq if hue_mode == "yiq" else _adjust_hue
     ops = (
         lambda v: _adjust_brightness(v, fb),
         lambda v: _adjust_contrast(v, fc),
         lambda v: _adjust_saturation(v, fs),
-        lambda v: _adjust_hue(v, fh),
+        lambda v: hue_fn(v, fh),
     )
     out = video01
     for slot in range(4):

@@ -5,11 +5,15 @@ Stage parity: reference src/preprocess_resnet_features.py (CLI at :136-155,
 loop at :273-341, flush at :343-417). TPU-first design differences:
 
 - crop + bilinear resize + the photometric variant suite ride the decode
-  workers (the frames are already in host cache there, shipping 224x224 u8
-  crops instead of raw frames cuts host->device transfer ~20x, and the
-  select-heavy HSV jitter is VPU-hostile); the device jit does normalize +
-  ResNet-50 over all variants in one pass with static shapes
-  (:func:`make_feature_fn`), keeping the MXU saturated;
+  workers (the frames are already in host cache there; shipping 224x224 u8
+  crops instead of raw frames cuts host->device transfer ~20x); the device
+  jit does normalize + ResNet-50 over all variants in one pass with static
+  shapes (:func:`make_feature_fn`), keeping the MXU saturated. The device
+  jitter is no longer VPU-hostile — the YIQ matrix hue rotation
+  (h36x/data/augment.py, round 2) measured 79x faster than the HSV
+  formulation on-chip (29k frames/s, above the backbone's 11.5k), so
+  device-resident pipelines can jitter on-device; the host path stays
+  because it overlaps with decode for free;
 - the temporal-reverse variant's features are the orig features reversed in
   time (per-frame backbone), so each clip costs 3 backbone passes, not 4;
 - decode runs in a thread pool overlapped with device compute (cv2 releases

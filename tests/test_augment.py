@@ -146,3 +146,55 @@ class TestColorJitter:
             np.asarray(out), np.asarray(color_jitter(v, jax.random.key(0))),
             rtol=1e-5, atol=1e-6,
         )
+
+
+class TestYIQHue:
+    """Lane-friendly hue rotation (_adjust_hue_yiq) — the device default."""
+
+    def test_zero_shift_identity(self, rng):
+        from h36x.data.augment import _adjust_hue_yiq
+
+        v = jnp.asarray(rng.random((2, 4, 4, 3)).astype(np.float32))
+        np.testing.assert_allclose(np.asarray(_adjust_hue_yiq(v, 0.0)),
+                                   np.asarray(v), rtol=1e-5, atol=1e-6)
+
+    def test_gray_pixels_invariant(self, rng):
+        from h36x.data.augment import _adjust_hue_yiq
+
+        g = rng.random((5, 1, 1, 1)).astype(np.float32)
+        v = jnp.asarray(np.repeat(g, 3, axis=-1))
+        out = np.asarray(_adjust_hue_yiq(v, 0.04))
+        np.testing.assert_allclose(out, np.asarray(v), rtol=1e-4, atol=1e-5)
+
+    def test_preserves_luma(self, rng):
+        from h36x.data.augment import _GRAY, _adjust_hue_yiq
+
+        # interior pixels (away from clipping) keep Y exactly
+        v = jnp.asarray((rng.random((64, 3)) * 0.5 + 0.25).astype(np.float32))
+        out = _adjust_hue_yiq(v, 0.05)
+        np.testing.assert_allclose(np.asarray(out @ _GRAY),
+                                   np.asarray(v @ _GRAY), rtol=5e-3, atol=5e-3)
+
+    def test_close_to_hsv_at_jitter_strength(self, rng):
+        """Within visual tolerance of the exact HSV shift for |shift|<=0.05
+        (the production jitter strength, reference src/dataset.py:190)."""
+        from h36x.data.augment import _adjust_hue, _adjust_hue_yiq
+
+        v = jnp.asarray(rng.random((32, 32, 3)).astype(np.float32))
+        for shift in (-0.05, 0.03, 0.05):
+            a = np.asarray(_adjust_hue_yiq(v, shift))
+            b = np.asarray(_adjust_hue(v, shift))
+            assert np.abs(a - b).mean() < 0.08, shift
+            # both move pixels in the same direction, comparable magnitude
+            da = np.abs(a - np.asarray(v)).mean()
+            db = np.abs(b - np.asarray(v)).mean()
+            assert 0.3 < da / max(db, 1e-6) < 3.0
+
+    def test_color_jitter_yiq_jits_and_in_range(self, rng):
+        from h36x.data.augment import color_jitter
+
+        v = jnp.asarray(rng.random((2, 8, 8, 3)).astype(np.float32))
+        out = jax.jit(lambda v, k: color_jitter(v, k))(v, jax.random.key(1))
+        out = np.asarray(out)
+        assert out.min() >= 0.0 and out.max() <= 1.0
+        assert not np.allclose(out, np.asarray(v))
