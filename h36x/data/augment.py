@@ -165,9 +165,10 @@ def color_jitter(
 # Host (numpy) photometric jitter — used by the extraction decode workers.
 #
 # The device (jnp) implementation above is kept for device-resident
-# pipelines; in the production extract stage the jitter runs on the decode
-# workers where the u8 crops already live, because select-heavy HSV math is
-# VPU-hostile while the backbone wants the MXU to itself. Variants are
+# pipelines (with the YIQ hue default it measures 29k frames/s on-chip —
+# no longer the bottleneck it was with HSV hue, which ran 79x slower); the
+# production extract stage still jitters on the decode workers where the u8
+# crops already live, overlapping with decode for free. Variants are
 # re-quantized to u8 for transfer (max error 1/510, below jpeg noise).
 # ---------------------------------------------------------------------------
 
