@@ -30,15 +30,20 @@ class SyntheticClips:
         self.n, self.t, self.hw = n_clips, seq_len, hw
         self.seq_len = seq_len
         self.frame_skip = 2
+        # one shared base clip; per-clip frames derive from it with a cheap
+        # roll (generating 120 MB of fresh numpy randomness per clip costs
+        # ~10 s and would make the benchmark measure the RNG, not the
+        # pipeline — real decode produces frames far faster)
+        self._base = np.random.default_rng(0).integers(
+            0, 256, size=(seq_len, hw, hw, 3)
+        ).astype(np.uint8)
 
     def __len__(self):
         return self.n
 
     def __getitem__(self, i):
         rng = np.random.default_rng(i)
-        frames = rng.integers(0, 256, size=(self.t, self.hw, self.hw, 3)).astype(
-            np.uint8
-        )
+        frames = np.roll(self._base, shift=i * 7, axis=1)
         j3d = rng.normal(size=(self.t, 17, 3)).astype(np.float32) * 100
         j2d = (
             rng.random((self.t, 17, 2)) * (self.hw * 0.4) + self.hw * 0.3

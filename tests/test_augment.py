@@ -198,3 +198,14 @@ class TestYIQHue:
         out = np.asarray(out)
         assert out.min() >= 0.0 and out.max() <= 1.0
         assert not np.allclose(out, np.asarray(v))
+
+
+def test_np_hue_cv2_matches_numpy(rng):
+    cv2 = pytest.importorskip("cv2")
+    from h36x.data.augment import _np_hue, _np_hue_cv2
+
+    v = rng.random((3, 16, 16, 3)).astype(np.float32)
+    for shift in (-0.05, 0.02, 0.05):
+        np.testing.assert_allclose(
+            _np_hue_cv2(v, shift), _np_hue(v, shift), rtol=1e-4, atol=1e-5
+        )
