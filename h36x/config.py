@@ -70,6 +70,9 @@ class ModelConfig:
     dropout: float = 0.5
     groups: int = 32
     kernel_size: int = 3
+    # compute dtype: 'float32' or 'bfloat16' (mixed precision: bf16 matmuls
+    # and activations, f32 params/optimizer/GroupNorm statistics)
+    dtype: str = "float32"
 
 
 @dataclass

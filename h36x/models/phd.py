@@ -20,7 +20,7 @@ Components:
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -45,6 +45,7 @@ class CausalConv1d(nn.Module):
 
     features: int
     kernel_size: int = 3
+    dtype: Any = None  # compute dtype; params stay f32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -56,30 +57,44 @@ class CausalConv1d(nn.Module):
             (self.kernel_size, d_in, self.features),
         )
         bias = self.param("bias", _fan_in_uniform(fan_in), (self.features,))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype)
         return causal_conv1d(x, kernel, bias)
 
 
 class ResidualBlock(nn.Module):
-    """GN -> ReLU -> CausalConv -> Dropout -> GN -> ReLU -> CausalConv + skip."""
+    """GN -> ReLU -> CausalConv -> Dropout -> GN -> ReLU -> CausalConv + skip.
+
+    dtype sets the COMPUTE dtype (bf16 mixed-precision training keeps f32
+    params and f32 GroupNorm statistics — GN reduces over T*D/G elements
+    and its variance cancellation is the one numerically fragile spot)."""
 
     channels: int
     groups: int = 32
     dropout: float = 0.5
     kernel_size: int = 3
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         residual = x
         # GroupNorm over (time, channels-in-group) per sample — on (B, T, C)
         # this reduces the same element set as torch GN on (B, C, T).
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="gn1")(x)
+        # Statistics in f32 even under bf16 compute (dtype=f32 on the norm).
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="gn1",
+                         dtype=jnp.float32)(x)
         x = nn.relu(x)
-        x = CausalConv1d(self.channels, self.kernel_size, name="conv1")(x)
+        x = CausalConv1d(self.channels, self.kernel_size, dtype=self.dtype,
+                         name="conv1")(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="gn2")(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="gn2",
+                         dtype=jnp.float32)(x)
         x = nn.relu(x)
-        x = CausalConv1d(self.channels, self.kernel_size, name="conv2")(x)
-        return x + residual
+        x = CausalConv1d(self.channels, self.kernel_size, dtype=self.dtype,
+                         name="conv2")(x)
+        return x + residual.astype(x.dtype)
 
 
 class CausalTemporalNet(nn.Module):
@@ -90,6 +105,7 @@ class CausalTemporalNet(nn.Module):
     dropout: float = 0.5
     groups: int = 32
     kernel_size: int = 3
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -99,14 +115,16 @@ class CausalTemporalNet(nn.Module):
                 groups=self.groups,
                 dropout=self.dropout,
                 kernel_size=self.kernel_size,
+                dtype=self.dtype,
                 name=f"block{i}",
             )(x, train=train)
         return x
 
 
-def _dense(features: int, fan_in: int, name: str) -> nn.Dense:
+def _dense(features: int, fan_in: int, name: str, dtype=None) -> nn.Dense:
     init = _fan_in_uniform(fan_in)
-    return nn.Dense(features, kernel_init=init, bias_init=init, name=name)
+    return nn.Dense(features, kernel_init=init, bias_init=init, name=name,
+                    dtype=dtype)
 
 
 class JointRegressor(nn.Module):
@@ -121,15 +139,16 @@ class JointRegressor(nn.Module):
     iters: int = 3
     hidden: int = 1024
     dropout: float = 0.5
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, phi: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         b, t, _ = phi.shape
         out_dim = self.joints_num * 3
 
-        fc1 = _dense(self.hidden, self.latent_dim + out_dim, "fc1")
-        fc2 = _dense(self.hidden, self.hidden, "fc2")
-        fc3 = _dense(out_dim, self.hidden, "fc3")
+        fc1 = _dense(self.hidden, self.latent_dim + out_dim, "fc1", self.dtype)
+        fc2 = _dense(self.hidden, self.hidden, "fc2", self.dtype)
+        fc3 = _dense(out_dim, self.hidden, "fc3", self.dtype)
         drop = nn.Dropout(self.dropout, deterministic=not train)
 
         y = jnp.zeros((b, t, out_dim), dtype=phi.dtype)
@@ -162,6 +181,7 @@ class PHDFor3DJoints(nn.Module):
     kernel_size: int = 3
     regressor_iters: int = 3
     regressor_hidden: int = 1024
+    dtype: Any = None  # compute dtype (bf16 mixed precision); params f32
 
     @nn.compact
     def __call__(
@@ -171,13 +191,15 @@ class PHDFor3DJoints(nn.Module):
         *,
         train: bool = False,
     ):
-        x = _dense(self.latent_dim, self.feature_dim, "input_proj")(feats)
+        x = _dense(self.latent_dim, self.feature_dim, "input_proj",
+                   self.dtype)(feats)
         phi = CausalTemporalNet(
             self.latent_dim,
             num_blocks=self.number_blocks,
             dropout=self.dropout,
             groups=self.groups,
             kernel_size=self.kernel_size,
+            dtype=self.dtype,
             name="f_movie",
         )(x, train=train)
 
@@ -187,6 +209,7 @@ class PHDFor3DJoints(nn.Module):
             dropout=self.dropout,
             groups=self.groups,
             kernel_size=self.kernel_size,
+            dtype=self.dtype,
             name="f_AR",
         )(phi, train=train)
         # Shift the AR stream one step into the future: phi_hat[t] predicts
@@ -201,6 +224,7 @@ class PHDFor3DJoints(nn.Module):
             iters=self.regressor_iters,
             hidden=self.regressor_hidden,
             dropout=self.dropout,
+            dtype=self.dtype,
             name="f_3D",
         )
         joints_phi = f_3d(phi, train=train)

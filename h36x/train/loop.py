@@ -44,6 +44,9 @@ from h36x.utils.timers import PhaseTimers
 
 def build_model(cfg: TrainConfig) -> PHDFor3DJoints:
     m = cfg.model
+    dtype = None
+    if getattr(m, "dtype", "float32") in ("bfloat16", "bf16"):
+        dtype = jnp.bfloat16
     return PHDFor3DJoints(
         latent_dim=m.latent_dim,
         feature_dim=m.feature_dim,
@@ -55,6 +58,7 @@ def build_model(cfg: TrainConfig) -> PHDFor3DJoints:
         kernel_size=m.kernel_size,
         regressor_iters=m.regressor_iters,
         regressor_hidden=m.regressor_hidden,
+        dtype=dtype,
     )
 
 

@@ -211,3 +211,50 @@ class TestFusedTrainStep:
             losses.append(float(metrics["loss"]))
         assert losses[-1] < losses[0]
         assert np.isfinite(losses).all()
+
+
+class TestMixedPrecision:
+    """bf16 compute dtype: f32 params, f32 GN statistics, bf16 matmuls."""
+
+    def test_bf16_params_stay_f32(self):
+        model = PHDFor3DJoints(latent_dim=64, feature_dim=32, number_blocks=1,
+                               dropout=0.0, dtype=jnp.bfloat16)
+        params = model.init(jax.random.key(0), jnp.zeros((2, 6, 32)))["params"]
+        for leaf in jax.tree.leaves(params):
+            assert leaf.dtype == jnp.float32
+
+    def test_bf16_step_trains_and_tracks_f32(self, rng):
+        batch = synth_batch(rng)
+        key = jax.random.key(3)
+        results = {}
+        for name, dt in (("f32", None), ("bf16", jnp.bfloat16)):
+            model = PHDFor3DJoints(latent_dim=64, feature_dim=32,
+                                   number_blocks=1, dropout=0.0, dtype=dt)
+            optimizer, _ = make_optimizer(lr=1e-3, freeze_ar=True)
+            state = create_train_state(model, optimizer, jax.random.key(0),
+                                       jnp.zeros((2, 6, 32)))
+            step = make_train_step(model, optimizer, donate=False)
+            losses = []
+            k = key
+            for _ in range(20):
+                k, sub = jax.random.split(k)
+                state, m = step(state, batch, sub)
+                losses.append(float(m["loss"]))
+            results[name] = losses
+            assert losses[-1] < losses[0]
+            assert np.isfinite(losses).all()
+        # same init => same trajectory within bf16 noise
+        np.testing.assert_allclose(results["bf16"][0], results["f32"][0],
+                                   rtol=2e-2)
+        np.testing.assert_allclose(results["bf16"][-1], results["f32"][-1],
+                                   rtol=0.25)
+
+    def test_build_model_dtype_flag(self):
+        from h36x.config import TrainConfig
+        from h36x.train.loop import build_model
+
+        cfg = TrainConfig()
+        cfg.model.dtype = "bfloat16"
+        assert build_model(cfg).dtype == jnp.bfloat16
+        cfg.model.dtype = "float32"
+        assert build_model(cfg).dtype is None
