@@ -1,0 +1,115 @@
+"""CLI: online serving — streaming per-frame 3D pose and AR future rollout.
+
+The reference ships the forecasting machinery (predict_future in
+src/model.py:158-178, INPUT_LEN/PRED_LEN in src/config.py) but no driver
+for it; this stage exposes h36x's serving engines (h36x/serve.py) over a
+feature shard store:
+
+  batch mode (default)  one AR rollout per clip: context joints for the
+                        whole window + `--forecast` future frames, saved
+                        as an NPZ.
+  --streaming           replay each clip frame-by-frame through the
+                        StreamingPredictor (optionally --freeze after the
+                        window fills: O(1) incremental pushes) and save the
+                        per-frame online predictions. The streamed result
+                        at frame t uses only features <= t — what a live
+                        deployment would have seen.
+
+Output NPZ fields: predicted3djoints (B, T, J, 3), future3djoints
+(B, steps, J, 3) [batch mode], joints3d (GT), meta.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--features-root", required=True)
+    p.add_argument("--model-path", required=True, help="checkpoint .msgpack")
+    p.add_argument("--out", default="outputs/predictions.npz")
+    p.add_argument("--subjects", type=int, nargs="+", default=[9])
+    p.add_argument("--clips", type=int, default=8, help="clips to serve")
+    p.add_argument("--forecast", type=int, default=25,
+                   help="AR future frames past each window (0 disables)")
+    p.add_argument("--streaming", action="store_true",
+                   help="per-frame online replay instead of batch rollout")
+    p.add_argument("--freeze", action="store_true",
+                   help="with --streaming: pin GN statistics once the "
+                        "window is full and push in O(1) per frame")
+    p.add_argument("--latent-dim", type=int, default=1024)
+    p.add_argument("--num-blocks", type=int, default=2)
+    p.add_argument("--groups", type=int, default=32)
+    args = p.parse_args(argv)
+
+    from h36x.utils.runtime import setup_jax_cache
+
+    setup_jax_cache()
+
+    from h36x.config import JOINTS_NUM
+    from h36x.data.features import FeatureClipDataset
+    from h36x.models.phd import PHDFor3DJoints
+    from h36x.serve import StreamingPredictor, make_rollout_fn
+    from h36x.train import checkpoint as ckpt
+
+    ds = FeatureClipDataset(args.features_root, subjects=args.subjects,
+                            test_set=True)
+    if len(ds) == 0:
+        raise RuntimeError(
+            f"no clips under {args.features_root} for subjects={args.subjects}"
+        )
+    n = min(args.clips, len(ds))
+    feats, joints3d, _, _, meta = ds.get_batch(list(range(n)))
+    feature_dim = feats.shape[-1]
+    seq_len = feats.shape[1]
+
+    model = PHDFor3DJoints(latent_dim=args.latent_dim, joints_num=JOINTS_NUM,
+                           number_blocks=args.num_blocks, groups=args.groups)
+    template = model.init(
+        jax.random.key(0), jnp.zeros((1, seq_len, feature_dim))
+    )["params"]
+    params = ckpt.load_params_only(args.model_path, jax.device_get(template))
+
+    out: dict = {"joints3d": np.asarray(joints3d, np.float32),
+                 "meta": np.asarray(meta, dtype=object)}
+
+    if args.streaming:
+        preds = np.zeros((n, seq_len, JOINTS_NUM, 3), np.float32)
+        for b in range(n):
+            sp = StreamingPredictor(params, window=seq_len,
+                                    feature_dim=feature_dim,
+                                    joints_num=JOINTS_NUM, groups=args.groups)
+            for t in range(seq_len):
+                preds[b, t] = sp.push(feats[b, t])
+                if args.freeze and sp.warm and not sp.frozen:
+                    sp.freeze()
+        out["predicted3djoints"] = preds
+        mode = "streaming" + (" (frozen-stats O(1) push)" if args.freeze else "")
+    else:
+        steps = max(args.forecast, 1)
+        rollout = make_rollout_fn(steps, JOINTS_NUM, args.groups)
+        ctx, fut = rollout(params, jnp.asarray(feats))
+        out["predicted3djoints"] = np.asarray(ctx, np.float32)
+        if args.forecast > 0:
+            out["future3djoints"] = np.asarray(fut, np.float32)
+        mode = f"batch rollout (+{args.forecast} future frames)"
+
+    import os
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    np.savez_compressed(args.out, **out)
+    err = np.linalg.norm(
+        out["predicted3djoints"] - out["joints3d"], axis=-1
+    ).mean()
+    print(f"Served {n} clips ({mode}); context MPJPE {err*1000:.2f} mm")
+    print(f"[OK] Saved predictions to: {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -81,3 +81,62 @@ class TestDebugBatchCLI:
               "--batch-size", "3"])
         data = np.load(tmp_path / "dbg.npz", allow_pickle=True)
         assert data["joints3d"].shape[0] == 3
+
+
+class TestPredictCLI:
+    @pytest.fixture
+    def served_store(self, tmp_path):
+        """Synthetic test-subject store + a bare-params checkpoint."""
+        import jax
+        import jax.numpy as jnp
+        from flax import serialization
+
+        from h36x.models.phd import PHDFor3DJoints
+        from tests.helpers import make_synthetic_store
+
+        store = tmp_path / "store"
+        store.mkdir()
+        make_synthetic_store(store, n_shards=1, clips_per_shard=6, n_vars=1,
+                             seq_len=8, feat_dim=32, subjects=(9,))
+        model = PHDFor3DJoints(latent_dim=64, feature_dim=32, joints_num=17,
+                               number_blocks=1, groups=8)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 8, 32)))["params"]
+        ckpt_path = tmp_path / "best.msgpack"
+        ckpt_path.write_bytes(
+            serialization.msgpack_serialize(jax.device_get(params))
+        )
+        return store, ckpt_path
+
+    def test_batch_rollout(self, served_store, tmp_path, capsys):
+        from h36x.cli.predict import main as predict_main
+
+        store, ckpt_path = served_store
+        out = tmp_path / "pred.npz"
+        predict_main([
+            "--features-root", str(store), "--model-path", str(ckpt_path),
+            "--out", str(out), "--subjects", "9", "--clips", "3",
+            "--forecast", "4", "--latent-dim", "64", "--num-blocks", "1",
+            "--groups", "8",
+        ])
+        assert "Saved predictions" in capsys.readouterr().out
+        data = np.load(out, allow_pickle=True)
+        assert data["predicted3djoints"].shape == (3, 8, 17, 3)
+        assert data["future3djoints"].shape == (3, 4, 17, 3)
+        assert np.isfinite(data["predicted3djoints"]).all()
+
+    def test_streaming_with_freeze(self, served_store, tmp_path, capsys):
+        from h36x.cli.predict import main as predict_main
+
+        store, ckpt_path = served_store
+        out = tmp_path / "stream.npz"
+        predict_main([
+            "--features-root", str(store), "--model-path", str(ckpt_path),
+            "--out", str(out), "--subjects", "9", "--clips", "2",
+            "--streaming", "--freeze", "--latent-dim", "64",
+            "--num-blocks", "1", "--groups", "8",
+        ])
+        text = capsys.readouterr().out
+        assert "frozen-stats" in text
+        data = np.load(out, allow_pickle=True)
+        assert data["predicted3djoints"].shape == (2, 8, 17, 3)
+        assert np.isfinite(data["predicted3djoints"]).all()
