@@ -13,6 +13,7 @@ import glob
 import os
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -74,19 +75,28 @@ def load_video_clip_from_meta(
 
 
 def evaluate_test(model, params, dataset: FeatureClipDataset, batch_size: int = 16):
-    """Full-test-set metrics: (loss, mpjpe_m, l3d, l2d=0) like train.evaluate."""
+    """Full-test-set metrics: (loss, mpjpe_m, l3d, l2d=0) like train.evaluate.
+
+    Per-batch metric SUMS (mean x rows) accumulate on device and drain once,
+    so the dataset mean is exact even when the tail batch is short, and the
+    per-batch host sync is gone (same round-2 fix as train/loop.evaluate)."""
     forward = make_forward(model)
     sampler = SequentialBatchSampler(dataset, batch_size)
-    total = {"loss": 0.0, "mpjpe": 0.0}
-    n = 0
+    pending = []
+    rows = 0
     for idx in sampler:
         feats, j3d, _j2d, _K, _meta = dataset.get_batch(idx)
         pred = forward(params, jnp.asarray(feats))
-        total["loss"] += float(mse3d(pred, jnp.asarray(j3d)))
-        total["mpjpe"] += float(mpjpe(pred, jnp.asarray(j3d)))
-        n += 1
-    loss = total["loss"] / max(n, 1)
-    mp = total["mpjpe"] / max(n, 1)
+        j3d = jnp.asarray(j3d)
+        k = len(idx)
+        pending.append((mse3d(pred, j3d) * k, mpjpe(pred, j3d) * k))
+        rows += k
+    total = {"loss": 0.0, "mpjpe": 0.0}
+    for l_sum, m_sum in jax.device_get(pending):
+        total["loss"] += float(l_sum)
+        total["mpjpe"] += float(m_sum)
+    loss = total["loss"] / max(rows, 1)
+    mp = total["mpjpe"] / max(rows, 1)
     return loss, mp, loss, 0.0
 
 

@@ -123,3 +123,33 @@ class TestViewers:
         import matplotlib.pyplot as plt
 
         plt.close("all")
+
+
+def test_evaluate_test_exact_with_short_tail(tmp_path):
+    """evaluate_test must equal the exact dataset mean when the final batch
+    is short (10 rows, batch 4 -> tail of 2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from h36x.models.phd import PHDFor3DJoints
+    from h36x.train.losses import mpjpe, mse3d
+    from tests.helpers import make_synthetic_store
+
+    store = tmp_path / "store"
+    store.mkdir()
+    make_synthetic_store(store, n_shards=1, clips_per_shard=10, n_vars=1,
+                         seq_len=8, feat_dim=32, subjects=(9,))
+    ds = FeatureClipDataset(str(store), subjects=[9], test_set=True)
+    assert len(ds) == 10
+
+    model = PHDFor3DJoints(latent_dim=64, feature_dim=32, joints_num=17,
+                           number_blocks=1)
+    feats, j3d, _, _, _ = ds.get_batch(list(range(10)))
+    params = model.init(jax.random.key(0), jnp.asarray(feats[:2]))["params"]
+
+    loss, mp, _, _ = evaluate_test(model, params, ds, batch_size=4)
+    pred = model.apply({"params": params}, jnp.asarray(feats))[2]
+    np.testing.assert_allclose(loss, float(mse3d(pred, jnp.asarray(j3d))),
+                               rtol=1e-5)
+    np.testing.assert_allclose(mp, float(mpjpe(pred, jnp.asarray(j3d))),
+                               rtol=1e-5)
