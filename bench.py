@@ -75,7 +75,7 @@ def bench_feature_extraction(clips_per_batch=8, seq_len=40, out_hw=224, iters=5)
     # The shared TPU pool behind this tunnel has large throughput variance;
     # best-of-N short bursts estimates hardware capability, not pool load.
     best = 0.0
-    for _ in range(4):
+    for _ in range(6):
         t0 = time.perf_counter()
         float(loop(variables, frames, iters))
         dt = time.perf_counter() - t0

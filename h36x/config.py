@@ -89,6 +89,10 @@ class OptimConfig:
     lambda_future: float = 1.0
     early_stop_patience: int = 10
     early_stop_min_delta: float = 0.0
+    # 2D reprojection loss weight. The reference CLI defines --lambda-2d
+    # (train.py:291, default 1e-6) but never adds the term to the loss
+    # (:161-164); h36x wires it for real. 0.0 == reference behavior.
+    lambda_2d: float = 0.0
     seed: int = 0
     log_every: int = 500
     # Train the phase-1 step through the fused Pallas residual blocks

@@ -243,7 +243,8 @@ def fit(
         train_step = None  # bound per-epoch with the curriculum horizon
     else:
         train_step = make_train_step(
-            model, optimizer, fused=getattr(cfg.optim, "fused", False)
+            model, optimizer, fused=getattr(cfg.optim, "fused", False),
+            lambda_2d=getattr(cfg.optim, "lambda_2d", 0.0),
         )
     eval_step = make_weighted_eval_step(model)
     data_sharding = batch_sharding(mesh)

@@ -6,12 +6,16 @@ Definitions match the reference exactly:
     (reference src/train.py:43-46)
   - bone-length MSE over the 16 H36M edges (reference src/train.py:50-57) —
     defined and tracked but, like the reference, not added to the loss.
+  - 2D reprojection MSE through the batch intrinsics K (the reference
+    defines `--lambda-2d` and `project_with_K_torch`, src/train.py:84-110,
+    291, but never adds the term — h36x actually wires it, default off).
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
+from h36x.geometry.camera import project_with_K
 from h36x.geometry.skeleton import edge_index_arrays
 
 _EDGE_SRC, _EDGE_DST = edge_index_arrays()
@@ -20,6 +24,18 @@ _EDGE_SRC, _EDGE_DST = edge_index_arrays()
 def mse3d(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
     """Mean squared error over all coordinates; the phase-1 training loss."""
     return jnp.mean((pred - gt) ** 2)
+
+
+def mse2d_reproj(pred3d: jnp.ndarray, joints2d: jnp.ndarray,
+                 K: jnp.ndarray) -> jnp.ndarray:
+    """MSE in pixels² between GT 2D joints and predicted 3D joints projected
+    through the (crop-adjusted) intrinsics K.
+
+    pred3d: (B,T,J,3) camera-frame meters; joints2d: (B,T,J,2) pixels in the
+    crop frame; K: (B,3,3) as produced by extraction. The units the
+    reference's disabled 2D path would have used (src/train.py:84-110).
+    """
+    return jnp.mean((project_with_K(pred3d, K) - joints2d) ** 2)
 
 
 def mpjpe(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:

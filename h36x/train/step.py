@@ -23,6 +23,7 @@ from h36x.train.losses import (
     bone_length_per_row,
     mpjpe,
     mpjpe_per_row,
+    mse2d_reproj,
     mse3d,
     mse3d_per_row,
 )
@@ -31,50 +32,62 @@ from h36x.train.state import TrainState
 
 def make_train_step(model, optimizer, donate: bool = True,
                     fused: bool = False, interpret: bool = False,
-                    precise: bool = True) -> Callable:
+                    precise: bool = True, lambda_2d: float = 0.0) -> Callable:
     """Build the jitted training step.
 
     Returns step(state, batch, rng) -> (state, metrics) where batch =
     (feats (B,T,F), joints3d (B,T,J,3), joints2d, K) and metrics is a dict of
-    scalars {loss, l3d, mpjpe, bone}.
+    scalars {loss, l3d, l2d, mpjpe, bone}.
 
     fused=True runs the forward AND backward of every residual block as
     Pallas kernels at precise (3-pass f32) MXU precision
     (:func:`h36x.infer.phd_forward_train_fused`); dropout semantics match
     the flax path. interpret only applies to fused (CPU testing).
+
+    lambda_2d > 0 adds the 2D reprojection term the reference's CLI
+    advertises but never wires (src/train.py:291 defines --lambda-2d
+    default 1e-6; :161-164 trains on 3D MSE only): loss = l3d +
+    lambda_2d * MSE(project_with_K(joints_pred, K), joints2d). Default 0.0
+    reproduces the reference's actual behavior exactly.
     """
 
     if fused:
 
-        def loss_fn(params, feats, joints3d, rng):
+        def forward(params, feats, rng):
             _, joints_pred = phd_forward_train_fused(
                 params, feats, rng,
                 dropout=model.dropout, joints_num=model.joints_num,
                 groups=model.groups, regressor_iters=model.regressor_iters,
                 interpret=interpret, precise=precise,
             )
-            l3d = mse3d(joints_pred, joints3d)
-            return l3d, joints_pred
+            return joints_pred
 
     else:
 
-        def loss_fn(params, feats, joints3d, rng):
-            _, _, joints_pred, _ = model.apply(
+        def forward(params, feats, rng):
+            return model.apply(
                 {"params": params}, feats, train=True, rngs={"dropout": rng}
-            )
-            l3d = mse3d(joints_pred, joints3d)
-            return l3d, joints_pred
+            )[2]
+
+    def loss_fn(params, feats, joints3d, joints2d, K, rng):
+        joints_pred = forward(params, feats, rng)
+        l3d = mse3d(joints_pred, joints3d)
+        if lambda_2d > 0.0:
+            l2d = mse2d_reproj(joints_pred, joints2d, K)
+            return l3d + lambda_2d * l2d, (l3d, l2d, joints_pred)
+        return l3d, (l3d, jnp.zeros_like(l3d), joints_pred)
 
     def step(state: TrainState, batch, rng):
-        feats, joints3d = batch[0], batch[1]
-        (l3d, joints_pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, feats, joints3d, rng
-        )
+        feats, joints3d, joints2d, K = batch[0], batch[1], batch[2], batch[3]
+        (loss, (l3d, l2d, joints_pred)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, feats, joints3d, joints2d, K, rng)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         metrics = {
-            "loss": l3d,
+            "loss": loss,
             "l3d": l3d,
+            "l2d": l2d,
             "mpjpe": mpjpe(joints_pred, joints3d),
             "bone": bone_length_loss(joints_pred, joints3d),
         }

@@ -285,3 +285,31 @@ def test_feature_fn_opt_engine_matches_flax(rng):
     b = np.asarray(opt_fn(variables, frames))
     assert a.shape == b.shape == (3, 2048)
     np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
+
+def test_feature_fn_mesh_dp_matches_single_device(rng):
+    """Multi-chip DP extraction (make_feature_fn(mesh=...)) must produce the
+    single-device features exactly, including the padded-tail path when the
+    row count does not divide the data axis (reference replaced:
+    preprocess_resnet_features.py:214-217 nn.DataParallel backbone)."""
+    import jax
+    import jax.numpy as jnp
+
+    from h36x.extract.pipeline import make_feature_fn
+    from h36x.models.resnet import ResNet50, init_resnet_params
+    from h36x.parallel.mesh import make_mesh
+
+    model = ResNet50(dtype=jnp.float32)
+    variables = init_resnet_params(model, jax.random.key(0), input_hw=32)
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+
+    single_fn = make_feature_fn(model)
+    dp_fn = make_feature_fn(model, mesh=mesh)
+    for n in (8, 5):  # divisible and padded-tail row counts
+        frames = np.asarray(
+            rng.integers(0, 256, size=(n, 32, 32, 3)), dtype=np.uint8
+        )
+        a = np.asarray(single_fn(variables, jnp.asarray(frames)))
+        b = np.asarray(dp_fn(variables, frames))
+        assert b.shape == (n, 2048)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)

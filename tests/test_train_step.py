@@ -106,6 +106,45 @@ class TestTrainStep:
         s2, _ = step(s1, batch, jax.random.key(1))
         assert int(s2.step) == int(state.step) + 2
 
+    def test_lambda_2d_adds_reprojection_term(self, rng):
+        """lambda_2d > 0 adds exactly lambda * pixel-MSE of the projected
+        prediction (numpy pinhole oracle); lambda_2d=0 reproduces the
+        reference's 3D-only loss (src/train.py:161-164) bit-for-bit."""
+        model = PHDFor3DJoints(
+            latent_dim=64, feature_dim=32, number_blocks=1, dropout=0.0
+        )
+        optimizer, _ = make_optimizer(lr=1e-3, freeze_ar=True)
+        state = create_train_state(
+            model, optimizer, jax.random.key(0), jnp.zeros((2, 6, 32))
+        )
+        feats, joints3d, joints2d, _ = synth_batch(rng)
+        # realistic intrinsics + 3D points in front of the camera
+        K = np.tile(
+            np.array([[500.0, 0, 112], [0, 500.0, 112], [0, 0, 1]], np.float32),
+            (feats.shape[0], 1, 1),
+        )
+        joints3d = jnp.asarray(
+            np.abs(np.asarray(joints3d)) + np.array([0, 0, 2.0], np.float32)
+        )
+        batch = (feats, joints3d, joints2d, jnp.asarray(K))
+
+        lam = 1e-6
+        base = make_train_step(model, optimizer, donate=False)
+        with2d = make_train_step(model, optimizer, donate=False, lambda_2d=lam)
+        _, m0 = base(state, batch, jax.random.key(1))
+        _, m1 = with2d(state, batch, jax.random.key(1))
+
+        pred = np.asarray(make_forward(model)(state.params, feats))
+        proj = pred @ np.asarray(K)[:, None].transpose(0, 1, 3, 2)
+        pix = proj[..., :2] / np.clip(proj[..., 2:3], 1e-6, None)
+        l2d_oracle = ((pix - np.asarray(joints2d)) ** 2).mean()
+
+        assert float(m0["l2d"]) == 0.0
+        np.testing.assert_allclose(float(m1["l2d"]), l2d_oracle, rtol=1e-4)
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m0["loss"]) + lam * l2d_oracle, rtol=1e-4
+        )
+
 
 class TestEval:
     def test_eval_metrics_match_manual(self, setup, rng):
