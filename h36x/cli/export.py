@@ -1,0 +1,112 @@
+"""CLI: compile a trained checkpoint into a self-contained serving artifact.
+
+Writes one StableHLO file (jax.export) holding the jitted PHD forward — or
+the AR future rollout — with the trained weights baked in. The artifact is
+the deployable unit: a serving host needs only jax (no h36x, no model code,
+no checkpoint) to run
+
+    import jax
+    from jax import export
+    fn = jax.jit(export.deserialize(bytearray(open("phd.hlo","rb").read())).call)
+    joints = fn(feats)            # feats (B, seq_len, feature_dim) f32
+
+The batch dimension is symbolic unless --batch is given, so the same file
+serves any batch size. A `.json` sidecar records shapes/platforms.
+
+The reference pipeline has no counterpart — its "deployment" is loading
+last.pt back into the training code (src/results.py:175-187).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model-path", required=True, help="checkpoint .msgpack")
+    p.add_argument("--out", default="outputs/phd.hlo")
+    p.add_argument("--kind", choices=["forward", "rollout"],
+                   default="forward")
+    p.add_argument("--forecast", type=int, default=25,
+                   help="rollout only: future frames baked into the artifact")
+    p.add_argument("--seq-len", type=int, default=40)
+    p.add_argument("--feature-dim", type=int, default=2048)
+    p.add_argument("--batch", type=int, default=None,
+                   help="fix the batch dimension (default: symbolic)")
+    p.add_argument("--platforms", default="cpu,tpu",
+                   help="comma-separated lowering targets")
+    p.add_argument("--latent-dim", type=int, default=1024)
+    p.add_argument("--num-blocks", type=int, default=2)
+    p.add_argument("--groups", type=int, default=32)
+    p.add_argument("--check", action="store_true",
+                   help="reload the artifact and compare against the flax "
+                        "forward on random features")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from h36x.config import JOINTS_NUM
+    from h36x.export import (
+        artifact_info,
+        export_forward,
+        export_rollout,
+        load_artifact,
+        save_artifact,
+    )
+    from h36x.models.phd import PHDFor3DJoints
+    from h36x.train import checkpoint as ckpt
+    from h36x.utils.runtime import setup_jax_cache
+
+    setup_jax_cache()
+
+    model = PHDFor3DJoints(latent_dim=args.latent_dim, joints_num=JOINTS_NUM,
+                           feature_dim=args.feature_dim,
+                           number_blocks=args.num_blocks, groups=args.groups)
+    template = model.init(
+        jax.random.key(0), jnp.zeros((1, args.seq_len, args.feature_dim))
+    )["params"]
+    params = ckpt.load_params_only(args.model_path, jax.device_get(template))
+
+    platforms = tuple(s.strip() for s in args.platforms.split(",") if s.strip())
+    common = dict(
+        seq_len=args.seq_len, feature_dim=args.feature_dim,
+        joints_num=JOINTS_NUM, groups=args.groups, batch=args.batch,
+        platforms=platforms,
+    )
+    if args.kind == "rollout":
+        blob = export_rollout(params, steps=args.forecast, **common)
+    else:
+        blob = export_forward(params, **common)
+
+    path = save_artifact(blob, args.out)
+    info = artifact_info(blob)
+    info["kind"] = args.kind
+    if args.kind == "rollout":
+        info["forecast"] = args.forecast
+    with open(str(path) + ".json", "w") as f:
+        json.dump(info, f, indent=2)
+    print(f"[OK] {args.kind} artifact -> {path} "
+          f"({info['nbytes'] / 1e6:.1f} MB, platforms {info['platforms']}, "
+          f"in {info['in_avals']})")
+
+    if args.check:
+        fn = load_artifact(blob)
+        feats = np.random.default_rng(0).standard_normal(
+            (2, args.seq_len, args.feature_dim), dtype=np.float32
+        )
+        got = fn(feats)
+        joints_got = got[0] if args.kind == "rollout" else got
+        want = model.apply({"params": params}, jnp.asarray(feats),
+                           train=False)[2]
+        err = float(jnp.max(jnp.abs(jnp.asarray(joints_got) - want)))
+        print(f"[check] max |artifact - model.apply| = {err:.3e}")
+        if err > 1e-4:
+            raise SystemExit(f"artifact check failed: {err:.3e} > 1e-4")
+
+
+if __name__ == "__main__":
+    main()
