@@ -122,6 +122,10 @@ class TrainConfig:
     train_subjects: List[int] = field(default_factory=lambda: list(TRAIN_SUBJECTS))
     val_subjects: List[int] = field(default_factory=lambda: list(VAL_SUBJECTS))
     profile_dir: str = ""  # jax profiler traces for epoch 1 when set
+    # Checkpoint storage: "msgpack" (flax blob + JSON, single-host) or
+    # "orbax" (OCDBT directory; sharding-aware multi-host save/restore).
+    # Resume autodetects from disk, so this only selects the save format.
+    ckpt_backend: str = "msgpack"
 
 
 @dataclass

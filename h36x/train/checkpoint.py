@@ -2,9 +2,19 @@
 
 Parity with the reference policy (src/train.py:61-76, 437-451): `last` saved
 every epoch, `best` saved on val-MPJPE improvement; a checkpoint carries
-{epoch, best_val, params, opt_state, config}. Storage is flax msgpack
-serialization plus a JSON manifest — single-host, framework-independent files
-(no pickled code objects).
+{epoch, best_val, params, opt_state, config}. Two storage backends share the
+policy:
+
+- **msgpack** (default): flax msgpack blob + JSON manifest — single-host,
+  framework-independent files (no pickled code objects).
+- **orbax**: an Orbax OCDBT checkpoint directory per name. The TPU-native
+  choice at scale: atomic directory commit, per-array chunked storage, and
+  sharding-aware multi-host save/restore (each host writes/reads only its
+  shards) — the path to use for multi-slice jobs
+  (h36x/parallel/distributed.py).
+
+`load_checkpoint` / `fit(resume=...)` autodetect the backend from what is on
+disk, so a run can switch backends between restarts.
 """
 
 from __future__ import annotations
@@ -59,16 +69,77 @@ def save_checkpoint(
     return data_path
 
 
-def load_checkpoint(directory, name: str, template: TrainState):
-    """Restore (state, manifest). `template` supplies the pytree structure
-    (build it with create_train_state on the same model/optimizer)."""
+def save_checkpoint_orbax(
+    directory,
+    name: str,
+    state: TrainState,
+    epoch: int,
+    best_val: float,
+    config: Optional[dict] = None,
+) -> Path:
+    """Orbax backend: write <directory>/<name>/ (OCDBT) + <name>.json.
+
+    Orbax commits the directory atomically and, under a multi-host runtime,
+    each process writes only its own shards — no host-0 gather of the full
+    state, unlike the msgpack path."""
+    import orbax.checkpoint as ocp
+
     directory = Path(directory)
-    with open(directory / f"{name}.msgpack", "rb") as f:
-        blob = f.read()
-    state = serialization.from_bytes(template, blob)
+    directory.mkdir(parents=True, exist_ok=True)
+    path = (directory / name).absolute()
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+
+    manifest = {
+        "epoch": int(epoch),
+        "best_val": float(best_val),
+        "step": int(np.asarray(jax.device_get(state.step))),
+        "config": config or {},
+        "backend": "orbax",
+    }
+    mpath = directory / f"{name}.json"
+    tmp = str(mpath) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, mpath)
+    return path
+
+
+def _load_checkpoint_orbax(directory, name: str, template: TrainState):
+    import orbax.checkpoint as ocp
+
+    directory = Path(directory)
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+        jax.device_get(template),
+    )
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore((directory / name).absolute(), abstract)
     with open(directory / f"{name}.json") as f:
         manifest = json.load(f)
     return state, manifest
+
+
+def load_checkpoint(directory, name: str, template: TrainState):
+    """Restore (state, manifest). `template` supplies the pytree structure
+    (build it with create_train_state on the same model/optimizer). The
+    storage backend is autodetected: <name>.msgpack wins if present, else an
+    Orbax <name>/ directory."""
+    directory = Path(directory)
+    if (directory / f"{name}.msgpack").exists():
+        with open(directory / f"{name}.msgpack", "rb") as f:
+            blob = f.read()
+        state = serialization.from_bytes(template, blob)
+        with open(directory / f"{name}.json") as f:
+            manifest = json.load(f)
+        return state, manifest
+    if (directory / name).is_dir():
+        return _load_checkpoint_orbax(directory, name, template)
+    raise FileNotFoundError(
+        f"no checkpoint '{name}' under {directory} "
+        f"(neither {name}.msgpack nor an orbax {name}/ directory)"
+    )
 
 
 def load_params_only(path, params_template) -> Any:

@@ -249,6 +249,12 @@ def fit(
     eval_step = make_weighted_eval_step(model)
     data_sharding = batch_sharding(mesh)
 
+    backend = getattr(cfg, "ckpt_backend", "msgpack")
+    if backend not in ("msgpack", "orbax"):
+        raise ValueError(f"unknown ckpt_backend {backend!r}")
+    save_ckpt = (ckpt.save_checkpoint_orbax if backend == "orbax"
+                 else ckpt.save_checkpoint)
+
     start_epoch = 0
     best_val = float("inf")
     no_improve = 0
@@ -297,7 +303,7 @@ def fit(
             flush=True,
         )
 
-        ckpt.save_checkpoint(cfg.outdir, "last", state, epoch, best_val, cfg_json)
+        save_ckpt(cfg.outdir, "last", state, epoch, best_val, cfg_json)
         _append_metrics(
             cfg.outdir,
             {
@@ -316,7 +322,7 @@ def fit(
         if improved:
             best_val = va["mpjpe"]
             no_improve = 0
-            ckpt.save_checkpoint(cfg.outdir, "best", state, epoch, best_val, cfg_json)
+            save_ckpt(cfg.outdir, "best", state, epoch, best_val, cfg_json)
             print(f"New best val MPJPE: {best_val:.3f} (saved best)")
         else:
             no_improve += 1

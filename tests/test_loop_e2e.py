@@ -75,6 +75,33 @@ def test_fit_end_to_end(cfg, tmp_path, capsys):
     assert np.isfinite(best2)
 
 
+def test_fit_orbax_backend_and_resume(cfg, tmp_path, capsys):
+    """fit() with ckpt_backend=orbax writes OCDBT dirs instead of msgpack
+    and resume autodetects them (including cross-backend: an orbax run can
+    resume from a msgpack run's outdir and vice versa)."""
+    cfg.ckpt_backend = "orbax"
+    _, best_val = fit(cfg, *_datasets(cfg))
+    assert np.isfinite(best_val)
+
+    runs = tmp_path / "runs"
+    assert (runs / "last").is_dir() and (runs / "best").is_dir()
+    assert (runs / "last.json").exists()
+    assert not (runs / "last.msgpack").exists()
+
+    cfg.resume = str(runs)
+    cfg.ckpt_backend = "msgpack"  # cross-backend resume
+    _, best2 = fit(cfg, *_datasets(cfg))
+    out = capsys.readouterr().out
+    assert "Resumed" in out
+    assert np.isfinite(best2)
+
+
+def test_fit_rejects_unknown_ckpt_backend(cfg):
+    cfg.ckpt_backend = "zarr"
+    with pytest.raises(ValueError, match="ckpt_backend"):
+        fit(cfg, *_datasets(cfg))
+
+
 def test_phase2_fit(cfg, capsys):
     """Phase-2 curriculum training runs through the same loop."""
     cfg.optim.phase = 2

@@ -200,6 +200,47 @@ class TestCheckpoint:
         for a, b in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_orbax_backend_roundtrip_and_autodetect(self, setup, tmp_path, rng):
+        """The orbax backend must round-trip the exact TrainState (params +
+        optimizer state + step) and load_checkpoint must autodetect an orbax
+        directory when no .msgpack exists — so a resume works regardless of
+        which backend wrote the checkpoint."""
+        model, optimizer, state = setup
+        step = make_train_step(model, optimizer, donate=False)
+        batch = synth_batch(rng)
+        state, _ = step(state, batch, jax.random.key(0))
+
+        ckpt.save_checkpoint_orbax(tmp_path, "last", state, epoch=4,
+                                   best_val=0.321, config={"note": "orbax"})
+        assert (tmp_path / "last").is_dir()
+        assert not (tmp_path / "last.msgpack").exists()
+
+        template = create_train_state(
+            model, optimizer, jax.random.key(9), jnp.zeros((2, 6, 32))
+        )
+        restored, manifest = ckpt.load_checkpoint(tmp_path, "last", template)
+        assert manifest["epoch"] == 4
+        assert manifest["backend"] == "orbax"
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # identical next step from the restored state (optimizer fidelity)
+        s_a, m_a = step(state, batch, jax.random.key(5))
+        s_b, m_b = step(restored, batch, jax.random.key(5))
+        np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                                   rtol=1e-6)
+
+        # per-epoch overwrite (the "last" policy) must not fail
+        ckpt.save_checkpoint_orbax(tmp_path, "last", s_a, epoch=5,
+                                   best_val=0.3, config={})
+        _, manifest = ckpt.load_checkpoint(tmp_path, "last", template)
+        assert manifest["epoch"] == 5
+
+    def test_missing_checkpoint_raises(self, setup, tmp_path):
+        model, optimizer, state = setup
+        with pytest.raises(FileNotFoundError, match="neither"):
+            ckpt.load_checkpoint(tmp_path, "last", state)
+
     def test_load_params_only(self, setup, tmp_path):
         model, optimizer, state = setup
         ckpt.save_checkpoint(tmp_path, "best", state, 0, 1.0)
