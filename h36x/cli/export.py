@@ -37,6 +37,11 @@ def main(argv=None):
                    help="fix the batch dimension (default: symbolic)")
     p.add_argument("--platforms", default="cpu,tpu",
                    help="comma-separated lowering targets")
+    p.add_argument("--dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="compute/weight dtype baked into the artifact "
+                        "(bfloat16: half the file and serve-time weight "
+                        "traffic; interface stays f32)")
     p.add_argument("--latent-dim", type=int, default=1024)
     p.add_argument("--num-blocks", type=int, default=2)
     p.add_argument("--groups", type=int, default=32)
@@ -75,6 +80,7 @@ def main(argv=None):
     common = dict(
         seq_len=args.seq_len, feature_dim=args.feature_dim,
         joints_num=JOINTS_NUM, groups=args.groups, batch=args.batch,
+        compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None,
         platforms=platforms,
     )
     if args.kind == "rollout":
@@ -85,6 +91,7 @@ def main(argv=None):
     path = save_artifact(blob, args.out)
     info = artifact_info(blob)
     info["kind"] = args.kind
+    info["dtype"] = args.dtype
     if args.kind == "rollout":
         info["forecast"] = args.forecast
     with open(str(path) + ".json", "w") as f:
@@ -103,9 +110,11 @@ def main(argv=None):
         want = model.apply({"params": params}, jnp.asarray(feats),
                            train=False)[2]
         err = float(jnp.max(jnp.abs(jnp.asarray(joints_got) - want)))
-        print(f"[check] max |artifact - model.apply| = {err:.3e}")
-        if err > 1e-4:
-            raise SystemExit(f"artifact check failed: {err:.3e} > 1e-4")
+        tol = 1e-4 if args.dtype == "float32" else 2e-2
+        print(f"[check] max |artifact - model.apply(f32)| = {err:.3e} "
+              f"(tol {tol:g})")
+        if err > tol:
+            raise SystemExit(f"artifact check failed: {err:.3e} > {tol:g}")
 
 
 if __name__ == "__main__":

@@ -61,6 +61,22 @@ class TestForwardArtifact:
         with pytest.raises(Exception):
             fn(np.zeros((3, SEQ, FEAT), np.float32))
 
+    def test_bf16_compute_dtype_smaller_and_close(self, setup):
+        """compute_dtype=bfloat16 must bake smaller constants (less than
+        ~60% of the f32 artifact) while keeping f32 in/out and tracking the
+        f32 forward to bf16-level tolerance."""
+        model, params, feats = setup
+        f32 = export_forward(params, seq_len=SEQ, feature_dim=FEAT, groups=8)
+        bf16 = export_forward(params, seq_len=SEQ, feature_dim=FEAT,
+                              groups=8, compute_dtype=jnp.bfloat16)
+        assert len(bf16) < 0.6 * len(f32)
+
+        out = load_artifact(bf16)(feats)
+        assert np.asarray(out).dtype == np.float32
+        want = model.apply({"params": params}, jnp.asarray(feats),
+                           train=False)[2]
+        assert float(jnp.max(jnp.abs(jnp.asarray(out) - want))) < 2e-2
+
     def test_file_roundtrip_and_info(self, setup, tmp_path):
         _, params, feats = setup
         blob = export_forward(params, seq_len=SEQ, feature_dim=FEAT, groups=8)
