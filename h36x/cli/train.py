@@ -10,9 +10,16 @@ from h36x.train.loop import fit
 def main(argv=None):
     from h36x.utils.runtime import setup_jax_cache
 
+    cfg = parse_into(TrainConfig(), argv, description=__doc__)
+
+    # Multi-process init must precede every other jax call (it pins the
+    # platform and registers this process with the coordinator). Single
+    # process: no-op. See DistConfig in h36x/config.py.
+    from h36x.parallel.distributed import is_main_process, setup_from_config
+
+    setup_from_config(cfg.dist)
     setup_jax_cache()
 
-    cfg = parse_into(TrainConfig(), argv, description=__doc__)
     if not cfg.train_root:
         raise SystemExit("--train-root is required")
     val_root = cfg.val_root or cfg.train_root
@@ -30,11 +37,16 @@ def main(argv=None):
     )
     val_sampler = SequentialBatchSampler(val_set, batch_size=cfg.optim.batch_size)
 
-    print("===== Phase-1 training =====")
-    print(f"Train clips: {len(train_set)} | Val clips: {len(val_set)}")
-    print(f"Batch size: {cfg.optim.batch_size} | LR: {cfg.optim.lr} | "
-          f"Epochs: {cfg.optim.epochs}")
-    print("============================")
+    if is_main_process():
+        print("===== Phase-1 training =====")
+        print(f"Train clips: {len(train_set)} | Val clips: {len(val_set)}")
+        print(f"Batch size: {cfg.optim.batch_size} | LR: {cfg.optim.lr} | "
+              f"Epochs: {cfg.optim.epochs}")
+        if cfg.dist.num_processes > 1:
+            import jax
+            print(f"Processes: {jax.process_count()} | global devices: "
+                  f"{jax.device_count()}")
+        print("============================")
     fit(cfg, train_set, val_set, train_sampler, val_sampler)
 
 

@@ -109,11 +109,33 @@ class MeshConfig:
 
 
 @dataclass
+class DistConfig:
+    """Multi-process (multi-host) launch. The reference is single-node only
+    (SURVEY §2: no torch.distributed anywhere); h36x runs one Python process
+    per host with jax.distributed + collectives over ICI/DCN.
+
+    Leave num_processes=1 for single-host. On a pod, every host runs the
+    same CLI with its own process_id; the feature store must be on shared
+    storage and each process materializes only its local_batch_slice rows.
+    platform/local_devices/collectives exist for CPU bring-up and CI
+    (e.g. platform=cpu local_devices=2 collectives=gloo exercises the real
+    cross-process path without TPUs)."""
+
+    coordinator: str = ""  # host:port of process 0
+    num_processes: int = 1
+    process_id: int = -1  # -1: resolve from the cluster env (SLURM/TPU)
+    platform: str = ""  # force a jax platform before init (e.g. 'cpu')
+    local_devices: int = 0  # >0: jax_num_cpu_devices per process (cpu only)
+    collectives: str = ""  # cpu collectives impl ('gloo' | 'mpi')
+
+
+@dataclass
 class TrainConfig:
     data: DataConfig = field(default_factory=DataConfig)
     model: ModelConfig = field(default_factory=ModelConfig)
     optim: OptimConfig = field(default_factory=OptimConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    dist: DistConfig = field(default_factory=DistConfig)
     train_root: str = ""
     val_root: str = ""
     outdir: str = "./runs/phase1"
@@ -150,6 +172,10 @@ class ExtractConfig:
     resume: bool = False  # continue an interrupted extraction (progress.json)
     engine: str = "flax"  # 'flax' (bit-stable parity path) or 'opt'
     #   (folded BN/normalize + s2d stem, ~2% faster, ~3e-3 numeric shuffle)
+    partition: str = ""  # "i/N": extract only clips i::N of the index —
+    #   N independent single-host jobs over shared storage, each writing its
+    #   own part store; h36x-merge-shards unifies them (multi-host scale-out
+    #   without any cross-host coordination)
 
 
 @dataclass

@@ -37,6 +37,33 @@ def process_info() -> Tuple[int, int]:
     return jax.process_index(), jax.process_count()
 
 
+def setup_from_config(dist) -> None:
+    """Apply a :class:`h36x.config.DistConfig` before any backend init.
+
+    Order matters on this runtime: platform forcing must precede device
+    queries (the axon TPU plugin registers itself at interpreter start), so
+    call this FIRST in a CLI main. No-op for the default single-process
+    config."""
+    if getattr(dist, "platform", ""):
+        jax.config.update("jax_platforms", dist.platform)
+    if getattr(dist, "local_devices", 0):
+        jax.config.update("jax_num_cpu_devices", dist.local_devices)
+    if getattr(dist, "collectives", ""):
+        jax.config.update("jax_cpu_collectives_implementation",
+                          dist.collectives)
+    if dist.num_processes and dist.num_processes > 1:
+        initialize(
+            coordinator_address=dist.coordinator or None,
+            num_processes=dist.num_processes,
+            process_id=dist.process_id if dist.process_id >= 0 else None,
+        )
+
+
+def is_main_process() -> bool:
+    """True on the process that owns logging/checkpoint writes (rank 0)."""
+    return jax.process_index() == 0
+
+
 def local_batch_slice(global_batch: int, process_id: Optional[int] = None,
                       process_count: Optional[int] = None) -> slice:
     """Half-open row range of the global batch owned by this process."""

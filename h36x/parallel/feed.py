@@ -21,6 +21,7 @@ def prefetch_to_device(
     sharding=None,
     buffer_size: int = 2,
     transform: Optional[Callable] = None,
+    transfer: Optional[Callable] = None,
 ) -> Iterator:
     """Iterate device-resident batches, overlapping host work with compute.
 
@@ -30,6 +31,9 @@ def prefetch_to_device(
         default device placement).
       buffer_size: queue depth; 2 = classic double buffering.
       transform: optional host-side fn applied to each batch before transfer.
+      transfer: optional host-batch -> device-batch fn REPLACING the default
+        device_put (used multi-process, where global arrays must be built
+        from process-local shards); `sharding` is ignored when given.
     """
     q: queue.Queue = queue.Queue(maxsize=buffer_size)
     sentinel = object()
@@ -40,7 +44,9 @@ def prefetch_to_device(
             for batch in batch_iter:
                 if transform is not None:
                     batch = transform(batch)
-                if sharding is not None:
+                if transfer is not None:
+                    batch = transfer(batch)
+                elif sharding is not None:
                     batch = jax.tree.map(
                         lambda x: jax.device_put(x, sharding), batch
                     )

@@ -22,6 +22,11 @@ import numpy as np
 
 from h36x.config import TrainConfig
 from h36x.models.phd import PHDFor3DJoints
+from h36x.parallel.distributed import (
+    is_main_process,
+    local_batch_slice,
+    make_global_batch,
+)
 from h36x.parallel.feed import prefetch_to_device
 from h36x.parallel.mesh import batch_sharding, make_mesh, shard_params
 from h36x.train import checkpoint as ckpt
@@ -76,22 +81,45 @@ def _batches(
     vector that is 0 on those padded rows, so weighted eval steps can form
     exact dataset means (training keeps the cheap per-batch-mean contract:
     the reference averages per-batch means too, so the deviation there is
-    bounded by one tail batch per epoch)."""
+    bounded by one tail batch per epoch).
+
+    Multi-process: every process iterates the identical (seeded) sampler
+    order but gathers ONLY its local_batch_slice rows from the store, and
+    the transfer assembles the global jax.Array from the per-process shards
+    without any cross-host gather (h36x/parallel/distributed.py)."""
+    pcount = jax.process_count()
 
     def gen():
         for idx_batch in sampler:
+            idx_batch = list(idx_batch)
             real = len(idx_batch)
             if pad_to > 1 and real % pad_to != 0:
                 short = pad_to - real % pad_to
-                idx_batch = list(idx_batch) + [idx_batch[-1]] * short
+                idx_batch = idx_batch + [idx_batch[-1]] * short
+            n_global = len(idx_batch)
+            w = None
+            if with_weights:
+                w = np.zeros(n_global, dtype=np.float32)
+                w[:real] = 1.0
+            if pcount > 1:
+                rows = local_batch_slice(n_global)
+                idx_batch = idx_batch[rows]
+                if w is not None:
+                    w = w[rows]
             batch = dataset.get_batch(idx_batch)
             batch = batch[:4] if drop_meta else batch
-            if with_weights:
-                w = np.zeros(len(idx_batch), dtype=np.float32)
-                w[:real] = 1.0
+            if w is not None:
                 batch = (*batch, w)
             yield batch
 
+    if pcount > 1:
+        def transfer(batch):
+            # local rows -> global-shape array; every process holds
+            # n_local rows, so the global row count is n_local * pcount
+            n_global = batch[0].shape[0] * pcount
+            return make_global_batch(batch, sharding.mesh, n_global)
+
+        return prefetch_to_device(gen(), transfer=transfer)
     return prefetch_to_device(gen(), sharding=sharding)
 
 
@@ -131,12 +159,13 @@ def train_epoch(train_step, state, dataset, sampler, sharding, rng, log_every=50
         n += 1
         if log_every > 0 and n % log_every == 0:
             drain()  # synchronizes: every queued step must finish
-            print(
-                f"[3D]  iter {n:05d} | loss {totals['loss']/n:.6f} "
-                f"(3d {totals['l3d']/n:.6f}) | mpjpe {totals['mpjpe']/n:.3f} | "
-                f"epoch {time.perf_counter()-epoch_start:.1f}s",
-                flush=True,
-            )
+            if is_main_process():
+                print(
+                    f"[3D]  iter {n:05d} | loss {totals['loss']/n:.6f} "
+                    f"(3d {totals['l3d']/n:.6f}) | mpjpe {totals['mpjpe']/n:.3f} | "
+                    f"epoch {time.perf_counter()-epoch_start:.1f}s",
+                    flush=True,
+                )
         timers.start("data")
     timers.stop("data")
     timers.start("drain")
@@ -149,7 +178,8 @@ def train_epoch(train_step, state, dataset, sampler, sharding, rng, log_every=50
             "count and split sizes.",
             flush=True,
         )
-    print("[Train timing]\n" + timers.summary(n), flush=True)
+    if is_main_process():
+        print("[Train timing]\n" + timers.summary(n), flush=True)
     return state, {k: v / max(n, 1) for k, v in totals.items()}, rng
 
 
@@ -181,7 +211,8 @@ def evaluate(eval_step, params, dataset, sampler, sharding):
             totals[k] += float(m[k])
         rows += float(m["n"])
     timers.stop("drain")
-    print("[Val timing]\n" + timers.summary(n), flush=True)
+    if is_main_process():
+        print("[Val timing]\n" + timers.summary(n), flush=True)
     return {k: v / max(rows, 1.0) for k, v in totals.items()}
 
 
@@ -200,7 +231,17 @@ def fit(
     mesh=None,
     state: Optional[TrainState] = None,
 ):
-    """Full training run; returns (final_state, best_val)."""
+    """Full training run; returns (final_state, best_val).
+
+    Multi-process (cfg.dist / jax.process_count() > 1): every process runs
+    this same function over the same (shared-storage) store with identical
+    seeds; batches are assembled from per-process local rows (_batches),
+    gradient reduction rides the mesh collectives, and only rank 0 writes
+    msgpack checkpoints / metrics.jsonl (orbax saves are collective — each
+    process writes its own shards)."""
+    main = is_main_process()
+    log = print if main else (lambda *a, **k: None)  # rank-0 logging
+    pcount = jax.process_count()
     if mesh is None:
         n_dev = len(jax.devices())
         model_ax = max(1, cfg.mesh.model)
@@ -210,10 +251,19 @@ def fit(
             data_ax -= 1
         n_used = data_ax * model_ax
         if n_used != n_dev:
-            print(f"mesh: using {n_used}/{n_dev} devices "
+            if pcount > 1:
+                raise ValueError(
+                    f"multi-process runs must use every device: batch "
+                    f"{cfg.optim.batch_size} / mesh {cfg.mesh} leaves "
+                    f"{n_dev - n_used}/{n_dev} devices idle")
+            log(f"mesh: using {n_used}/{n_dev} devices "
                   f"(data={data_ax}, model={model_ax}; batch "
                   f"{cfg.optim.batch_size} must divide the data axis)")
         mesh = make_mesh(data_ax, model_ax, devices=jax.devices()[:n_used])
+    if pcount > 1 and mesh.shape.get("data", 1) % pcount != 0:
+        raise ValueError(
+            f"data axis {mesh.shape.get('data', 1)} not divisible by "
+            f"{pcount} processes — local_batch_slice needs equal row counts")
     model = build_model(cfg)
     phase = getattr(cfg.optim, "phase", 1)
     optimizer, _frozen = make_optimizer(
@@ -232,7 +282,7 @@ def fit(
         # only the optimizer state layout differs).
         params = ckpt.load_params_only(cfg.init_from, jax.device_get(state.params))
         state = TrainState(params, optimizer.init(params), state.step)
-        print(f"Initialized model weights from {cfg.init_from}")
+        log(f"Initialized model weights from {cfg.init_from}")
     state = TrainState(shard_params(state.params, mesh), state.opt_state, state.step)
 
     if phase == 2:
@@ -254,6 +304,9 @@ def fit(
         raise ValueError(f"unknown ckpt_backend {backend!r}")
     save_ckpt = (ckpt.save_checkpoint_orbax if backend == "orbax"
                  else ckpt.save_checkpoint)
+    # msgpack gathers + writes one file: rank 0 only. Orbax saves are
+    # collective (every process persists its own shards).
+    write_ckpt = (backend == "orbax") or main
 
     start_epoch = 0
     best_val = float("inf")
@@ -269,7 +322,7 @@ def fit(
         )
         start_epoch = manifest["epoch"] + 1
         best_val = manifest["best_val"]
-        print(f"Resumed from {cfg.resume} (epoch={start_epoch}, best={best_val:.4f})")
+        log(f"Resumed from {cfg.resume} (epoch={start_epoch}, best={best_val:.4f})")
 
     cfg_json = dataclasses.asdict(cfg)
 
@@ -282,11 +335,11 @@ def fit(
                 epoch, cfg.optim.pred_len, cfg.optim.curriculum_steps
             )
             step_fn = lambda s, b, r, _h=jnp.int32(horizon): future_step(s, b, r, _h)  # noqa: E731
-            print(f"\nEpoch {epoch+1}/{cfg.optim.epochs} (lr {lr:.2e}, "
+            log(f"\nEpoch {epoch+1}/{cfg.optim.epochs} (lr {lr:.2e}, "
                   f"AR horizon {horizon})", flush=True)
         else:
             step_fn = train_step
-            print(f"\nEpoch {epoch+1}/{cfg.optim.epochs} (lr {lr:.2e})", flush=True)
+            log(f"\nEpoch {epoch+1}/{cfg.optim.epochs} (lr {lr:.2e})", flush=True)
         t0 = time.perf_counter()
 
         with maybe_trace(cfg.profile_dir if epoch == start_epoch else None):
@@ -296,43 +349,46 @@ def fit(
             )
         va = evaluate(eval_step, state.params, val_set, val_sampler, data_sharding)
 
-        print(
+        log(
             f"Train: loss={tr['loss']:.6f} | mpjpe={tr['mpjpe']:.3f}\n"
             f"Val:   loss={va['loss']:.6f} (3d {va['l3d']:.6f}) | mpjpe={va['mpjpe']:.3f}\n"
             f"Epoch time: {time.perf_counter()-t0:.2f}s",
             flush=True,
         )
 
-        save_ckpt(cfg.outdir, "last", state, epoch, best_val, cfg_json)
-        _append_metrics(
-            cfg.outdir,
-            {
-                "epoch": epoch,
-                "lr": lr,
-                "train_loss": tr["loss"],
-                "train_mpjpe": tr["mpjpe"],
-                "val_loss": va["loss"],
-                "val_mpjpe": va["mpjpe"],
-                "val_bone": va.get("bone"),
-                "epoch_seconds": time.perf_counter() - t0,
-            },
-        )
+        if write_ckpt:
+            save_ckpt(cfg.outdir, "last", state, epoch, best_val, cfg_json)
+        if main:
+            _append_metrics(
+                cfg.outdir,
+                {
+                    "epoch": epoch,
+                    "lr": lr,
+                    "train_loss": tr["loss"],
+                    "train_mpjpe": tr["mpjpe"],
+                    "val_loss": va["loss"],
+                    "val_mpjpe": va["mpjpe"],
+                    "val_bone": va.get("bone"),
+                    "epoch_seconds": time.perf_counter() - t0,
+                },
+            )
 
         improved = (best_val - va["mpjpe"]) > cfg.optim.early_stop_min_delta
         if improved:
             best_val = va["mpjpe"]
             no_improve = 0
-            save_ckpt(cfg.outdir, "best", state, epoch, best_val, cfg_json)
-            print(f"New best val MPJPE: {best_val:.3f} (saved best)")
+            if write_ckpt:
+                save_ckpt(cfg.outdir, "best", state, epoch, best_val, cfg_json)
+            log(f"New best val MPJPE: {best_val:.3f} (saved best)")
         else:
             no_improve += 1
-            print(
+            log(
                 f"No improvement for {no_improve}/{cfg.optim.early_stop_patience} "
                 f"epochs (best {best_val:.3f}, current {va['mpjpe']:.3f})"
             )
         if cfg.optim.early_stop_patience > 0 and no_improve >= cfg.optim.early_stop_patience:
-            print(f"Early stopping at epoch {epoch+1}. Best val MPJPE: {best_val:.3f}")
+            log(f"Early stopping at epoch {epoch+1}. Best val MPJPE: {best_val:.3f}")
             break
 
-    print(f"\nDone. Best val MPJPE: {best_val:.3f}")
+    log(f"\nDone. Best val MPJPE: {best_val:.3f}")
     return state, best_val

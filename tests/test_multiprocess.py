@@ -16,6 +16,7 @@ import socket
 import subprocess
 import sys
 
+import jax
 import numpy as np
 import pytest
 
@@ -61,6 +62,97 @@ def _single_process_reference():
             jax.tree.leaves(jax.device_get(state.params)))
     )
     return losses, checksum
+
+
+def _run_train_cli(outdir, store, dist_flags, port=None, timeout=600):
+    """Launch `python -m h36x.cli.train` subprocess(es) on the tiny store."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    common = [
+        sys.executable, "-m", "h36x.cli.train",
+        "--train-root", str(store),
+        "--outdir", str(outdir),
+        "--train-subjects", "1",
+        "--val-subjects", "9",
+        "--optim.epochs", "2",
+        "--optim.batch-size", "8",
+        "--optim.log-every", "0",
+        "--model.feature-dim", "32",
+        "--model.latent-dim", "64",
+        "--model.num-blocks", "1",
+        "--model.dropout", "0.0",
+        "--data.seq-len", "8",
+    ]
+    procs = [
+        subprocess.Popen(common + flags, env=env, cwd=REPO,
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True)
+        for flags in dist_flags
+    ]
+    logs = [p.communicate(timeout=timeout)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"train CLI failed:\n{log[-4000:]}"
+    return logs
+
+
+def _params_checksums(msgpack_path):
+    """Leaf-name -> |sum| map restored without a template."""
+    from flax import serialization
+
+    tree = serialization.msgpack_restore(msgpack_path.read_bytes())
+    leaves, _ = jax.tree_util.tree_flatten_with_path(tree["params"])
+    return {jax.tree_util.keystr(k): float(np.sum(np.abs(v)))
+            for k, v in leaves}
+
+
+def test_train_cli_two_processes_matches_single(tmp_path):
+    """End-to-end `h36x-train --dist.*`: 2 processes x 2 CPU devices with
+    gloo collectives must produce the same metrics.jsonl and final params
+    as one process with the same 4-device world (same global batches, same
+    seeds; only the process boundary differs)."""
+    store = tmp_path / "store"
+    store.mkdir()
+    from tests.helpers import make_synthetic_store
+
+    make_synthetic_store(store, n_shards=2, clips_per_shard=8, n_vars=4,
+                         seq_len=8, feat_dim=32, subjects=(1, 9))
+
+    sp_out = tmp_path / "sp"
+    _run_train_cli(sp_out, store, [[
+        "--dist.platform", "cpu", "--dist.local-devices", "4",
+    ]])
+
+    port = _free_port()
+    mp_out = tmp_path / "mp"
+    logs = _run_train_cli(mp_out, store, [
+        ["--dist.platform", "cpu", "--dist.local-devices", "2",
+         "--dist.collectives", "gloo", "--dist.num-processes", "2",
+         "--dist.coordinator", f"localhost:{port}",
+         "--dist.process-id", str(pid)]
+        for pid in range(2)
+    ], timeout=900)
+    # rank 0 logs, rank 1 stays quiet
+    assert "Phase-1 training" in logs[0]
+    assert "Phase-1 training" not in logs[1]
+    assert "global devices: 4" in logs[0]
+
+    sp_rows = [json.loads(l) for l in
+               (sp_out / "metrics.jsonl").read_text().splitlines()]
+    mp_rows = [json.loads(l) for l in
+               (mp_out / "metrics.jsonl").read_text().splitlines()]
+    assert len(sp_rows) == len(mp_rows) == 2
+    for want, got in zip(sp_rows, mp_rows):
+        for key in ("train_loss", "train_mpjpe", "val_loss", "val_mpjpe"):
+            np.testing.assert_allclose(got[key], want[key], rtol=1e-4,
+                                       err_msg=key)
+
+    want = _params_checksums(sp_out / "last.msgpack")
+    got = _params_checksums(mp_out / "last.msgpack")
+    assert want.keys() == got.keys()
+    for name in want:
+        np.testing.assert_allclose(got[name], want[name], rtol=1e-4,
+                                   err_msg=name)
 
 
 def test_two_process_training_matches_single_process(tmp_path):
