@@ -35,6 +35,12 @@ def main(argv=None):
 
     setup_jax_cache()
 
+    import os
+
+    if not os.path.exists(args.model_path):
+        # fail before model init (which costs minutes on a remote backend)
+        raise FileNotFoundError(f"checkpoint not found: {args.model_path}")
+
     test_set = FeatureClipDataset(args.features_root, subjects=args.subjects,
                                   test_set=True)
     model = PHDFor3DJoints(latent_dim=args.latent_dim, joints_num=JOINTS_NUM,

@@ -247,6 +247,87 @@ def load_index(root) -> dict:
     )
 
 
+def merge_stores(parts, out_root, move: bool = True) -> dict:
+    """Unify partitioned extraction stores into one shard store.
+
+    Multi-host extraction runs N coordination-free jobs
+    (``h36x-extract --partition i/N``), each writing a complete store for
+    its clip subset. This renumbers every part's shard files into one
+    namespace under `out_root` and concatenates the clip indexes —
+    O(#shards) file renames plus one JSON write; no tensor data is read or
+    rewritten. With move=False the shard files are hard-linked (falling
+    back to copy across filesystems) and the parts stay intact.
+
+    Part metadata (n_variants, aug_names, seq_len, frame_skip, feat_dtype)
+    must agree; clips must not repeat across parts. Returns the merged
+    index payload.
+    """
+    import shutil
+
+    parts = [Path(p) for p in parts]
+    if not parts:
+        raise ValueError("no part stores given")
+    out_root = Path(out_root)
+    out_root.mkdir(parents=True, exist_ok=True)
+
+    indexes = [load_index(p) for p in parts]
+    first = indexes[0]
+    for p, idx in zip(parts[1:], indexes[1:]):
+        for key in ("n_variants", "aug_names", "seq_len", "frame_skip",
+                    "feat_dtype"):
+            if idx[key] != first[key]:
+                raise ValueError(
+                    f"part {p} disagrees on {key}: "
+                    f"{idx[key]!r} != {first[key]!r}")
+
+    # Validate everything (duplicates, overlaps, missing shards) BEFORE the
+    # first rename so a failed merge never leaves a half-moved store.
+    merged_clips: List[dict] = []
+    renames = []
+    seen = set()
+    offset = 0
+    for part, idx in zip(parts, indexes):
+        for sid in range(idx["n_shards"]):
+            src, dst = shard_path(part, sid), shard_path(out_root, offset + sid)
+            if not src.exists():
+                raise FileNotFoundError(f"part {part} is missing {src.name}")
+            if src.resolve() == dst.resolve():
+                raise ValueError(f"part {part} overlaps the output store")
+            renames.append((src, dst))
+        for entry in idx["clips"]:
+            key = (entry["subject"], entry["action"], entry["cam"],
+                   entry["start"])
+            if key in seen:
+                raise ValueError(f"clip {key} appears in more than one part")
+            seen.add(key)
+            merged_clips.append(dict(entry, shard_id=entry["shard_id"] + offset))
+        offset += idx["n_shards"]
+
+    for src, dst in renames:
+        if move:
+            shutil.move(str(src), str(dst))
+        else:
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+
+    write_index(
+        out_root,
+        merged_clips,
+        n_shards=offset,
+        n_clips=len(merged_clips),
+        n_variants=first["n_variants"],
+        aug_names=first["aug_names"],
+        seq_len=first["seq_len"],
+        frame_skip=first["frame_skip"],
+        feat_dtype=first["feat_dtype"],
+        shuffle_seed=first.get("shuffle_seed"),
+        shuffle_pool=first.get("shuffle_pool"),
+    )
+    return load_index(out_root)
+
+
 # ---------------------------------------------------------------------------
 # Compatibility readers for the reference's torch shard format
 # ---------------------------------------------------------------------------

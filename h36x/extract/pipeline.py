@@ -261,6 +261,21 @@ def _clip_key(entry: dict):
             int(entry["start"]))
 
 
+def _parse_partition(spec: str):
+    """'i/N' -> (i, N); '' -> (0, 1). Round-robin clip assignment keeps
+    subjects/actions evenly spread across partition jobs."""
+    if not spec:
+        return 0, 1
+    try:
+        i_s, n_s = spec.split("/")
+        i, n = int(i_s), int(n_s)
+    except ValueError:
+        raise ValueError(f"--partition must look like 'i/N', got {spec!r}")
+    if not (0 <= i < n):
+        raise ValueError(f"partition index {i} out of range for /{n}")
+    return i, n
+
+
 def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> dict:
     """Run the full extraction stage; returns a summary dict.
 
@@ -284,9 +299,11 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
             frame_skip=cfg.frame_skip,
         )
     n_clips = len(dataset)
+    part_i, part_n = _parse_partition(getattr(cfg, "partition", ""))
+    part_note = f" [partition {part_i}/{part_n}]" if part_n > 1 else ""
     print(
         f"Extracting {n_clips} clips x {n_vars} variant(s) "
-        f"(shards of {cfg.shard_size} clips) -> {out_root}"
+        f"(shards of {cfg.shard_size} clips) -> {out_root}{part_note}"
     )
 
     model, variables = _load_backbone(cfg)
@@ -391,13 +408,13 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
             ]
             pool.add(group)
             done += 1
-            if done % 200 == 0 or done == n_clips:
+            if done % 200 == 0 or done == n_todo:
                 dt = time.perf_counter() - t_last
                 cps = min(200, done) / dt if dt > 0 else 0.0
                 t_last = time.perf_counter()
-                eta = (n_clips - done) / cps if cps > 0 else 0.0
+                eta = (n_todo - done) / cps if cps > 0 else 0.0
                 print(
-                    f"[{100*done/n_clips:5.1f}%] {done:6d}/{n_clips} clips | "
+                    f"[{100*done/max(n_todo,1):5.1f}%] {done:6d}/{n_todo} clips | "
                     f"{cps:6.1f} clips/s | ETA {eta:6.1f}s | "
                     f"shard {shard_writer.shard_id} (pool {len(pool.pool)}, "
                     f"carry {len(pool.carry)})",
@@ -415,16 +432,21 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
             variants = small[None]  # (1,T,o,o,3)
         return variants, j3d, j2d, cam, ci, box
 
+    if done_keys and not hasattr(dataset, "clips"):
+        raise RuntimeError("resume needs a dataset exposing .clips metadata")
+    # Round-robin partition over the GLOBAL clip indices: every job sees the
+    # same index ordering, so per-clip determinism (e.g. the jitter rng keyed
+    # on the global index) is identical to a single-job run.
+    owned = list(range(n_clips))[part_i::part_n]
     todo = [
-        i for i in range(n_clips)
+        i for i in owned
         if not done_keys
         or (int(dataset.clips[i].subject), str(dataset.clips[i].action),
             str(dataset.clips[i].cam), int(dataset.clips[i].start)) not in done_keys
-    ] if hasattr(dataset, "clips") else list(range(n_clips))
-    if done_keys and not hasattr(dataset, "clips"):
-        raise RuntimeError("resume needs a dataset exposing .clips metadata")
-    if len(todo) < n_clips:
-        print(f"{n_clips - len(todo)} clips already done; {len(todo)} to go")
+    ]
+    if len(todo) < len(owned):
+        print(f"{len(owned) - len(todo)} clips already done; {len(todo)} to go")
+    n_todo = len(todo)
 
     # Decode with a thread pool; crops have static shapes, so batches are
     # simple fixed-size windows overlapped with device compute.
@@ -465,7 +487,7 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
         out_root,
         pool.clip_index,
         n_shards=shard_writer.shard_id,
-        n_clips=n_clips,
+        n_clips=len(pool.clip_index),
         n_variants=n_vars,
         aug_names=aug_names,
         seq_len=cfg.seq_len,
@@ -477,16 +499,17 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
 
     total = time.perf_counter() - t_all
     summary = {
-        "n_clips": n_clips,
+        "n_clips": len(pool.clip_index),  # clips in the store (all runs)
+        "n_processed": n_todo,  # clips this run actually extracted
         "n_vars": n_vars,
         "n_shards": shard_writer.shard_id,
         "seconds": total,
-        "clips_per_sec": n_clips / total if total > 0 else 0.0,
-        "frames_per_sec": n_clips * cfg.seq_len / total if total > 0 else 0.0,
+        "clips_per_sec": n_todo / total if total > 0 else 0.0,
+        "frames_per_sec": n_todo * cfg.seq_len / total if total > 0 else 0.0,
     }
     print(
-        f"Done: {n_clips} clips x {n_vars} variants -> {shard_writer.shard_id} shards "
+        f"Done: {n_todo} clips x {n_vars} variants -> {shard_writer.shard_id} shards "
         f"in {total:.1f}s ({summary['clips_per_sec']:.1f} clips/s, "
-        f"{1000*total/max(n_clips,1):.1f} ms/clip)"
+        f"{1000*total/max(n_todo,1):.1f} ms/clip)"
     )
     return summary

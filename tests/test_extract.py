@@ -237,6 +237,69 @@ def test_resume_after_crash(tmp_path):
     assert len(keys) == 6  # every clip exactly once, none duplicated
 
 
+def test_partitioned_extract_merge_matches_full(tmp_path):
+    """N coordination-free partition jobs + merge == one full job: same
+    clips, same per-clip features/joints (partitioning preserves the global
+    clip index, so per-clip rngs and backbone outputs are identical)."""
+    from h36x.data.shards import merge_stores
+
+    def cfg_for(out, partition=""):
+        return ExtractConfig(
+            out=str(out), seq_len=4, resize=16, batch_size=3, num_workers=2,
+            augment=True, shard_size=2, shuffle_pool=100, shuffle_seed=1,
+            partition=partition,
+        )
+
+    run_extract(cfg_for(tmp_path / "full"), dataset=FakeClipDataset(n_clips=7))
+    summaries = [
+        run_extract(cfg_for(tmp_path / f"part_{i}", partition=f"{i}/2"),
+                    dataset=FakeClipDataset(n_clips=7))
+        for i in range(2)
+    ]
+    assert summaries[0]["n_processed"] == 4  # clips 0,2,4,6
+    assert summaries[1]["n_processed"] == 3  # clips 1,3,5
+
+    idx = merge_stores([tmp_path / "part_0", tmp_path / "part_1"],
+                       tmp_path / "merged")
+    assert idx["n_clips"] == 7
+    assert not shard_path(tmp_path / "part_0", 0).exists()  # moved
+
+    def rows_by_key(root):
+        ds = FeatureClipDataset(root, augment=True, test_set=True)
+        out = {}
+        for i in range(len(ds)):
+            feats, j3d, j2d, K, meta = ds[i]
+            key = (meta["subject"], meta["action"], meta["start"], meta["aug"])
+            assert key not in out
+            out[key] = (feats, j3d, j2d, K)
+        return out
+
+    want, got = rows_by_key(tmp_path / "full"), rows_by_key(tmp_path / "merged")
+    assert want.keys() == got.keys()
+    for key in want:
+        for a, b in zip(want[key], got[key]):
+            np.testing.assert_array_equal(a, b, err_msg=str(key))
+
+
+def test_merge_stores_rejects_duplicates_and_keeps_parts(tmp_path):
+    from h36x.data.shards import merge_stores
+
+    cfg = ExtractConfig(out=str(tmp_path / "p0"), seq_len=4, resize=16,
+                        batch_size=2, num_workers=1, augment=False,
+                        shard_size=2, shuffle_pool=100, partition="0/2")
+    run_extract(cfg, dataset=FakeClipDataset(n_clips=6))
+
+    # duplicate part -> error, and (validate-first) nothing moved
+    with pytest.raises(ValueError, match="more than one part"):
+        merge_stores([tmp_path / "p0", tmp_path / "p0"], tmp_path / "m")
+    assert shard_path(tmp_path / "p0", 0).exists()
+
+    # keep-parts mode links instead of moving
+    merge_stores([tmp_path / "p0"], tmp_path / "m2", move=False)
+    assert shard_path(tmp_path / "p0", 0).exists()
+    assert shard_path(tmp_path / "m2", 0).exists()
+
+
 def test_extracted_store_trains(tmp_path):
     """Extraction output feeds the training loop end to end."""
     import jax
