@@ -25,6 +25,7 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--latent", type=int, default=1024)
+    p.add_argument("--steps-per-dispatch", type=int, default=1)
     args = p.parse_args(argv)
 
     from tests.helpers import make_synthetic_store
@@ -48,6 +49,7 @@ def main(argv=None):
         cfg.optim.batch_size = args.batch_size
         cfg.optim.log_every = 0
         cfg.optim.early_stop_patience = 0
+        cfg.optim.steps_per_dispatch = args.steps_per_dispatch
 
         train_set = FeatureClipDataset(store, subjects=[1], augment=True,
                                        shard_cache_size=16)

@@ -98,6 +98,11 @@ class OptimConfig:
     # Train the phase-1 step through the fused Pallas residual blocks
     # (precise 3-pass MXU matmuls, Pallas forward AND backward kernels).
     fused: bool = False
+    # >1: lax.scan that many optimizer updates into ONE dispatch (stacked
+    # batch group, dropout rng carried on device). Identical parameter
+    # trajectory to 1; amortizes the per-dispatch host overhead, which is
+    # comparable to the step itself for a model this size. Phase 1 only.
+    steps_per_dispatch: int = 1
 
 
 @dataclass

@@ -110,24 +110,31 @@ def multislice_batch_sharding(mesh):
     return NamedSharding(mesh, P(("slice", "data")))
 
 
-def make_global_batch(local_arrays, mesh, global_batch: int):
+def make_global_batch(local_arrays, mesh, global_batch: int,
+                      stacked: bool = False):
     """Per-host numpy shards -> global jax.Arrays sharded over mesh 'data'.
 
     local_arrays: pytree of host arrays whose leading dim is the LOCAL batch
     (global_batch / process_count rows). Uses
     jax.make_array_from_process_local_data, which never gathers across hosts.
     On a multi-slice mesh rows shard over the (slice, data) super-axis.
+
+    stacked=True: leaves carry a leading step axis (k, local_batch, ...)
+    (the multi-step scan dispatch, h36x/train/step.py scan_steps); the step
+    axis stays unsharded and rows shard on axis 1.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    if "slice" in mesh.axis_names:
-        sharding = NamedSharding(mesh, P(("slice", "data")))
-    else:
-        sharding = NamedSharding(mesh, P("data"))
+    rows = ("slice", "data") if "slice" in mesh.axis_names else "data"
+    spec = P(None, rows) if stacked else P(rows)
+    sharding = NamedSharding(mesh, spec)
 
     def convert(x):
         x = np.asarray(x)
-        global_shape = (global_batch,) + x.shape[1:]
+        if stacked:
+            global_shape = (x.shape[0], global_batch) + x.shape[2:]
+        else:
+            global_shape = (global_batch,) + x.shape[1:]
         return jax.make_array_from_process_local_data(sharding, x, global_shape)
 
     return jax.tree.map(convert, local_arrays)

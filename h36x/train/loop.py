@@ -74,6 +74,7 @@ def _batches(
     drop_meta: bool = True,
     pad_to: int = 1,
     with_weights: bool = False,
+    stack: int = 1,
 ):
     """Host batches -> sharded device batches. Tail batches whose row count
     does not divide the data axis are padded by repeating the last row.
@@ -86,7 +87,12 @@ def _batches(
     Multi-process: every process iterates the identical (seeded) sampler
     order but gathers ONLY its local_batch_slice rows from the store, and
     the transfer assembles the global jax.Array from the per-process shards
-    without any cross-host gather (h36x/parallel/distributed.py)."""
+    without any cross-host gather (h36x/parallel/distributed.py).
+
+    stack > 1 groups that many consecutive batches into one pytree with a
+    leading step axis (k, B, ...) for the multi-step scan dispatch
+    (h36x/train/step.py scan_steps); the step axis is unsharded, rows
+    shard as usual. The final group of an epoch may be shorter."""
     pcount = jax.process_count()
 
     def gen():
@@ -112,15 +118,31 @@ def _batches(
                 batch = (*batch, w)
             yield batch
 
+    def gen_stacked():
+        group = []
+        for batch in gen():
+            group.append(batch)
+            if len(group) == stack:
+                yield tuple(np.stack(xs) for xs in zip(*group))
+                group = []
+        if group:
+            yield tuple(np.stack(xs) for xs in zip(*group))
+
+    source = gen_stacked() if stack > 1 else gen()
     if pcount > 1:
         def transfer(batch):
             # local rows -> global-shape array; every process holds
             # n_local rows, so the global row count is n_local * pcount
-            n_global = batch[0].shape[0] * pcount
-            return make_global_batch(batch, sharding.mesh, n_global)
+            n_global = batch[0].shape[1 if stack > 1 else 0] * pcount
+            return make_global_batch(batch, sharding.mesh, n_global,
+                                     stacked=stack > 1)
 
-        return prefetch_to_device(gen(), transfer=transfer)
-    return prefetch_to_device(gen(), sharding=sharding)
+        return prefetch_to_device(source, transfer=transfer)
+    if stack > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(sharding.mesh, P(None, *sharding.spec))
+    return prefetch_to_device(source, sharding=sharding)
 
 
 def _data_axis(sharding) -> int:
@@ -131,33 +153,48 @@ def _data_axis(sharding) -> int:
         return 1
 
 
-def train_epoch(train_step, state, dataset, sampler, sharding, rng, log_every=500):
+def train_epoch(train_step, state, dataset, sampler, sharding, rng, log_every=500,
+                scan_steps=1):
     """One epoch. Metric tensors stay on device until a log point or epoch
     end, so step dispatches pipeline instead of synchronizing per batch
-    (device_get every iteration would serialize host<->device)."""
+    (device_get every iteration would serialize host<->device).
+
+    scan_steps > 1: `train_step` is the multi-step scan program
+    (h36x/train/step.py) — one dispatch applies that many optimizer
+    updates over a stacked batch group and carries the dropout rng on
+    device, reducing host round trips per epoch by the same factor. The
+    parameter trajectory is identical to scan_steps=1 (same rng split
+    discipline inside the scan)."""
     timers = PhaseTimers()
     pending = []  # device-resident per-step metric dicts
     totals = {"loss": 0.0, "l3d": 0.0, "mpjpe": 0.0}
     n = 0
+    last_log = 0
     epoch_start = time.perf_counter()
 
     def drain():
         nonlocal pending
         for m in jax.device_get(pending):
             for k in totals:
-                totals[k] += float(m[k])
+                totals[k] += float(np.sum(m[k]))
         pending = []
 
     timers.start("data")
-    for batch in _batches(dataset, sampler, sharding, pad_to=_data_axis(sharding)):
+    for batch in _batches(dataset, sampler, sharding, pad_to=_data_axis(sharding),
+                          stack=scan_steps):
         timers.stop("data")
         timers.start("step")
-        rng, sub = jax.random.split(rng)
-        state, metrics = train_step(state, batch, sub)
+        if scan_steps > 1:
+            state, metrics, rng = train_step(state, batch, rng)
+            n += int(batch[0].shape[0])
+        else:
+            rng, sub = jax.random.split(rng)
+            state, metrics = train_step(state, batch, sub)
+            n += 1
         pending.append(metrics)
         timers.stop("step")
-        n += 1
-        if log_every > 0 and n % log_every == 0:
+        if log_every > 0 and n - last_log >= log_every:
+            last_log = n
             drain()  # synchronizes: every queued step must finish
             if is_main_process():
                 print(
@@ -285,7 +322,11 @@ def fit(
         log(f"Initialized model weights from {cfg.init_from}")
     state = TrainState(shard_params(state.params, mesh), state.opt_state, state.step)
 
+    scan_steps = max(1, getattr(cfg.optim, "steps_per_dispatch", 1))
     if phase == 2:
+        if scan_steps > 1:
+            raise ValueError("steps_per_dispatch > 1 is phase-1 only (the "
+                             "phase-2 step takes a per-epoch horizon arg)")
         future_step = make_future_train_step(
             model, optimizer, input_len=cfg.optim.input_len,
             pred_len=cfg.optim.pred_len, lambda_joints=cfg.optim.lambda_future,
@@ -295,6 +336,7 @@ def fit(
         train_step = make_train_step(
             model, optimizer, fused=getattr(cfg.optim, "fused", False),
             lambda_2d=getattr(cfg.optim, "lambda_2d", 0.0),
+            scan_steps=scan_steps,
         )
     eval_step = make_weighted_eval_step(model)
     data_sharding = batch_sharding(mesh)
@@ -345,7 +387,7 @@ def fit(
         with maybe_trace(cfg.profile_dir if epoch == start_epoch else None):
             state, tr, rng = train_epoch(
                 step_fn, state, train_set, train_sampler, data_sharding, rng,
-                log_every=cfg.optim.log_every,
+                log_every=cfg.optim.log_every, scan_steps=scan_steps,
             )
         va = evaluate(eval_step, state.params, val_set, val_sampler, data_sharding)
 

@@ -32,7 +32,8 @@ from h36x.train.state import TrainState
 
 def make_train_step(model, optimizer, donate: bool = True,
                     fused: bool = False, interpret: bool = False,
-                    precise: bool = True, lambda_2d: float = 0.0) -> Callable:
+                    precise: bool = True, lambda_2d: float = 0.0,
+                    scan_steps: int = 1) -> Callable:
     """Build the jitted training step.
 
     Returns step(state, batch, rng) -> (state, metrics) where batch =
@@ -49,6 +50,18 @@ def make_train_step(model, optimizer, donate: bool = True,
     default 1e-6; :161-164 trains on 3D MSE only): loss = l3d +
     lambda_2d * MSE(project_with_K(joints_pred, K), joints2d). Default 0.0
     reproduces the reference's actual behavior exactly.
+
+    scan_steps > 1 returns a MULTI-step program instead:
+    step(state, batches, rng) -> (state, metrics, rng) where every batch
+    leaf carries a leading step axis and a `lax.scan` applies `scan_steps`
+    full optimizer updates in ONE dispatch. The scan body derives each
+    step's dropout key by the same carried `split` the host loop uses, so
+    the parameter trajectory is identical to dispatching the steps one by
+    one — only the host round trips are gone. For a model this size a
+    single update is a few ms, comparable to dispatch overhead; scanning
+    k steps amortizes that overhead k-fold (the classic XLA remedy — the
+    whole epoch body is traced once; no data-dependent Python in the loop).
+    Metrics come back stacked (scan_steps,) per key.
     """
 
     if fused:
@@ -94,6 +107,19 @@ def make_train_step(model, optimizer, donate: bool = True,
         return TrainState(params, opt_state, state.step + 1), metrics
 
     donate_argnums = (0,) if donate else ()
+    if scan_steps > 1:
+
+        def multi(state: TrainState, batches, rng):
+            def body(carry, batch):
+                s, r = carry
+                r, sub = jax.random.split(r)
+                s, m = step(s, batch, sub)
+                return (s, r), m
+
+            (state, rng), metrics = jax.lax.scan(body, (state, rng), batches)
+            return state, metrics, rng
+
+        return jax.jit(multi, donate_argnums=donate_argnums)
     return jax.jit(step, donate_argnums=donate_argnums)
 
 

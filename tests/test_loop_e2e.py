@@ -48,6 +48,30 @@ def _datasets(cfg):
     return train_set, val_set, train_sampler, val_sampler
 
 
+def test_fit_steps_per_dispatch_matches_default(cfg, tmp_path):
+    """fit with steps_per_dispatch=2 (scan dispatch, incl. a short tail
+    group — 3 batches/epoch here) must reproduce the default run's metrics:
+    identical batches, identical rng discipline inside the scan."""
+    import dataclasses as _dc
+    import json
+
+    cfg1 = _dc.replace(cfg, outdir=str(tmp_path / "r1"))
+    fit(cfg1, *_datasets(cfg))
+    cfg2 = _dc.replace(cfg, outdir=str(tmp_path / "r2"))
+    cfg2.optim = _dc.replace(cfg.optim, steps_per_dispatch=2)
+    fit(cfg2, *_datasets(cfg))
+
+    rows1 = [json.loads(l) for l in
+             (tmp_path / "r1" / "metrics.jsonl").read_text().splitlines()]
+    rows2 = [json.loads(l) for l in
+             (tmp_path / "r2" / "metrics.jsonl").read_text().splitlines()]
+    assert len(rows1) == len(rows2) == 2
+    for want, got in zip(rows1, rows2):
+        for key in ("train_loss", "train_mpjpe", "val_loss", "val_mpjpe"):
+            np.testing.assert_allclose(got[key], want[key], rtol=1e-4,
+                                       err_msg=key)
+
+
 def test_fit_end_to_end(cfg, tmp_path, capsys):
     state, best_val = fit(cfg, *_datasets(cfg))
     assert np.isfinite(best_val)

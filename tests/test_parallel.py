@@ -206,6 +206,19 @@ class TestMultiHostHelpers:
         assert out["feats"].sharding.spec == P("data")
         np.testing.assert_array_equal(np.asarray(out["feats"]), full["feats"])
 
+    def test_make_global_batch_stacked(self):
+        """Stacked (scan-dispatch) groups keep the step axis unsharded and
+        shard rows on axis 1."""
+        from h36x.parallel.distributed import make_global_batch
+
+        _require_devices(8)
+        mesh = make_mesh(data=8, model=1)
+        x = np.arange(3 * 16 * 4, dtype=np.float32).reshape(3, 16, 4)
+        out = make_global_batch({"x": x}, mesh, 16, stacked=True)
+        assert out["x"].shape == (3, 16, 4)
+        assert out["x"].sharding.spec == P(None, "data")
+        np.testing.assert_array_equal(np.asarray(out["x"]), x)
+
     def test_make_global_batch_multislice_spec(self):
         from h36x.parallel.distributed import (
             make_global_batch,

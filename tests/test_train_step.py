@@ -146,6 +146,63 @@ class TestTrainStep:
         )
 
 
+class TestScanSteps:
+    """Multi-step scan dispatch (scan_steps > 1) must reproduce the
+    one-step-per-dispatch trajectory exactly: same rng split discipline,
+    so same dropout masks, same updates."""
+
+    def _states(self, dropout):
+        model = PHDFor3DJoints(latent_dim=64, feature_dim=32,
+                               number_blocks=1, dropout=dropout)
+        optimizer, _ = make_optimizer(lr=1e-3, freeze_ar=True)
+        make_state = lambda: create_train_state(  # noqa: E731
+            model, optimizer, jax.random.key(0), jnp.zeros((2, 6, 32))
+        )
+        return model, optimizer, make_state
+
+    @pytest.mark.parametrize("dropout", [0.0, 0.5])
+    def test_matches_sequential(self, rng, dropout):
+        model, optimizer, make_state = self._states(dropout)
+        k = 4
+        batches = [synth_batch(rng) for _ in range(k)]
+
+        step = make_train_step(model, optimizer, donate=False)
+        s1, key = make_state(), jax.random.key(7)
+        seq_metrics = []
+        for b in batches:
+            key, sub = jax.random.split(key)
+            s1, m = step(s1, b, sub)
+            seq_metrics.append(m)
+
+        mstep = make_train_step(model, optimizer, donate=False, scan_steps=k)
+        stacked = tuple(jnp.stack(xs) for xs in zip(*batches))
+        s2, metrics, _ = mstep(make_state(), stacked, jax.random.key(7))
+
+        assert int(s2.step) == int(s1.step) == k
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=1e-7)
+        for i, m in enumerate(seq_metrics):
+            for name in ("loss", "mpjpe"):
+                np.testing.assert_allclose(
+                    float(metrics[name][i]), float(m[name]), rtol=1e-5)
+
+    def test_short_tail_group_retraces(self, rng):
+        """A final group shorter than scan_steps is just a shorter scan —
+        same callable, new shape, jit re-traces and the math still works."""
+        model, optimizer, make_state = self._states(0.0)
+        mstep = make_train_step(model, optimizer, donate=False, scan_steps=3)
+        s = make_state()
+        full = tuple(jnp.stack(xs) for xs in
+                     zip(*[synth_batch(rng) for _ in range(3)]))
+        tail = tuple(x[:2] for x in full)
+        s, m_full, key = mstep(s, full, jax.random.key(0))
+        s, m_tail, _ = mstep(s, tail, key)
+        assert m_full["loss"].shape == (3,) and m_tail["loss"].shape == (2,)
+        assert int(s.step) == 5
+        assert all(np.isfinite(np.asarray(m_tail["loss"])))
+
+
 class TestEval:
     def test_eval_metrics_match_manual(self, setup, rng):
         model, _, state = setup
