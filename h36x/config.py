@@ -103,6 +103,10 @@ class OptimConfig:
     # trajectory to 1; amortizes the per-dispatch host overhead, which is
     # comparable to the step itself for a model this size. Phase 1 only.
     steps_per_dispatch: int = 1
+    # >1: gradient accumulation — one optimizer update over the mean grad
+    # of that many microbatches (effective batch = grad_accum * batch_size
+    # at microbatch memory). Exclusive with steps_per_dispatch; phase 1.
+    grad_accum: int = 1
 
 
 @dataclass

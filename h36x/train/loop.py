@@ -159,12 +159,15 @@ def train_epoch(train_step, state, dataset, sampler, sharding, rng, log_every=50
     end, so step dispatches pipeline instead of synchronizing per batch
     (device_get every iteration would serialize host<->device).
 
-    scan_steps > 1: `train_step` is the multi-step scan program
-    (h36x/train/step.py) — one dispatch applies that many optimizer
-    updates over a stacked batch group and carries the dropout rng on
-    device, reducing host round trips per epoch by the same factor. The
-    parameter trajectory is identical to scan_steps=1 (same rng split
-    discipline inside the scan)."""
+    scan_steps > 1: `train_step` is a grouped program
+    (h36x/train/step.py scan_steps or accum_steps — same
+    (state, batches, rng) -> (state, metrics, rng) signature): one
+    dispatch consumes a stacked group of that many batches and carries
+    the dropout rng on device. Multi-step scan applies one optimizer
+    update per batch (trajectory identical to ungrouped); grad
+    accumulation applies ONE update over the group's mean gradient.
+    `n` counts batches either way, so logged metrics stay per-batch
+    means."""
     timers = PhaseTimers()
     pending = []  # device-resident per-step metric dicts
     totals = {"loss": 0.0, "l3d": 0.0, "mpjpe": 0.0}
@@ -323,10 +326,14 @@ def fit(
     state = TrainState(shard_params(state.params, mesh), state.opt_state, state.step)
 
     scan_steps = max(1, getattr(cfg.optim, "steps_per_dispatch", 1))
+    accum_steps = max(1, getattr(cfg.optim, "grad_accum", 1))
+    # batches per stacked dispatch group (scan and accum share the feed)
+    group = scan_steps if scan_steps > 1 else accum_steps
     if phase == 2:
-        if scan_steps > 1:
-            raise ValueError("steps_per_dispatch > 1 is phase-1 only (the "
-                             "phase-2 step takes a per-epoch horizon arg)")
+        if group > 1:
+            raise ValueError("steps_per_dispatch / grad_accum > 1 is phase-1 "
+                             "only (the phase-2 step takes a per-epoch "
+                             "horizon arg)")
         future_step = make_future_train_step(
             model, optimizer, input_len=cfg.optim.input_len,
             pred_len=cfg.optim.pred_len, lambda_joints=cfg.optim.lambda_future,
@@ -336,7 +343,7 @@ def fit(
         train_step = make_train_step(
             model, optimizer, fused=getattr(cfg.optim, "fused", False),
             lambda_2d=getattr(cfg.optim, "lambda_2d", 0.0),
-            scan_steps=scan_steps,
+            scan_steps=scan_steps, accum_steps=accum_steps,
         )
     eval_step = make_weighted_eval_step(model)
     data_sharding = batch_sharding(mesh)
@@ -387,7 +394,7 @@ def fit(
         with maybe_trace(cfg.profile_dir if epoch == start_epoch else None):
             state, tr, rng = train_epoch(
                 step_fn, state, train_set, train_sampler, data_sharding, rng,
-                log_every=cfg.optim.log_every, scan_steps=scan_steps,
+                log_every=cfg.optim.log_every, scan_steps=group,
             )
         va = evaluate(eval_step, state.params, val_set, val_sampler, data_sharding)
 

@@ -33,7 +33,7 @@ from h36x.train.state import TrainState
 def make_train_step(model, optimizer, donate: bool = True,
                     fused: bool = False, interpret: bool = False,
                     precise: bool = True, lambda_2d: float = 0.0,
-                    scan_steps: int = 1) -> Callable:
+                    scan_steps: int = 1, accum_steps: int = 1) -> Callable:
     """Build the jitted training step.
 
     Returns step(state, batch, rng) -> (state, metrics) where batch =
@@ -62,7 +62,18 @@ def make_train_step(model, optimizer, donate: bool = True,
     k steps amortizes that overhead k-fold (the classic XLA remedy — the
     whole epoch body is traced once; no data-dependent Python in the loop).
     Metrics come back stacked (scan_steps,) per key.
+
+    accum_steps > 1 (exclusive with scan_steps) is gradient accumulation:
+    the same step(state, batches, rng) -> (state, metrics, rng) signature
+    over a stacked group, but the scan accumulates gradients across the
+    group and applies ONE optimizer update over their mean — effective
+    batch = accum_steps * batch_size with the per-microbatch memory
+    footprint. The reference has no such mode (its effective batch is
+    bounded by GPU memory, src/train.py:301-321); on TPU it composes with
+    the mesh: each microbatch still shards over `data`.
     """
+    if scan_steps > 1 and accum_steps > 1:
+        raise ValueError("scan_steps and accum_steps are mutually exclusive")
 
     if fused:
 
@@ -107,6 +118,38 @@ def make_train_step(model, optimizer, donate: bool = True,
         return TrainState(params, opt_state, state.step + 1), metrics
 
     donate_argnums = (0,) if donate else ()
+    if accum_steps > 1:
+
+        def accum(state: TrainState, batches, rng):
+            def body(carry, batch):
+                r, gacc = carry
+                r, sub = jax.random.split(r)
+                feats, joints3d, joints2d, K = (batch[0], batch[1],
+                                                batch[2], batch[3])
+                (loss, (l3d, l2d, joints_pred)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params, feats, joints3d, joints2d, K, sub)
+                gacc = jax.tree.map(jnp.add, gacc, grads)
+                m = {
+                    "loss": loss,
+                    "l3d": l3d,
+                    "l2d": l2d,
+                    "mpjpe": mpjpe(joints_pred, joints3d),
+                    "bone": bone_length_loss(joints_pred, joints3d),
+                }
+                return (r, gacc), m
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            n_micro = jax.tree.leaves(batches)[0].shape[0]
+            (rng, gsum), metrics = jax.lax.scan(body, (rng, zeros), batches)
+            grads = jax.tree.map(lambda g: g / n_micro, gsum)
+            updates, opt_state = optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+            return TrainState(params, opt_state, state.step + 1), metrics, rng
+
+        return jax.jit(accum, donate_argnums=donate_argnums)
     if scan_steps > 1:
 
         def multi(state: TrainState, batches, rng):

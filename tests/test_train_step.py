@@ -203,6 +203,84 @@ class TestScanSteps:
         assert all(np.isfinite(np.asarray(m_tail["loss"])))
 
 
+class TestGradAccum:
+    """accum_steps=a must equal ONE optimizer step on the concatenated
+    batch: the loss is a mean over rows, so the mean of equal-size
+    microbatch gradients is the big-batch gradient."""
+
+    def test_matches_big_batch(self, rng):
+        model = PHDFor3DJoints(latent_dim=64, feature_dim=32,
+                               number_blocks=1, dropout=0.0)
+        optimizer, _ = make_optimizer(lr=1e-3, freeze_ar=True)
+        make_state = lambda: create_train_state(  # noqa: E731
+            model, optimizer, jax.random.key(0), jnp.zeros((2, 6, 32))
+        )
+        micros = [synth_batch(rng, b=4) for _ in range(3)]
+        big = tuple(jnp.concatenate(xs) for xs in zip(*micros))
+
+        step = make_train_step(model, optimizer, donate=False)
+        s1, m1 = step(make_state(), big, jax.random.key(5))
+
+        astep = make_train_step(model, optimizer, donate=False, accum_steps=3)
+        stacked = tuple(jnp.stack(xs) for xs in zip(*micros))
+        s2, m2, _ = astep(make_state(), stacked, jax.random.key(5))
+
+        assert int(s2.step) == 1  # one optimizer update for the group
+        # f32 summation-order noise in near-zero grads gets amplified by
+        # AdamW's 1/sqrt(v) normalizer — tolerance reflects that, not math
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-6)
+        # metrics are per-microbatch; their mean is the big-batch value
+        np.testing.assert_allclose(float(jnp.mean(m2["loss"])),
+                                   float(m1["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(float(jnp.mean(m2["mpjpe"])),
+                                   float(m1["mpjpe"]), rtol=1e-5)
+
+    def test_exclusive_with_scan(self):
+        model = PHDFor3DJoints(latent_dim=64, feature_dim=32, number_blocks=1)
+        optimizer, _ = make_optimizer(lr=1e-3)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            make_train_step(model, optimizer, scan_steps=2, accum_steps=2)
+
+    def test_fit_grad_accum_runs(self, tmp_path):
+        """Loop-level smoke: grad_accum=2 trains through fit and records
+        one optimizer step per 2 batches."""
+        import dataclasses as _dc
+
+        from h36x.config import TrainConfig
+        from h36x.data.features import FeatureClipDataset
+        from h36x.data.sampler import (
+            MixedShardBatchSampler,
+            SequentialBatchSampler,
+        )
+        from h36x.train.loop import fit
+        from tests.helpers import make_synthetic_store
+
+        store = tmp_path / "store"
+        store.mkdir()
+        make_synthetic_store(store, n_shards=2, clips_per_shard=8, n_vars=4,
+                             seq_len=8, feat_dim=32, subjects=(1, 5))
+        cfg = TrainConfig()
+        cfg.outdir = str(tmp_path / "runs")
+        cfg.data.seq_len = 8
+        cfg.model.feature_dim = 32
+        cfg.model.latent_dim = 64
+        cfg.model.num_blocks = 1
+        cfg.optim = _dc.replace(cfg.optim, epochs=1, batch_size=8,
+                                log_every=0, grad_accum=2)
+        cfg.train_root = cfg.val_root = str(store)
+        train_set = FeatureClipDataset(str(store), subjects=[1], augment=True)
+        val_set = FeatureClipDataset(str(store), subjects=[5])
+        ts = MixedShardBatchSampler(train_set, batch_size=8,
+                                    shards_per_batch=2, drop_last=True, seed=0)
+        vs = SequentialBatchSampler(val_set, batch_size=8)
+        state, best = fit(cfg, train_set, val_set, ts, vs)
+        assert np.isfinite(best)
+        n_batches = len(train_set) // 8
+        assert int(state.step) == (n_batches + 1) // 2
+
+
 class TestEval:
     def test_eval_metrics_match_manual(self, setup, rng):
         model, _, state = setup
