@@ -29,6 +29,7 @@ def main(argv=None):
         subjects=cfg.train_subjects,
         augment=True,
         shard_cache_size=max(cfg.data.shard_cache_size, 64),
+        log_loads_every=cfg.data.log_shard_loads,
     )
     val_set = FeatureClipDataset(val_root, subjects=cfg.val_subjects)
     train_sampler = MixedShardBatchSampler(

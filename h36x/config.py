@@ -51,6 +51,9 @@ class DataConfig:
     resize: int = 224
     crop_scale: float = 1.6
     shard_cache_size: int = 2
+    # >0: print shard-cache load/hit counts every N disk loads (the
+    # reference's cache-thrash observability, dataset_features.py:101-105)
+    log_shard_loads: int = 0
     subjects: List[int] = field(default_factory=lambda: list(TRAIN_SUBJECTS))
     max_clips: Optional[int] = None
     augment: bool = False

@@ -28,6 +28,7 @@ class FeatureClipDataset:
         test_set: bool = False,
         augment: bool = False,
         shard_cache_size: int = 2,
+        log_loads_every: int = 0,
     ):
         self.root = Path(root)
         self.test_set = test_set
@@ -55,7 +56,10 @@ class FeatureClipDataset:
         else:
             self._items = [(c, 0) for c in clips]
 
-        self._reader = shard_store.ShardReader(self.root, cache_size=shard_cache_size)
+        self._reader = shard_store.ShardReader(
+            self.root, cache_size=shard_cache_size,
+            log_loads_every=log_loads_every,
+        )
 
     # -- container protocol ------------------------------------------------
 
@@ -68,6 +72,10 @@ class FeatureClipDataset:
 
     def shard_id_of(self, idx: int) -> int:
         return int(self._items[idx][0]["shard_id"])
+
+    def cache_stats(self) -> dict:
+        """Shard-cache load/hit counters (reference dataset_features.py:101-105)."""
+        return self._reader.stats()
 
     def _shard(self, shard_id: int) -> dict:
         if self._torch_format:

@@ -166,18 +166,28 @@ class ShardWriter:
 
 
 class ShardReader:
-    """LRU cache of open shards (reference src/dataset_features.py:89-110)."""
+    """LRU cache of open shards (reference src/dataset_features.py:89-110).
 
-    def __init__(self, root, cache_size: int = 2, mmap: bool = True):
+    log_loads_every > 0 reproduces the reference's cache-thrash
+    observability (src/dataset_features.py:101-105): every Nth disk load
+    prints the running load/hit counts so an undersized cache is visible
+    in the training log instead of only in the data-phase timer.
+    """
+
+    def __init__(self, root, cache_size: int = 2, mmap: bool = True,
+                 log_loads_every: int = 0):
         self.root = Path(root)
         self.cache_size = cache_size
         self.mmap = mmap
+        self.log_loads_every = log_loads_every
         self._cache: dict = {}
         self._order: list = []
         self.load_calls = 0
+        self.hits = 0
 
     def get(self, shard_id: int) -> dict:
         if shard_id in self._cache:
+            self.hits += 1
             self._order.remove(shard_id)
             self._order.append(shard_id)
             return self._cache[shard_id]
@@ -188,7 +198,14 @@ class ShardReader:
         shard = read_shard(shard_path(self.root, shard_id), mmap=self.mmap)
         self._cache[shard_id] = shard
         self._order.append(shard_id)
+        if self.log_loads_every and self.load_calls % self.log_loads_every == 0:
+            print(f"[shards] {self.load_calls} loads / {self.hits} hits "
+                  f"(cache {self.cache_size}, shard {shard_id})", flush=True)
         return shard
+
+    def stats(self) -> dict:
+        return {"loads": self.load_calls, "hits": self.hits,
+                "cache_size": self.cache_size}
 
 
 # ---------------------------------------------------------------------------

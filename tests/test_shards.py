@@ -91,6 +91,21 @@ class TestShardReaderLRU:
         reader.get(0)
         assert reader.load_calls == 1
 
+    def test_stats_and_thrash_log(self, tmp_path, capsys):
+        """Cache-thrash observability (reference dataset_features.py:101-105)."""
+        make_synthetic_store(tmp_path, n_shards=3, clips_per_shard=2, n_vars=1)
+        reader = shard_store.ShardReader(tmp_path, cache_size=1,
+                                         log_loads_every=2)
+        for sid in (0, 0, 1, 2, 1):  # 4 loads, 1 hit
+            reader.get(sid)
+        assert reader.stats() == {"loads": 4, "hits": 1, "cache_size": 1}
+        out = capsys.readouterr().out
+        assert out.count("[shards]") == 2  # every 2nd load
+
+        ds = FeatureClipDataset(tmp_path)
+        ds[0]
+        assert ds.cache_stats()["loads"] == 1
+
 
 class TestFeatureClipDataset:
     def test_subject_filter_and_len(self, tmp_path):
