@@ -1,0 +1,61 @@
+"""CLI: online serving daemon with dynamic batching (h36x/serve_daemon.py).
+
+The reference has no serving entry point (its checkpoints are re-loaded
+into the training code for offline eval, src/results.py:175-187); this is
+the deployment surface: point it at an `h36x-export` AOT artifact (weights
+baked in, symbolic batch — the recommended path) or a training checkpoint.
+
+Smoke: h36x-serve --artifact model.fwd.bf16.hlo --port 7036
+"""
+
+import argparse
+import asyncio
+
+from h36x.config import FEATURE_DIM, SEQ_LEN
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--artifact", default="",
+                     help="AOT artifact from h36x-export (serves any batch "
+                          "size without recompilation)")
+    src.add_argument("--model-path", default="", help="checkpoint .msgpack")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=7036)
+    p.add_argument("--unix", default="", help="unix socket path (overrides "
+                                              "host/port)")
+    p.add_argument("--seq-len", type=int, default=SEQ_LEN)
+    p.add_argument("--feature-dim", type=int, default=FEATURE_DIM)
+    p.add_argument("--latent-dim", type=int, default=1024)
+    p.add_argument("--num-blocks", type=int, default=2)
+    p.add_argument("--max-batch", type=int, default=16)
+    p.add_argument("--max-wait-ms", type=float, default=5.0)
+    args = p.parse_args(argv)
+
+    from h36x.utils.runtime import setup_jax_cache
+
+    setup_jax_cache()
+
+    from h36x.serve_daemon import BatchingServer, build_predict_fn, serve_forever
+
+    predict_fn, pad_to = build_predict_fn(
+        artifact=args.artifact, model_path=args.model_path,
+        seq_len=args.seq_len, feature_dim=args.feature_dim,
+        latent_dim=args.latent_dim, num_blocks=args.num_blocks,
+        max_batch=args.max_batch,
+    )
+    server = BatchingServer(
+        predict_fn, seq_len=args.seq_len, feature_dim=args.feature_dim,
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms, pad_to=pad_to,
+    )
+    bind = ({"unix_path": args.unix} if args.unix
+            else {"host": args.host, "port": args.port})
+    try:
+        asyncio.run(serve_forever(server, **bind))
+    except KeyboardInterrupt:
+        pass
+
+
+if __name__ == "__main__":
+    main()

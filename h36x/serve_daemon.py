@@ -1,0 +1,268 @@
+"""Dynamic-batching serving daemon for the PHD model.
+
+The reference's "serving" story is loading `last.pt` back into the training
+codebase for offline evaluation (src/results.py:175-187). h36x serves
+online: a small asyncio daemon accepts feature clips over TCP or a unix
+socket, coalesces concurrent requests into one device batch (dynamic
+batching up to `max_batch` with a `max_wait_ms` deadline), runs the jitted
+forward once, and fans the rows back out. Batching is what keeps the MXU
+fed under concurrent small requests — the device cost of B=16 is nearly
+that of B=1 for this model.
+
+Two model sources:
+  - an AOT artifact from `h36x-export` (StableHLO with weights baked in and
+    a symbolic batch dimension — any coalesced batch size runs without
+    recompilation, and deployment needs only jax, not h36x), or
+  - a training checkpoint (`.msgpack`) + model hyper-parameters, padded to
+    `max_batch` so the jit compiles exactly once.
+
+Wire protocol (both directions):
+  8-byte big-endian header length | JSON header | raw payload bytes
+  request header:  {"shape": [T, F], "dtype": "float32"}
+  response header: {"shape": [T, J, 3], "dtype": "float32"} or {"error": m}
+
+`serve_forever` / `BatchingServer` are importable for embedding; the CLI
+lives in h36x/cli/serve.py (`h36x-serve`).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import struct
+from typing import Callable, Optional
+
+import numpy as np
+
+_LEN = struct.Struct(">Q")
+_MAX_HEADER = 1 << 16
+_MAX_PAYLOAD = 1 << 30
+
+
+# ---------------------------------------------------------------------------
+# Framing
+# ---------------------------------------------------------------------------
+
+
+async def _read_msg(reader: asyncio.StreamReader):
+    raw = await reader.readexactly(_LEN.size)
+    (hlen,) = _LEN.unpack(raw)
+    if hlen > _MAX_HEADER:
+        raise ValueError(f"header too large: {hlen}")
+    header = json.loads(await reader.readexactly(hlen))
+    payload = b""
+    nbytes = int(header.get("nbytes", 0))
+    if nbytes:
+        if nbytes > _MAX_PAYLOAD:
+            raise ValueError(f"payload too large: {nbytes}")
+        payload = await reader.readexactly(nbytes)
+    return header, payload
+
+
+def _write_msg(writer: asyncio.StreamWriter, header: dict,
+               payload: bytes = b"") -> None:
+    header = dict(header, nbytes=len(payload))
+    hbytes = json.dumps(header).encode()
+    writer.write(_LEN.pack(len(hbytes)) + hbytes + payload)
+
+
+# ---------------------------------------------------------------------------
+# Server
+# ---------------------------------------------------------------------------
+
+
+class BatchingServer:
+    """Coalesce concurrent (T, F) requests into one (B, T, F) device call.
+
+    predict_fn: (B, T, F) f32 numpy -> (B, T, J, 3) numpy-convertible.
+    pad_to > 0 pads every batch to that many rows (checkpoint mode: one
+    compiled shape); 0 leaves B dynamic (AOT artifacts with a symbolic
+    batch dim).
+    """
+
+    def __init__(self, predict_fn: Callable, seq_len: int, feature_dim: int,
+                 max_batch: int = 16, max_wait_ms: float = 5.0,
+                 pad_to: int = 0):
+        self.predict_fn = predict_fn
+        self.seq_len = int(seq_len)
+        self.feature_dim = int(feature_dim)
+        self.max_batch = int(max_batch)
+        self.max_wait = max_wait_ms / 1000.0
+        self.pad_to = int(pad_to)
+        self._queue: asyncio.Queue = asyncio.Queue()
+        self._batcher: Optional[asyncio.Task] = None
+        self.stats = {"requests": 0, "batches": 0, "rows": 0}
+
+    # -- connection handler -------------------------------------------------
+
+    async def handle(self, reader: asyncio.StreamReader,
+                     writer: asyncio.StreamWriter) -> None:
+        try:
+            while True:
+                try:
+                    header, payload = await _read_msg(reader)
+                except asyncio.IncompleteReadError:
+                    break
+                try:
+                    feats = self._parse(header, payload)
+                except ValueError as e:
+                    _write_msg(writer, {"error": str(e)})
+                    await writer.drain()
+                    continue
+                fut: asyncio.Future = asyncio.get_running_loop().create_future()
+                self.stats["requests"] += 1
+                await self._queue.put((feats, fut))
+                try:
+                    joints = await fut
+                except Exception as e:  # batch failed; report, keep serving
+                    _write_msg(writer, {"error": f"inference failed: {e}"})
+                    await writer.drain()
+                    continue
+                out = np.ascontiguousarray(joints, dtype=np.float32)
+                _write_msg(
+                    writer,
+                    {"shape": list(out.shape), "dtype": "float32"},
+                    out.tobytes(),
+                )
+                await writer.drain()
+        finally:
+            writer.close()
+
+    def _parse(self, header: dict, payload: bytes) -> np.ndarray:
+        if "shape" not in header:
+            raise ValueError("missing 'shape'")
+        shape = tuple(int(s) for s in header["shape"])
+        if len(shape) != 2 or shape != (self.seq_len, self.feature_dim):
+            raise ValueError(
+                f"expected shape [{self.seq_len}, {self.feature_dim}], "
+                f"got {list(shape)}")
+        if header.get("dtype", "float32") != "float32":
+            raise ValueError("dtype must be float32")
+        want = shape[0] * shape[1] * 4
+        if len(payload) != want:
+            raise ValueError(f"payload is {len(payload)} bytes, want {want}")
+        return np.frombuffer(payload, np.float32).reshape(shape)
+
+    # -- batcher ------------------------------------------------------------
+
+    async def _batch_loop(self) -> None:
+        loop = asyncio.get_running_loop()
+        while True:
+            items = [await self._queue.get()]
+            deadline = loop.time() + self.max_wait
+            while len(items) < self.max_batch:
+                timeout = deadline - loop.time()
+                if timeout <= 0:
+                    break
+                try:
+                    items.append(
+                        await asyncio.wait_for(self._queue.get(), timeout))
+                except asyncio.TimeoutError:
+                    break
+            feats = np.stack([f for f, _ in items])
+            n = feats.shape[0]
+            if self.pad_to and n < self.pad_to:
+                pad = np.zeros((self.pad_to - n,) + feats.shape[1:], np.float32)
+                feats = np.concatenate([feats, pad])
+            try:
+                # the device wait runs in a worker thread so the event loop
+                # keeps accepting (and queueing) requests for the next batch
+                joints = await loop.run_in_executor(
+                    None, lambda: np.asarray(self.predict_fn(feats)))
+            except Exception as e:
+                for _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(RuntimeError(str(e)))
+                continue
+            self.stats["batches"] += 1
+            self.stats["rows"] += n
+            for i, (_, fut) in enumerate(items):
+                if not fut.done():
+                    fut.set_result(joints[i])
+
+    # -- lifecycle ----------------------------------------------------------
+
+    async def start(self, host: Optional[str] = None,
+                    port: Optional[int] = None,
+                    unix_path: Optional[str] = None):
+        self._batcher = asyncio.ensure_future(self._batch_loop())
+        if unix_path:
+            return await asyncio.start_unix_server(self.handle, path=unix_path)
+        return await asyncio.start_server(self.handle, host=host, port=port)
+
+    def stop(self) -> None:
+        if self._batcher is not None:
+            self._batcher.cancel()
+            self._batcher = None
+
+
+# ---------------------------------------------------------------------------
+# Client (tests, smoke checks, simple integrations)
+# ---------------------------------------------------------------------------
+
+
+async def request_async(feats: np.ndarray, host: Optional[str] = None,
+                        port: Optional[int] = None,
+                        unix_path: Optional[str] = None) -> np.ndarray:
+    """One (T, F) request -> (T, J, 3) prediction."""
+    if unix_path:
+        reader, writer = await asyncio.open_unix_connection(unix_path)
+    else:
+        reader, writer = await asyncio.open_connection(host, port)
+    try:
+        feats = np.ascontiguousarray(feats, np.float32)
+        _write_msg(writer, {"shape": list(feats.shape), "dtype": "float32"},
+                   feats.tobytes())
+        await writer.drain()
+        header, payload = await _read_msg(reader)
+    finally:
+        writer.close()
+    if "error" in header:
+        raise RuntimeError(header["error"])
+    return np.frombuffer(payload, np.float32).reshape(header["shape"])
+
+
+def request(feats: np.ndarray, **kw) -> np.ndarray:
+    return asyncio.run(request_async(feats, **kw))
+
+
+# ---------------------------------------------------------------------------
+# Model loading
+# ---------------------------------------------------------------------------
+
+
+def build_predict_fn(artifact: str = "", model_path: str = "",
+                     seq_len: int = 40, feature_dim: int = 2048,
+                     latent_dim: int = 1024, num_blocks: int = 2,
+                     max_batch: int = 16):
+    """Returns (predict_fn, pad_to) from an AOT artifact or a checkpoint."""
+    if artifact:
+        from h36x.export import load_artifact
+
+        fn = load_artifact(artifact)
+        return (lambda feats: fn(feats)), 0  # symbolic batch: no padding
+
+    import jax
+    import jax.numpy as jnp
+
+    from h36x.models.phd import PHDFor3DJoints
+    from h36x.train import checkpoint as ckpt
+    from h36x.train.step import make_forward
+
+    model = PHDFor3DJoints(latent_dim=latent_dim, feature_dim=feature_dim,
+                           number_blocks=num_blocks)
+    template = model.init(
+        jax.random.key(0), jnp.zeros((1, seq_len, feature_dim))
+    )["params"]
+    params = ckpt.load_params_only(model_path, jax.device_get(template))
+    params = jax.tree.map(jnp.asarray, params)
+    forward = make_forward(model)
+    return (lambda feats: forward(params, feats)), max_batch
+
+
+async def serve_forever(server: BatchingServer, **bind_kw) -> None:
+    srv = await server.start(**bind_kw)
+    addrs = ", ".join(str(s.getsockname()) for s in srv.sockets)
+    print(f"h36x-serve listening on {addrs}", flush=True)
+    async with srv:
+        await srv.serve_forever()

@@ -1,0 +1,132 @@
+"""Online serving daemon: dynamic batching, wire protocol, error paths,
+checkpoint loading (h36x/serve_daemon.py; the reference has no serving
+entry point — src/results.py:175-187 reloads checkpoints into the training
+code instead)."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from h36x.models.phd import PHDFor3DJoints
+from h36x.serve_daemon import (
+    BatchingServer,
+    build_predict_fn,
+    request_async,
+)
+from h36x.train.step import make_forward
+
+T, F, J = 6, 32, 17
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = PHDFor3DJoints(latent_dim=64, feature_dim=F, number_blocks=1)
+    params = model.init(jax.random.key(0), jnp.zeros((1, T, F)))["params"]
+    return model, params
+
+
+@pytest.fixture(scope="module")
+def predict_fn(model_and_params):
+    model, params = model_and_params
+    forward = make_forward(model)
+    return lambda feats: forward(params, feats)
+
+
+def _serve(server, coro):
+    """Run `coro(port)` against a started server on an ephemeral port."""
+
+    async def run():
+        srv = await server.start(host="127.0.0.1", port=0)
+        port = srv.sockets[0].getsockname()[1]
+        try:
+            return await coro(port)
+        finally:
+            server.stop()
+            srv.close()
+            await srv.wait_closed()
+
+    return asyncio.run(run())
+
+
+def test_concurrent_requests_batched_and_correct(predict_fn):
+    server = BatchingServer(predict_fn, seq_len=T, feature_dim=F,
+                            max_batch=8, max_wait_ms=200.0, pad_to=8)
+    rng = np.random.default_rng(0)
+    feats = [rng.normal(size=(T, F)).astype(np.float32) for _ in range(4)]
+
+    async def clients(port):
+        return await asyncio.gather(*[
+            request_async(f, host="127.0.0.1", port=port) for f in feats
+        ])
+
+    outs = _serve(server, clients)
+    want = np.asarray(predict_fn(np.stack(feats)))
+    for got, w, f in zip(outs, want, feats):
+        assert got.shape == (T, J, 3)
+        np.testing.assert_allclose(got, w, rtol=1e-5, atol=1e-6)
+    # all four rode one coalesced device batch
+    assert server.stats["requests"] == 4
+    assert server.stats["batches"] == 1
+
+
+def test_sequential_requests_and_padding(predict_fn):
+    """pad_to keeps the compiled shape fixed; single requests still work."""
+    server = BatchingServer(predict_fn, seq_len=T, feature_dim=F,
+                            max_batch=8, max_wait_ms=1.0, pad_to=8)
+    f = np.random.default_rng(1).normal(size=(T, F)).astype(np.float32)
+
+    async def client(port):
+        a = await request_async(f, host="127.0.0.1", port=port)
+        b = await request_async(f, host="127.0.0.1", port=port)
+        return a, b
+
+    a, b = _serve(server, client)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_allclose(
+        a, np.asarray(predict_fn(f[None]))[0], rtol=1e-5, atol=1e-6)
+    assert server.stats["batches"] == 2
+
+
+def test_bad_requests_get_errors_and_connection_survives(predict_fn):
+    server = BatchingServer(predict_fn, seq_len=T, feature_dim=F,
+                            max_batch=4, max_wait_ms=1.0, pad_to=4)
+    rng = np.random.default_rng(2)
+
+    async def client(port):
+        with pytest.raises(RuntimeError, match="expected shape"):
+            await request_async(
+                rng.normal(size=(T + 1, F)).astype(np.float32),
+                host="127.0.0.1", port=port)
+        # same server still serves a good request afterwards
+        return await request_async(
+            rng.normal(size=(T, F)).astype(np.float32),
+            host="127.0.0.1", port=port)
+
+    out = _serve(server, client)
+    assert out.shape == (T, J, 3)
+
+
+def test_build_predict_fn_from_checkpoint(model_and_params, tmp_path,
+                                          predict_fn):
+    from h36x.train import checkpoint as ckpt
+    from h36x.train.state import TrainState, create_train_state, make_optimizer
+
+    model, params = model_and_params
+    optimizer, _ = make_optimizer(lr=1e-3)
+    state = create_train_state(model, optimizer, jax.random.key(0),
+                               jnp.zeros((1, T, F)))
+    state = TrainState(params, state.opt_state, state.step)
+    ckpt.save_checkpoint(tmp_path, "best", state, 0, 0.0, {})
+
+    fn, pad_to = build_predict_fn(
+        model_path=str(tmp_path / "best.msgpack"), seq_len=T, feature_dim=F,
+        latent_dim=64, num_blocks=1, max_batch=4,
+    )
+    assert pad_to == 4
+    f = np.random.default_rng(3).normal(size=(2, T, F)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(fn(f)), np.asarray(predict_fn(f)),
+                               rtol=1e-5, atol=1e-6)
