@@ -28,7 +28,7 @@ setup_jax_cache()
 
 
 def _time_best(run, iters: int, bursts: int) -> float:
-    _ = jax.device_get(run(1))
+    _ = jax.device_get(run(iters))  # warm the SAME executable (static niter)
     best = float("inf")
     for _ in range(bursts):
         t0 = time.perf_counter()
@@ -57,8 +57,13 @@ def bench_gemm(m: int, k: int, n: int, dtype: str, iters: int,
             out = jax.lax.dot_general(
                 a, b, (((1,), (0,)), ((), ())), preferred_element_type=acc
             )
-            # fold a data-dependent scalar back into a so the loop can't hoist
-            bump = (out[0, 0] * 0).astype(a.dtype)
+            # Fold a data-dependent scalar back into `a` so the dot can't be
+            # hoisted out of the loop. x*0 (and rem(x,1)) are foldable for
+            # integers, which would break the dependence asymmetrically vs
+            # bf16 — rem by a non-trivial modulus is not simplifiable.
+            mod = jnp.asarray(127 if out.dtype == jnp.int32 else 1.0,
+                              out.dtype)
+            bump = jax.lax.rem(out[0, 0], mod).astype(a.dtype)
             return a + bump, s + out[0, 0].astype(jnp.float32)
         return jax.lax.fori_loop(0, niter, body, (a, jnp.zeros((), jnp.float32)))[1]
 

@@ -286,6 +286,14 @@ def merge_stores(parts, out_root, move: bool = True) -> dict:
         raise ValueError("no part stores given")
     out_root = Path(out_root)
     out_root.mkdir(parents=True, exist_ok=True)
+    # refuse a non-empty target: overwriting an existing store (or a
+    # previous merge with MORE shards) would destroy/strand shard files
+    leftovers = ([p.name for p in out_root.glob("shard_*.h36x")]
+                 + [p.name for p in (out_root / "index.json",) if p.exists()])
+    if leftovers:
+        raise ValueError(
+            f"output store {out_root} is not empty ({leftovers[:3]}...); "
+            "merge into a fresh directory")
 
     indexes = [load_index(p) for p in parts]
     first = indexes[0]

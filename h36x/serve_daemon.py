@@ -187,6 +187,12 @@ class BatchingServer:
                     unix_path: Optional[str] = None):
         self._batcher = asyncio.ensure_future(self._batch_loop())
         if unix_path:
+            import os
+
+            try:  # a stale socket from an unclean shutdown blocks rebinding
+                os.unlink(unix_path)
+            except FileNotFoundError:
+                pass
             return await asyncio.start_unix_server(self.handle, path=unix_path)
         return await asyncio.start_server(self.handle, host=host, port=port)
 
@@ -194,6 +200,11 @@ class BatchingServer:
         if self._batcher is not None:
             self._batcher.cancel()
             self._batcher = None
+        # fail queued requests instead of leaving their clients waiting
+        while not self._queue.empty():
+            _, fut = self._queue.get_nowait()
+            if not fut.done():
+                fut.set_exception(RuntimeError("server stopped"))
 
 
 # ---------------------------------------------------------------------------

@@ -121,6 +121,13 @@ def _batches(
     def gen_stacked():
         group = []
         for batch in gen():
+            # a batch with a different row count (short tail with
+            # drop_last=False) cannot np.stack with the group — flush and
+            # let it ride its own (shorter-scan) group, preserving exact
+            # per-batch semantics instead of padding it further
+            if group and batch[0].shape[0] != group[0][0].shape[0]:
+                yield tuple(np.stack(xs) for xs in zip(*group))
+                group = []
             group.append(batch)
             if len(group) == stack:
                 yield tuple(np.stack(xs) for xs in zip(*group))
@@ -304,6 +311,14 @@ def fit(
         raise ValueError(
             f"data axis {mesh.shape.get('data', 1)} not divisible by "
             f"{pcount} processes — local_batch_slice needs equal row counts")
+    if (pcount > 1 and getattr(cfg, "ckpt_backend", "msgpack") == "msgpack"
+            and mesh.shape.get("model", 1) > jax.local_device_count()):
+        # model-axis shards would span processes: rank 0 cannot device_get
+        # non-addressable remote shards into one msgpack file
+        raise ValueError(
+            f"model axis {mesh.shape.get('model', 1)} spans processes "
+            f"(local devices: {jax.local_device_count()}); use "
+            "--ckpt-backend orbax, whose saves are collective")
     model = build_model(cfg)
     phase = getattr(cfg.optim, "phase", 1)
     optimizer, _frozen = make_optimizer(

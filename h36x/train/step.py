@@ -101,13 +101,12 @@ def make_train_step(model, optimizer, donate: bool = True,
             return l3d + lambda_2d * l2d, (l3d, l2d, joints_pred)
         return l3d, (l3d, jnp.zeros_like(l3d), joints_pred)
 
-    def step(state: TrainState, batch, rng):
+    def grads_and_metrics(params, batch, rng):
+        """Shared by the plain step and the grad-accum scan body."""
         feats, joints3d, joints2d, K = batch[0], batch[1], batch[2], batch[3]
         (loss, (l3d, l2d, joints_pred)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, feats, joints3d, joints2d, K, rng)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        )(params, feats, joints3d, joints2d, K, rng)
         metrics = {
             "loss": loss,
             "l3d": l3d,
@@ -115,6 +114,12 @@ def make_train_step(model, optimizer, donate: bool = True,
             "mpjpe": mpjpe(joints_pred, joints3d),
             "bone": bone_length_loss(joints_pred, joints3d),
         }
+        return grads, metrics
+
+    def step(state: TrainState, batch, rng):
+        grads, metrics = grads_and_metrics(state.params, batch, rng)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics
 
     donate_argnums = (0,) if donate else ()
@@ -124,19 +129,8 @@ def make_train_step(model, optimizer, donate: bool = True,
             def body(carry, batch):
                 r, gacc = carry
                 r, sub = jax.random.split(r)
-                feats, joints3d, joints2d, K = (batch[0], batch[1],
-                                                batch[2], batch[3])
-                (loss, (l3d, l2d, joints_pred)), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(state.params, feats, joints3d, joints2d, K, sub)
+                grads, m = grads_and_metrics(state.params, batch, sub)
                 gacc = jax.tree.map(jnp.add, gacc, grads)
-                m = {
-                    "loss": loss,
-                    "l3d": l3d,
-                    "l2d": l2d,
-                    "mpjpe": mpjpe(joints_pred, joints3d),
-                    "bone": bone_length_loss(joints_pred, joints3d),
-                }
                 return (r, gacc), m
 
             zeros = jax.tree.map(jnp.zeros_like, state.params)

@@ -12,4 +12,4 @@ OUTDIR=${5:-./runs/phase1}
 python -m h36x.cli.train --train-root "$FEATURES" --outdir "$OUTDIR" \
   --dist.coordinator "$COORD" --dist.num-processes "$NPROC" \
   --dist.process-id "$PID" \
-  --optim.batch-size 32 --optim.lr 1e-4 --optim.epochs 50
+  --optim.batch-size 32 --optim.lr 1e-4 --optim.epochs 50 "${@:6}"

@@ -299,6 +299,10 @@ def test_merge_stores_rejects_duplicates_and_keeps_parts(tmp_path):
     assert shard_path(tmp_path / "p0", 0).exists()
     assert shard_path(tmp_path / "m2", 0).exists()
 
+    # a non-empty output store is refused (would overwrite/strand shards)
+    with pytest.raises(ValueError, match="not empty"):
+        merge_stores([tmp_path / "p0"], tmp_path / "m2", move=False)
+
 
 def test_extracted_store_trains(tmp_path):
     """Extraction output feeds the training loop end to end."""

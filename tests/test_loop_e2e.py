@@ -72,6 +72,25 @@ def test_fit_steps_per_dispatch_matches_default(cfg, tmp_path):
                                        err_msg=key)
 
 
+def test_stacked_batches_handle_ragged_tail(cfg):
+    """A short final batch (drop_last=False samplers) must not break group
+    stacking — it flushes the current group and rides its own."""
+    import jax
+
+    from h36x.parallel.mesh import batch_sharding, make_mesh
+    from h36x.train.loop import _batches
+
+    train_set = FeatureClipDataset(cfg.train_root, subjects=[1], augment=True)
+    sampler = SequentialBatchSampler(train_set, batch_size=5)  # ragged tail
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    groups = list(_batches(train_set, sampler, batch_sharding(mesh), stack=2))
+    sizes = [g[0].shape for g in groups]
+    n_rows = sum(s[0] * s[1] for s in sizes)
+    assert n_rows == len(train_set)
+    assert all(s[1] == 5 for s in sizes[:-1])
+    assert sizes[-1][1] == len(train_set) % 5  # tail in its own group
+
+
 def test_fit_end_to_end(cfg, tmp_path, capsys):
     state, best_val = fit(cfg, *_datasets(cfg))
     assert np.isfinite(best_val)

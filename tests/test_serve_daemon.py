@@ -110,6 +110,41 @@ def test_bad_requests_get_errors_and_connection_survives(predict_fn):
     assert out.shape == (T, J, 3)
 
 
+def test_unix_socket_stale_file_and_restart(predict_fn, tmp_path):
+    """A stale socket from an unclean shutdown must not block rebinding."""
+    sock = tmp_path / "h36x.sock"
+    sock.touch()  # simulate leftover socket file
+
+    async def run():
+        server = BatchingServer(predict_fn, seq_len=T, feature_dim=F,
+                                max_batch=2, max_wait_ms=1.0, pad_to=2)
+        srv = await server.start(unix_path=str(sock))
+        try:
+            f = np.random.default_rng(4).normal(size=(T, F)).astype(np.float32)
+            return await request_async(f, unix_path=str(sock))
+        finally:
+            server.stop()
+            srv.close()
+            await srv.wait_closed()
+
+    out = asyncio.run(run())
+    assert out.shape == (T, J, 3)
+
+
+def test_stop_fails_queued_requests(predict_fn):
+    """stop() must resolve queued futures so clients do not hang."""
+
+    async def run():
+        server = BatchingServer(predict_fn, seq_len=T, feature_dim=F)
+        fut = asyncio.get_running_loop().create_future()
+        await server._queue.put((np.zeros((T, F), np.float32), fut))
+        server.stop()
+        with pytest.raises(RuntimeError, match="server stopped"):
+            await fut
+
+    asyncio.run(run())
+
+
 def test_build_predict_fn_from_checkpoint(model_and_params, tmp_path,
                                           predict_fn):
     from h36x.train import checkpoint as ckpt
