@@ -140,3 +140,32 @@ class TestPredictCLI:
         data = np.load(out, allow_pickle=True)
         assert data["predicted3djoints"].shape == (2, 8, 17, 3)
         assert np.isfinite(data["predicted3djoints"]).all()
+
+
+class TestDoctorCLI:
+    def test_env_only(self, capsys):
+        from h36x.cli.doctor import main
+
+        main([])
+        out = capsys.readouterr().out
+        assert "[ok] jax backend" in out
+        assert "all required checks passed" in out
+
+    def test_store_and_ckpt_checks(self, tmp_path, capsys):
+        from h36x.cli.doctor import main
+
+        store = tmp_path / "store"
+        store.mkdir()
+        make_synthetic_store(store, n_shards=2, clips_per_shard=4, n_vars=1,
+                             seq_len=6, feat_dim=16, subjects=(1,))
+        main(["--root", str(store)])
+        out = capsys.readouterr().out
+        assert "shard 0 reads ok" in out
+
+        # a missing shard file is a required-check failure
+        (store / "shard_00001.h36x").unlink()
+        with pytest.raises(SystemExit, match="problems"):
+            main(["--root", str(store)])
+
+        with pytest.raises(SystemExit, match="problems"):
+            main(["--ckpt", str(tmp_path / "nope.msgpack")])
