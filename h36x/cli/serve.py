@@ -5,6 +5,10 @@ into the training code for offline eval, src/results.py:175-187); this is
 the deployment surface: point it at an `h36x-export` AOT artifact (weights
 baked in, symbolic batch — the recommended path) or a training checkpoint.
 
+Any h36x-export artifact serves: a forward artifact replies (T, J, 3)
+per request, a rollout artifact (future AR prediction) replies with its
+own output shape — the wire protocol carries shapes per message.
+
 Smoke: h36x-serve --artifact model.fwd.bf16.hlo --port 7036
 """
 

@@ -345,13 +345,10 @@ def fit(
     # batches per stacked dispatch group (scan and accum share the feed)
     group = scan_steps if scan_steps > 1 else accum_steps
     if phase == 2:
-        if group > 1:
-            raise ValueError("steps_per_dispatch / grad_accum > 1 is phase-1 "
-                             "only (the phase-2 step takes a per-epoch "
-                             "horizon arg)")
         future_step = make_future_train_step(
             model, optimizer, input_len=cfg.optim.input_len,
             pred_len=cfg.optim.pred_len, lambda_joints=cfg.optim.lambda_future,
+            scan_steps=scan_steps, accum_steps=accum_steps,
         )
         train_step = None  # bound per-epoch with the curriculum horizon
     else:

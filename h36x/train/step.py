@@ -167,6 +167,8 @@ def make_future_train_step(
     pred_len: int = 25,
     lambda_joints: float = 1.0,
     donate: bool = True,
+    scan_steps: int = 1,
+    accum_steps: int = 1,
 ) -> Callable:
     """Phase-2 step: train the autoregressive predictor f_AR.
 
@@ -185,7 +187,14 @@ def make_future_train_step(
     optimizer, so gradients only flow into f_AR.
 
     step(state, batch, rng, horizon:int32) -> (state, metrics).
+
+    scan_steps / accum_steps mirror :func:`make_train_step`'s grouped
+    dispatch modes (mutually exclusive): the returned step takes a stacked
+    batch group and returns (state, stacked_metrics, rng); horizon stays a
+    per-call arg (it only changes per epoch).
     """
+    if scan_steps > 1 and accum_steps > 1:
+        raise ValueError("scan_steps and accum_steps are mutually exclusive")
 
     def loss_fn(params, feats, joints3d, rng, horizon):
         phi, phi_hat, _, joints_hat = model.apply(
@@ -208,22 +217,58 @@ def make_future_train_step(
         loss = l_ar + lambda_joints * l_j
         return loss, (l_ar, l_j, joints_hat)
 
-    def step(state: TrainState, batch, rng, horizon):
+    def grads_and_metrics(params, batch, rng, horizon):
         feats, joints3d = batch[0], batch[1]
         (loss, (l_ar, l_j, joints_hat)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, feats, joints3d, rng, horizon)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        )(params, feats, joints3d, rng, horizon)
         metrics = {
             "loss": loss,
             "l_ar": l_ar,
             "l3d": l_j,
             "mpjpe": mpjpe(joints_hat, joints3d),
         }
-        return TrainState(params, opt_state, state.step + 1), metrics
+        return grads, metrics
+
+    def apply(state, grads):
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        return TrainState(params, opt_state, state.step + 1)
+
+    def step(state: TrainState, batch, rng, horizon):
+        grads, metrics = grads_and_metrics(state.params, batch, rng, horizon)
+        return apply(state, grads), metrics
 
     donate_argnums = (0,) if donate else ()
+    if scan_steps > 1:
+
+        def multi(state: TrainState, batches, rng, horizon):
+            def body(carry, batch):
+                s, r = carry
+                r, sub = jax.random.split(r)
+                s, m = step(s, batch, sub, horizon)
+                return (s, r), m
+
+            (state, rng), metrics = jax.lax.scan(body, (state, rng), batches)
+            return state, metrics, rng
+
+        return jax.jit(multi, donate_argnums=donate_argnums)
+    if accum_steps > 1:
+
+        def accum(state: TrainState, batches, rng, horizon):
+            def body(carry, batch):
+                r, gacc = carry
+                r, sub = jax.random.split(r)
+                grads, m = grads_and_metrics(state.params, batch, sub, horizon)
+                return (r, jax.tree.map(jnp.add, gacc, grads)), m
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            n_micro = jax.tree.leaves(batches)[0].shape[0]
+            (rng, gsum), metrics = jax.lax.scan(body, (rng, zeros), batches)
+            grads = jax.tree.map(lambda g: g / n_micro, gsum)
+            return apply(state, grads), metrics, rng
+
+        return jax.jit(accum, donate_argnums=donate_argnums)
     return jax.jit(step, donate_argnums=donate_argnums)
 
 

@@ -94,6 +94,39 @@ class TestPhase2Step:
 
 
 class TestDistributedHelpers:
+    def test_grouped_dispatch_modes(self, setup, rng):
+        """Phase-2 gets the same scan/accum grouped modes as phase 1:
+        scan reproduces sequential steps; accum applies one update."""
+        model, optimizer, state, _ = setup
+        h = jnp.int32(5)
+        batches = [batch(rng) for _ in range(2)]
+        stacked = tuple(jnp.stack(xs) for xs in zip(*batches))
+
+        step = make_future_train_step(model, optimizer, input_len=5,
+                                      pred_len=10, donate=False)
+        s1, key = state, jax.random.key(3)
+        for b in batches:
+            key, sub = jax.random.split(key)
+            s1, m1 = step(s1, b, sub, h)
+
+        mstep = make_future_train_step(model, optimizer, input_len=5,
+                                       pred_len=10, donate=False,
+                                       scan_steps=2)
+        s2, metrics, _ = mstep(state, stacked, jax.random.key(3), h)
+        assert metrics["loss"].shape == (2,)
+        np.testing.assert_allclose(float(metrics["loss"][-1]),
+                                   float(m1["loss"]), rtol=1e-5)
+        for a, b_ in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-5, atol=1e-7)
+
+        astep = make_future_train_step(model, optimizer, input_len=5,
+                                       pred_len=10, donate=False,
+                                       accum_steps=2)
+        s3, m3, _ = astep(state, stacked, jax.random.key(3), h)
+        assert int(s3.step) == int(state.step) + 1
+        assert np.all(np.isfinite(np.asarray(m3["loss"])))
+
     def test_local_batch_slice(self):
         from h36x.parallel.distributed import local_batch_slice
 
