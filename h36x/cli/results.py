@@ -50,7 +50,14 @@ def main(argv=None):
     )["params"]
     params = ckpt.load_params_only(args.model_path, jax.device_get(template))
 
-    loss, mp, l3d, l2d = evaluate_test(model, params, test_set, args.batch_size)
+    mesh = None
+    if len(jax.devices()) > 1:
+        from h36x.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=-1, model=1)
+        print(f"Test eval over {mesh.shape['data']} chips (data-parallel)")
+    loss, mp, l3d, l2d = evaluate_test(model, params, test_set,
+                                       args.batch_size, mesh=mesh)
     print(
         f"Test metrics | loss: {loss:.6f} | mpjpe (m): {mp:.6f} "
         f"| mpjpe (mm): {mp*1000.0:.2f} | l3d: {l3d:.6f} | l2d: {l2d:.6f}"

@@ -19,7 +19,6 @@ import numpy as np
 
 from h36x.data.features import FeatureClipDataset
 from h36x.data.sampler import SequentialBatchSampler
-from h36x.train.losses import mpjpe, mse3d
 from h36x.train.step import make_forward
 
 
@@ -74,27 +73,52 @@ def load_video_clip_from_meta(
     return resize_video_hw(video, out_hw)
 
 
-def evaluate_test(model, params, dataset: FeatureClipDataset, batch_size: int = 16):
+def evaluate_test(model, params, dataset: FeatureClipDataset,
+                  batch_size: int = 16, mesh=None):
     """Full-test-set metrics: (loss, mpjpe_m, l3d, l2d=0) like train.evaluate.
 
-    Per-batch metric SUMS (mean x rows) accumulate on device and drain once,
-    so the dataset mean is exact even when the tail batch is short, and the
-    per-batch host sync is gone (same round-2 fix as train/loop.evaluate)."""
-    forward = make_forward(model)
+    Runs the same weighted eval step as training validation
+    (:func:`h36x.train.step.make_weighted_eval_step`): per-batch metric
+    SUMS over real rows accumulate on device and drain once, so the
+    dataset mean is exact even when the tail batch is short (padded rows
+    carry weight 0) and there is no per-batch host sync. With a mesh,
+    batches shard over the `data` axis and params replicate — the results
+    stage scales over chips like extraction and training do (the
+    reference's results.py is single-GPU)."""
+    from h36x.train.step import make_weighted_eval_step
+
+    step = make_weighted_eval_step(model)
+    sharding = None
+    pad_to = 1
+    if mesh is not None:
+        from h36x.parallel.mesh import batch_sharding, shard_params
+
+        sharding = batch_sharding(mesh)
+        pad_to = int(mesh.shape.get("data", 1))
+        params = shard_params(jax.device_get(params), mesh)
     sampler = SequentialBatchSampler(dataset, batch_size)
     pending = []
     rows = 0
     for idx in sampler:
-        feats, j3d, _j2d, _K, _meta = dataset.get_batch(idx)
-        pred = forward(params, jnp.asarray(feats))
-        j3d = jnp.asarray(j3d)
-        k = len(idx)
-        pending.append((mse3d(pred, j3d) * k, mpjpe(pred, j3d) * k))
-        rows += k
+        feats, j3d, j2d, K, _meta = dataset.get_batch(idx)
+        real = len(idx)
+        if real % pad_to:
+            short = pad_to - real % pad_to
+            rep = lambda x: np.concatenate([x, np.repeat(x[-1:], short, 0)])  # noqa: E731
+            feats, j3d, j2d, K = rep(feats), rep(j3d), rep(j2d), rep(K)
+        w = np.zeros(feats.shape[0], np.float32)
+        w[:real] = 1.0
+        batch = (feats, j3d, j2d, K, w)
+        if sharding is not None:
+            batch = tuple(jax.device_put(x, sharding) for x in batch)
+        else:
+            batch = tuple(jnp.asarray(x) for x in batch)
+        pending.append(step(params, batch))
+        rows += real
     total = {"loss": 0.0, "mpjpe": 0.0}
-    for l_sum, m_sum in jax.device_get(pending):
-        total["loss"] += float(l_sum)
-        total["mpjpe"] += float(m_sum)
+    for m in jax.device_get(pending):
+        total["loss"] += float(m["loss"])
+        total["mpjpe"] += float(m["mpjpe"])
     loss = total["loss"] / max(rows, 1)
     mp = total["mpjpe"] / max(rows, 1)
     return loss, mp, loss, 0.0

@@ -125,6 +125,31 @@ class TestViewers:
         plt.close("all")
 
 
+def test_evaluate_test_mesh_dp_matches_single_device(tmp_path):
+    """Results-stage eval sharded over an 8-device data mesh must produce
+    the same exact dataset means as the single-device path, including a
+    ragged tail batch (weight-0 padded rows)."""
+    import jax
+
+    from h36x.parallel.mesh import make_mesh
+    from tests.helpers import make_synthetic_store
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    store = tmp_path / "store"
+    store.mkdir()
+    make_synthetic_store(store, n_shards=2, clips_per_shard=7, n_vars=1,
+                         seq_len=6, feat_dim=32, subjects=(9,))
+    ds = FeatureClipDataset(store, subjects=[9], test_set=True)
+    model = PHDFor3DJoints(latent_dim=64, feature_dim=32, number_blocks=1)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 6, 32)))["params"]
+
+    want = evaluate_test(model, params, ds, batch_size=4)
+    got = evaluate_test(model, params, ds, batch_size=4,
+                        mesh=make_mesh(data=8, model=1))
+    np.testing.assert_allclose(got[:2], want[:2], rtol=1e-5)
+
+
 def test_evaluate_test_exact_with_short_tail(tmp_path):
     """evaluate_test must equal the exact dataset mean when the final batch
     is short (10 rows, batch 4 -> tail of 2)."""
