@@ -83,6 +83,28 @@ def main() -> None:
         state, metrics = step(state, batch, jax.random.key(3))
         losses.append(float(metrics["loss"]))
 
+    # Grouped dispatch across the process boundary: one scan_steps=2
+    # program over a STACKED global batch (step axis unsharded, rows over
+    # slice x data) must continue the trajectory exactly like two more
+    # single dispatches would.
+    mstep = make_train_step(model, optimizer, donate=False, scan_steps=2)
+
+    def synth(seed):
+        r = np.random.default_rng(seed)
+        return (
+            r.normal(size=(global_batch, 6, 32)).astype(np.float32),
+            (r.normal(size=(global_batch, 6, 17, 3)) * 0.1).astype(np.float32),
+            r.normal(size=(global_batch, 6, 17, 2)).astype(np.float32),
+            np.tile(np.eye(3, dtype=np.float32), (global_batch, 1, 1)),
+        )
+
+    full2 = tuple(np.stack([a, b]) for a, b in zip(synth(100), synth(101)))
+    stacked = make_global_batch(tuple(x[:, rows] for x in full2), mesh,
+                                global_batch, stacked=True)
+    assert stacked[0].shape == (2, global_batch, 6, 32)
+    state, mm, _ = mstep(state, stacked, jax.random.key(9))
+    scan_losses = [float(v) for v in jax.device_get(mm["loss"])]
+
     # params end replicated (model axis unused) -> checksum is global
     checksum = float(
         sum(float(jnp.sum(jnp.abs(p))) for p in
@@ -90,7 +112,8 @@ def main() -> None:
     )
     if pid == 0:
         with open(outpath, "w") as f:
-            json.dump({"losses": losses, "checksum": checksum,
+            json.dump({"losses": losses, "scan_losses": scan_losses,
+                       "checksum": checksum,
                        "devices": jax.device_count()}, f)
     # all processes must survive to the end for the run to count
     print(f"mp_worker {pid}/{nproc} ok", flush=True)

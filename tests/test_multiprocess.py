@@ -57,11 +57,30 @@ def _single_process_reference():
         ))
         state, metrics = step(state, batch, jax.random.key(3))
         losses.append(float(metrics["loss"]))
+
+    # same trailing scan_steps=2 grouped dispatch as the workers
+    from h36x.train.step import make_train_step as _mts
+
+    mstep = _mts(model, optimizer, donate=False, scan_steps=2)
+
+    def synth(seed):
+        r = np.random.default_rng(seed)
+        return (
+            r.normal(size=(8, 6, 32)).astype(np.float32),
+            (r.normal(size=(8, 6, 17, 3)) * 0.1).astype(np.float32),
+            r.normal(size=(8, 6, 17, 2)).astype(np.float32),
+            np.tile(np.eye(3, dtype=np.float32), (8, 1, 1)),
+        )
+
+    stacked = tuple(jnp.asarray(np.stack([a, b]))
+                    for a, b in zip(synth(100), synth(101)))
+    state, mm, _ = mstep(state, stacked, jax.random.key(9))
+    scan_losses = [float(v) for v in jax.device_get(mm["loss"])]
     checksum = float(
         sum(float(jnp.sum(jnp.abs(p))) for p in
             jax.tree.leaves(jax.device_get(state.params)))
     )
-    return losses, checksum
+    return losses, scan_losses, checksum
 
 
 def _run_train_cli(outdir, store, dist_flags, port=None, timeout=600):
@@ -182,6 +201,7 @@ def test_two_process_training_matches_single_process(tmp_path):
     got = json.loads(out.read_text())
     assert got["devices"] == 4
 
-    want_losses, want_checksum = _single_process_reference()
+    want_losses, want_scan, want_checksum = _single_process_reference()
     np.testing.assert_allclose(got["losses"], want_losses, rtol=1e-5)
+    np.testing.assert_allclose(got["scan_losses"], want_scan, rtol=1e-5)
     np.testing.assert_allclose(got["checksum"], want_checksum, rtol=1e-4)
