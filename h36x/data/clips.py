@@ -137,6 +137,8 @@ def decode_clip(
     """
     try:
         return _decode_seek(video_path, start, end, frame_skip)
+    except FileNotFoundError:
+        raise  # unopenable file: a second (scan) open cannot help
     except RuntimeError:
         return _decode_scan(video_path, start, end, frame_skip)
 
@@ -148,7 +150,10 @@ def _decode_seek(video_path: str, start: int, end: int, frame_skip: int) -> np.n
     cap = cv2.VideoCapture(video_path)
     try:
         if not cap.isOpened():
-            raise RuntimeError(f"cannot open video {video_path}")
+            # FileNotFoundError (not RuntimeError) so decode_clip does NOT
+            # retry via the sequential scan: reopening an unopenable file
+            # doubles the latency and masks the real error
+            raise FileNotFoundError(f"cannot open video {video_path}")
         cap.set(cv2.CAP_PROP_POS_FRAMES, start * frame_skip)
         frames = []
         frame_idx = 0

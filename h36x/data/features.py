@@ -59,6 +59,7 @@ class FeatureClipDataset:
         self._reader = shard_store.ShardReader(
             self.root, cache_size=shard_cache_size,
             log_loads_every=log_loads_every,
+            loader=shard_store.load_torch_shard if self._torch_format else None,
         )
 
     # -- container protocol ------------------------------------------------
@@ -78,16 +79,7 @@ class FeatureClipDataset:
         return self._reader.stats()
 
     def _shard(self, shard_id: int) -> dict:
-        if self._torch_format:
-            # compat path; small LRU via the same reader cache dict
-            cache = self._reader._cache
-            if shard_id not in cache:
-                if len(self._reader._order) >= self._reader.cache_size:
-                    oldest = self._reader._order.pop(0)
-                    del cache[oldest]
-                cache[shard_id] = shard_store.load_torch_shard(self.root, shard_id)
-                self._reader._order.append(shard_id)
-            return cache[shard_id]
+        # one LRU for both formats: the reader's loader was chosen at init
         return self._reader.get(shard_id)
 
     def __getitem__(self, idx: int):

@@ -80,9 +80,13 @@ class MixedShardBatchSampler:
 
         while True:
             live = remaining()
-            if len(live) < self.k:
+            if not live or (self.drop_last and len(live) < self.k):
                 return
-            picks = rng.sample(live, self.k) if self.shuffle else live[: self.k]
+            # drop_last=False drains the tail: once fewer than k shards
+            # remain, draw from all of them (smaller partial batches) so
+            # every item is yielded exactly once per epoch
+            k_now = min(self.k, len(live))
+            picks = rng.sample(live, k_now) if self.shuffle else live[:k_now]
             batch: List[int] = []
             for sid in picks:
                 lo = cursor[sid]

@@ -175,11 +175,17 @@ class ShardReader:
     """
 
     def __init__(self, root, cache_size: int = 2, mmap: bool = True,
-                 log_loads_every: int = 0):
+                 log_loads_every: int = 0, loader=None):
         self.root = Path(root)
         self.cache_size = cache_size
         self.mmap = mmap
         self.log_loads_every = log_loads_every
+        # loader(root, shard_id) -> dict; default reads native .h36x files.
+        # The torch-compat dataset passes load_torch_shard so one LRU /
+        # stats implementation covers both formats.
+        self._loader = loader or (
+            lambda root, sid: read_shard(shard_path(root, sid), mmap=self.mmap)
+        )
         self._cache: dict = {}
         self._order: list = []
         self.load_calls = 0
@@ -195,7 +201,7 @@ class ShardReader:
             oldest = self._order.pop(0)
             del self._cache[oldest]
         self.load_calls += 1
-        shard = read_shard(shard_path(self.root, shard_id), mmap=self.mmap)
+        shard = self._loader(self.root, shard_id)
         self._cache[shard_id] = shard
         self._order.append(shard_id)
         if self.log_loads_every and self.load_calls % self.log_loads_every == 0:

@@ -320,12 +320,30 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
     async_writer = AsyncWriter()
     shard_writer = ShardWriter(out_root, n_vars, async_writer=async_writer)
 
+    # The store-shaping knobs: resuming with ANY of these changed would mix
+    # incompatible rows into one store (e.g. n_vars=1 shards described by an
+    # n_variants=4 index), so they are recorded per flush and validated.
+    run_config = {
+        "n_vars": n_vars, "seq_len": cfg.seq_len, "resize": cfg.resize,
+        "frame_skip": cfg.frame_skip, "save_fp16": bool(cfg.save_fp16),
+        "shuffle_seed": cfg.shuffle_seed,
+        "partition": getattr(cfg, "partition", ""),
+    }
+
+    def _atomic_write(text):
+        # same tmp+rename discipline as write_shard/write_index: a crash
+        # mid-write must never corrupt the file resume depends on
+        tmp = Path(str(progress_path) + ".tmp")
+        tmp.write_text(text)
+        tmp.replace(progress_path)
+
     def write_progress(pool):
         payload = _json.dumps(
-            {"clips": pool.clip_index, "n_shards": pool.writer.shard_id}
+            {"clips": pool.clip_index, "n_shards": pool.writer.shard_id,
+             "config": run_config}
         )
         # same FIFO as the shard writes: progress never claims unwritten shards
-        async_writer.submit(progress_path.write_text, payload)
+        async_writer.submit(_atomic_write, payload)
 
     pool = ShufflePool(
         shard_writer, n_vars, cfg.shard_size, cfg.shuffle_pool, cfg.shuffle_seed,
@@ -335,6 +353,14 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
     done_keys = set()
     if getattr(cfg, "resume", False) and progress_path.exists():
         prog = _json.loads(progress_path.read_text())
+        prev = prog.get("config")
+        if prev is not None and prev != run_config:
+            diffs = {k: (prev.get(k), run_config[k]) for k in run_config
+                     if prev.get(k) != run_config[k]}
+            raise ValueError(
+                f"resume config mismatch vs the interrupted run: {diffs} — "
+                "resuming would mix incompatible rows into one store; rerun "
+                "with the original flags or start a fresh --out")
         pool.clip_index = prog["clips"]
         shard_writer.shard_id = int(prog["n_shards"])
         done_keys = {_clip_key(c) for c in prog["clips"]}
@@ -344,6 +370,7 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
     t_all = time.perf_counter()
     t_last = t_all
     done = 0
+    last_print = 0
 
     def dispatch_batch(items):
         """Launch the device step for a batch; the result stays on device.
@@ -361,7 +388,7 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
         return feature_fn(variables, flat), items, shape
 
     def finalize_batch(inflight):
-        nonlocal done, t_last
+        nonlocal done, t_last, last_print
         feats_dev, items, (B, V, T) = inflight
         boxes = [it[5] for it in items]
         feats_flat = np.asarray(feats_dev, dtype=feat_np_dtype)
@@ -410,8 +437,10 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
             done += 1
             if done % 200 == 0 or done == n_todo:
                 dt = time.perf_counter() - t_last
-                cps = min(200, done) / dt if dt > 0 else 0.0
+                inc = done - last_print  # clips in THIS interval (tail < 200)
+                cps = inc / dt if dt > 0 else 0.0
                 t_last = time.perf_counter()
+                last_print = done
                 eta = (n_todo - done) / cps if cps > 0 else 0.0
                 print(
                     f"[{100*done/max(n_todo,1):5.1f}%] {done:6d}/{n_todo} clips | "

@@ -29,12 +29,14 @@ import numpy as np
 from h36x.infer import _regressor, _temporal_net, _temporal_net_masked
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def _rollout_from_x(params, x, steps: int, joints_num: int, groups: int,
-                    use_pallas: bool):
+                    use_pallas: bool, with_ctx: bool = True):
     """Rollout over already-projected inputs x (B,T,latent) -> (joints_ctx,
     joints_future, phi_ext). The streaming predictor keeps its ring buffer
-    in projected space, so it feeds this entry directly."""
+    in projected space, so it feeds this entry directly; with_ctx=False
+    skips the context-window regressor pass for callers that only want the
+    future frames (StreamingPredictor.forecast)."""
     phi = _temporal_net(x, params["f_movie"], groups, use_pallas, False, None)
     b, t, d = phi.shape
 
@@ -51,7 +53,8 @@ def _rollout_from_x(params, x, steps: int, joints_num: int, groups: int,
 
     buf = jax.lax.fori_loop(0, steps, body, buf)
 
-    joints_ctx = _regressor(phi, params["f_3D"], joints_num, use_pallas, False)
+    joints_ctx = (_regressor(phi, params["f_3D"], joints_num, use_pallas,
+                             False) if with_ctx else None)
     future_phi = jax.lax.dynamic_slice(buf, (0, t, 0), (b, steps, d))
     joints_future = _regressor(
         future_phi, params["f_3D"], joints_num, use_pallas, False
@@ -59,10 +62,13 @@ def _rollout_from_x(params, x, steps: int, joints_num: int, groups: int,
     return joints_ctx, joints_future, buf
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def _rollout(params, feats, steps: int, joints_num: int, groups: int,
              use_pallas: bool):
     """(params, feats (B,T,D_feat)) -> (joints_ctx (B,T,J,3),
-    joints_future (B,steps,J,3), phi_ext (B,T+steps,D))."""
+    joints_future (B,steps,J,3), phi_ext (B,T+steps,D)). Jitted so the
+    input projection fuses into the same program as the rollout (one
+    dispatch, which matters on high-latency dispatch paths)."""
     x = feats @ params["input_proj"]["kernel"] + params["input_proj"]["bias"]
     return _rollout_from_x(params, x, steps, joints_num, groups, use_pallas)
 
@@ -147,7 +153,10 @@ def _capture_freeze(x, net_params, groups: int, eps: float):
                             p["gn2"]["bias"], groups)
         c2 = causal_conv1d(g, p["conv2"]["kernel"], p["conv2"]["bias"])
         stats[name] = {"mu1": mu1, "rstd1": rstd1, "mu2": mu2, "rstd2": rstd2}
-        state[name] = {"h": h[0, -(k_taps - 1):], "g": g[0, -(k_taps - 1):]}
+        # history = last K-1 frames; spelled via a positive start index
+        # because -(k_taps - 1) is -0 == "the whole window" when K == 1
+        start = h.shape[1] - (k_taps - 1)
+        state[name] = {"h": h[0, start:], "g": g[0, start:]}
         x = c2 + x
     return x, stats, state
 
@@ -237,7 +246,6 @@ class StreamingPredictor:
         self._step = step
         self._capture = capture
         self._frozen_step = frozen_step
-        self._rollouts: dict = {}
 
     def push(self, feat: np.ndarray) -> np.ndarray:
         """Add one frame's features; returns that frame's joints (J, 3)."""
@@ -278,17 +286,13 @@ class StreamingPredictor:
         """AR rollout `steps` frames past the current window -> (steps, J, 3)."""
         if self._seen == 0:
             raise RuntimeError("no frames pushed yet")
-        if steps not in self._rollouts:
-
-            def fn(params, x, _steps=steps):
-                _, fut, _ = _rollout_from_x(
-                    params, x, _steps, self.joints_num, self.groups,
-                    self.use_pallas,
-                )
-                return fut
-
-            self._rollouts[steps] = fn
-        future = self._rollouts[steps](self.params, self._xbuf)
+        # with_ctx=False skips the context-window regressor pass (we only
+        # want the future frames); jit's static-arg cache keys on steps, so
+        # no per-instance memo is needed
+        _, future, _ = _rollout_from_x(
+            self.params, self._xbuf, steps, self.joints_num, self.groups,
+            self.use_pallas, False,
+        )
         return np.asarray(future[0])
 
     @property

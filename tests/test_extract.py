@@ -304,6 +304,33 @@ def test_merge_stores_rejects_duplicates_and_keeps_parts(tmp_path):
         merge_stores([tmp_path / "p0"], tmp_path / "m2", move=False)
 
 
+def test_resume_config_mismatch_raises(tmp_path):
+    """Resuming with different store-shaping flags (e.g. --augment toggled)
+    must refuse instead of mixing incompatible rows into one store."""
+    import time as _time
+
+    cfg = ExtractConfig(
+        out=str(tmp_path / "out"), seq_len=4, resize=16, batch_size=2,
+        num_workers=1, augment=True, shard_size=2, shuffle_pool=2,
+    )
+    with pytest.raises(RuntimeError, match="simulated decode crash"):
+        run_extract(cfg, dataset=FlakyClipDataset(fail_at=4, n_clips=6))
+    progress = tmp_path / "out" / "progress.json"
+    for _ in range(50):
+        if progress.exists():
+            break
+        _time.sleep(0.1)
+
+    cfg.resume = True
+    cfg.augment = False  # the mismatch
+    with pytest.raises(ValueError, match="resume config mismatch"):
+        run_extract(cfg, dataset=FlakyClipDataset(fail_at=None, n_clips=6))
+
+    cfg.augment = True  # matching config resumes fine
+    summary = run_extract(cfg, dataset=FlakyClipDataset(fail_at=None, n_clips=6))
+    assert summary["n_clips"] == 6
+
+
 def test_extracted_store_trains(tmp_path):
     """Extraction output feeds the training loop end to end."""
     import jax

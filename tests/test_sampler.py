@@ -50,6 +50,30 @@ class TestMixedShardBatchSampler:
         with pytest.raises(ValueError):
             MixedShardBatchSampler(dataset, batch_size=10, shards_per_batch=4)
 
+    def test_drop_last_false_drains_unbalanced_shards(self):
+        """Once fewer than k shards stay live, drop_last=False keeps
+        drawing from the remainder instead of silently dropping items."""
+
+        class Unbalanced:
+            sizes = {0: 40, 1: 4}
+
+            def __len__(self):
+                return sum(self.sizes.values())
+
+            def shard_id_of(self, idx):
+                return 0 if idx < self.sizes[0] else 1
+
+        ds = Unbalanced()
+        s = MixedShardBatchSampler(ds, batch_size=8, shards_per_batch=2,
+                                   drop_last=False, seed=0)
+        seen = [i for b in s for i in b]
+        assert sorted(seen) == list(range(len(ds)))  # nothing dropped
+
+        s_drop = MixedShardBatchSampler(ds, batch_size=8, shards_per_batch=2,
+                                        drop_last=True, seed=0)
+        for b in s_drop:
+            assert len(b) == 8  # drop_last contract unchanged
+
     def test_drop_last_only_full_batches(self, dataset):
         s = MixedShardBatchSampler(dataset, batch_size=8, drop_last=True, seed=3)
         for batch in s:

@@ -172,6 +172,25 @@ def _frozen_oracle_forward(params, window_feats, freeze_feats, groups, eps=1e-5)
 
 
 class TestFrozenStreaming:
+    def test_freeze_with_kernel_size_one(self):
+        """kernel_size=1 blocks have EMPTY tap history — the slice must be
+        (0, D), not the whole window (-(K-1) == -0 pitfall)."""
+        model = PHDFor3DJoints(latent_dim=32, feature_dim=16, number_blocks=1,
+                               groups=4, kernel_size=1)
+        rng = np.random.default_rng(1)
+        feats = rng.normal(size=(1, 6, 16)).astype(np.float32)
+        params = jax.device_get(
+            model.init(jax.random.key(0), jnp.asarray(feats))["params"]
+        )
+        sp = StreamingPredictor(params, window=6, feature_dim=16, groups=4)
+        for t in range(6):
+            sp.push(feats[0, t])
+        sp.freeze()
+        for st in sp._frozen[1].values():
+            assert st["h"].shape[0] == 0 and st["g"].shape[0] == 0
+        out = sp.push(rng.normal(size=(16,)).astype(np.float32))
+        assert out.shape == (17, 3) and np.isfinite(out).all()
+
     def test_frozen_push_matches_frozen_stats_oracle(self, setup):
         """After freeze(), each O(1) push must equal a full-window forward of
         the frozen-stats model (GN statistics pinned at the freeze window,
