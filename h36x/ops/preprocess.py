@@ -53,10 +53,12 @@ def crop_resize_matrices(box, img_h: int, img_w: int, out_size: int = 224):
 
 
 def fused_crop_resize(frames: jnp.ndarray, wy: jnp.ndarray, wx: jnp.ndarray) -> jnp.ndarray:
-    """Device: (…, H, W, C) uint8/float frames -> (…, out, out, C) in [0, 1].
+    """Device: (…, T, H, W, C) uint8/float frames -> (…, T, out, out, C) in [0, 1].
 
-    wy/wx may carry leading batch dims matching the frames' leading dims
-    (e.g. frames (B,T,H,W,C), wy (B,out,H), wx (B,out,W)).
+    The einsum requires a time axis ('...thwc'); for single images use
+    :func:`fused_crop_resize_gather` (genuinely rank-agnostic) or add a
+    length-1 axis. wy/wx may carry leading batch dims matching the frames'
+    leading dims (e.g. frames (B,T,H,W,C), wy (B,out,H), wx (B,out,W)).
     """
     x = frames.astype(jnp.float32)
     x = jnp.einsum("...oh,...thwc->...towc", wy, x, preferred_element_type=jnp.float32)

@@ -38,6 +38,20 @@ def prefetch_to_device(
     q: queue.Queue = queue.Queue(maxsize=buffer_size)
     sentinel = object()
     err_box = []
+    abandoned = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded put that notices an abandoned consumer: if the generator
+        # is closed mid-epoch (exception in the train/eval step), the
+        # producer must exit instead of blocking on a full queue forever,
+        # pinning device batches and leaking a thread per failed epoch
+        while not abandoned.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
@@ -52,19 +66,23 @@ def prefetch_to_device(
                     )
                 else:
                     batch = jax.tree.map(jax.device_put, batch)
-                q.put(batch)
+                if not _put(batch):
+                    return
         except BaseException as e:  # surface worker errors to the consumer
             err_box.append(e)
         finally:
-            q.put(sentinel)
+            _put(sentinel)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
 
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err_box:
-                raise err_box[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err_box:
+                    raise err_box[0]
+                return
+            yield item
+    finally:
+        abandoned.set()

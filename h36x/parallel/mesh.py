@@ -50,11 +50,12 @@ _TP_RULES: Tuple[Tuple[str, P], ...] = (
     # causal conv kernels (K, D_in, D_out): split output channels
     (r".*conv\d/kernel$", P(None, None, "model")),
     (r".*conv\d/bias$", P("model")),
-    # regressor MLP: fc1 splits hidden cols, fc2 rows+cols, fc3 rows
+    # regressor MLP: fc1 splits hidden columns, fc2 contracts over those
+    # sharded rows (XLA inserts the psum), fc3 stays replicated — its
+    # input is the psum'd fc2 output and its own dims are tiny (J*3)
     (r".*f_3D/fc1/kernel$", P(None, "model")),
     (r".*f_3D/fc1/bias$", P("model")),
     (r".*f_3D/fc2/kernel$", P("model", None)),
-    (r".*f_3D/fc3/kernel$", P(None, None)),
 )
 
 

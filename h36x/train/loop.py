@@ -42,6 +42,7 @@ from h36x.train.step import (
     make_future_train_step,
     make_train_step,
     make_weighted_eval_step,
+    make_weighted_future_eval_step,
 )
 from h36x.utils.profiling import maybe_trace
 from h36x.utils.timers import PhaseTimers
@@ -357,7 +358,15 @@ def fit(
             lambda_2d=getattr(cfg.optim, "lambda_2d", 0.0),
             scan_steps=scan_steps, accum_steps=accum_steps,
         )
-    eval_step = make_weighted_eval_step(model)
+    if phase == 2:
+        # score the AR path: the plain eval metric only exercises modules
+        # phase 2 freezes, so it would be constant and early-stop blindly
+        eval_step = make_weighted_future_eval_step(
+            model, input_len=cfg.optim.input_len, pred_len=cfg.optim.pred_len,
+            lambda_joints=cfg.optim.lambda_future,
+        )
+    else:
+        eval_step = make_weighted_eval_step(model)
     data_sharding = batch_sharding(mesh)
 
     backend = getattr(cfg, "ckpt_backend", "msgpack")

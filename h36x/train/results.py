@@ -85,43 +85,23 @@ def evaluate_test(model, params, dataset: FeatureClipDataset,
     batches shard over the `data` axis and params replicate — the results
     stage scales over chips like extraction and training do (the
     reference's results.py is single-GPU)."""
+    # One eval implementation for the whole framework: this delegates to
+    # h36x.train.loop.evaluate (weighted sums, exact tail means, prefetch
+    # overlap, multi-process local rows) instead of keeping a second copy
+    # of the padding/masking/drain machinery in sync by hand.
+    from h36x.train.loop import evaluate
     from h36x.train.step import make_weighted_eval_step
 
     step = make_weighted_eval_step(model)
     sharding = None
-    pad_to = 1
     if mesh is not None:
         from h36x.parallel.mesh import batch_sharding, shard_params
 
         sharding = batch_sharding(mesh)
-        pad_to = int(mesh.shape.get("data", 1))
         params = shard_params(jax.device_get(params), mesh)
     sampler = SequentialBatchSampler(dataset, batch_size)
-    pending = []
-    rows = 0
-    for idx in sampler:
-        feats, j3d, j2d, K, _meta = dataset.get_batch(idx)
-        real = len(idx)
-        if real % pad_to:
-            short = pad_to - real % pad_to
-            rep = lambda x: np.concatenate([x, np.repeat(x[-1:], short, 0)])  # noqa: E731
-            feats, j3d, j2d, K = rep(feats), rep(j3d), rep(j2d), rep(K)
-        w = np.zeros(feats.shape[0], np.float32)
-        w[:real] = 1.0
-        batch = (feats, j3d, j2d, K, w)
-        if sharding is not None:
-            batch = tuple(jax.device_put(x, sharding) for x in batch)
-        else:
-            batch = tuple(jnp.asarray(x) for x in batch)
-        pending.append(step(params, batch))
-        rows += real
-    total = {"loss": 0.0, "mpjpe": 0.0}
-    for m in jax.device_get(pending):
-        total["loss"] += float(m["loss"])
-        total["mpjpe"] += float(m["mpjpe"])
-    loss = total["loss"] / max(rows, 1)
-    mp = total["mpjpe"] / max(rows, 1)
-    return loss, mp, loss, 0.0
+    metrics = evaluate(step, params, dataset, sampler, sharding)
+    return metrics["loss"], metrics["mpjpe"], metrics["l3d"], 0.0
 
 
 def dump_result_batch(

@@ -207,9 +207,14 @@ def make_future_train_step(
         mask_f = mask.astype(phi.dtype)
         denom = jnp.maximum(mask_f.sum(), 1.0)
 
-        phi_target = jax.lax.stop_gradient(phi)
+        # f32 MSE even under --model.dtype bfloat16: both operands are the
+        # network's bf16 activations, so without the cast the loss (and its
+        # gradient) would be quantized to bf16 — phase 1 avoids this only
+        # because its f32 ground truth promotes the subtraction.
+        phi_target = jax.lax.stop_gradient(phi).astype(jnp.float32)
+        phi_hat32 = phi_hat.astype(jnp.float32)
         l_ar = jnp.sum(
-            jnp.mean((phi_hat - phi_target) ** 2, axis=(0, 2)) * mask_f
+            jnp.mean((phi_hat32 - phi_target) ** 2, axis=(0, 2)) * mask_f
         ) / denom
         l_j = jnp.sum(
             jnp.mean((joints_hat - joints3d) ** 2, axis=(0, 2, 3)) * mask_f
@@ -326,6 +331,66 @@ def make_weighted_eval_step(model) -> Callable:
         }
 
     return jax.jit(step)
+
+
+def make_weighted_future_eval_step(model, input_len: int = 15,
+                                   pred_len: int = 25,
+                                   lambda_joints: float = 1.0) -> Callable:
+    """Phase-2 validation step: score the AR path, not the frozen one.
+
+    Phase 2 trains only f_AR; everything the plain eval step scores
+    (joints from f_3D(f_movie(x))) is frozen, so validating with it makes
+    the val metric constant — epoch 1 would always be "best" and early
+    stopping would fire blindly. This step runs predict_future=True,
+    masks metrics to the full prediction window
+    [input_len, input_len + pred_len) (no curriculum at eval), and returns
+    the same weighted-SUM contract as :func:`make_weighted_eval_step`:
+    loss = l_ar + lambda_joints * l3d over AR-window frames, mpjpe/bone on
+    the AR-predicted joints, all per-row-weighted so padded rows vanish.
+    """
+
+    def step(params, batch):
+        feats, joints3d, w = batch[0], batch[1], batch[-1]
+        phi, phi_hat, _, joints_hat = model.apply(
+            {"params": params}, feats, predict_future=True
+        )
+        t_idx = jnp.arange(phi.shape[1])
+        mask = ((t_idx >= input_len) & (t_idx < input_len + pred_len))
+        mask_f = mask.astype(jnp.float32)
+        denom = jnp.maximum(mask_f.sum(), 1.0)
+
+        def window_mean(per_frame):  # (B, T) -> (B,) mean over AR window
+            return jnp.sum(per_frame * mask_f, axis=1) / denom
+
+        phi32 = jax.lax.stop_gradient(phi).astype(jnp.float32)
+        l_ar_row = window_mean(
+            jnp.mean((phi_hat.astype(jnp.float32) - phi32) ** 2, axis=2))
+        jh = joints_hat.astype(jnp.float32)
+        j3 = joints3d.astype(jnp.float32)
+        l3d_row = window_mean(jnp.mean((jh - j3) ** 2, axis=(2, 3)))
+        mpjpe_row = window_mean(
+            jnp.mean(jnp.linalg.norm(jh - j3, axis=-1), axis=2))
+        bone_row = window_mean(
+            jnp.mean((_bone_lengths(jh) - _bone_lengths(j3)) ** 2, axis=2))
+        return {
+            "loss": jnp.vdot(w, l_ar_row + lambda_joints * l3d_row),
+            "l3d": jnp.vdot(w, l3d_row),
+            "mpjpe": jnp.vdot(w, mpjpe_row),
+            "bone": jnp.vdot(w, bone_row),
+            "n": jnp.sum(w),
+        }
+
+    return jax.jit(step)
+
+
+def _bone_lengths(joints):
+    """(B,T,J,3) -> (B,T,E) H36M bone lengths."""
+    from h36x.geometry.skeleton import edge_index_arrays
+
+    src, dst = edge_index_arrays()
+    return jnp.linalg.norm(
+        jnp.take(joints, jnp.asarray(dst), axis=-2)
+        - jnp.take(joints, jnp.asarray(src), axis=-2), axis=-1)
 
 
 def make_forward(model) -> Callable:

@@ -2,6 +2,8 @@
 training runs, loss falls, checkpoints land, resume works, early stop fires.
 """
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -156,6 +158,15 @@ def test_phase2_fit(cfg, capsys):
     assert "AR horizon 1" in out  # epoch 0 curriculum
     assert "AR horizon 3" in out  # epoch 1
     assert np.isfinite(best)
+
+    # phase-2 validation scores the AR path (which trains), so the val
+    # metric must MOVE across epochs — a constant metric means eval is
+    # looking at the frozen modules and early-stop would fire blindly
+    import json
+
+    rows = [json.loads(l) for l in
+            (Path(cfg.outdir) / "metrics.jsonl").read_text().splitlines()]
+    assert rows[0]["val_mpjpe"] != rows[1]["val_mpjpe"]
 
 
 def test_phase2_warm_start_from_phase1(cfg, tmp_path, capsys):

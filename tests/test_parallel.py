@@ -165,6 +165,29 @@ class TestPrefetch:
         with pytest.raises(RuntimeError, match="boom"):
             list(it)
 
+    def test_abandoned_consumer_releases_producer(self):
+        """Closing the generator mid-epoch (step raised) must let the
+        producer thread exit instead of blocking on the full queue forever."""
+        import threading
+        import time
+
+        drained = []
+
+        def endless():
+            for i in range(10_000):
+                drained.append(i)
+                yield {"x": np.full((2,), i, np.float32)}
+
+        before = threading.active_count()
+        it = prefetch_to_device(endless(), buffer_size=2)
+        next(it)
+        it.close()  # consumer abandons (e.g. exception in the train step)
+        deadline = time.time() + 5.0
+        while time.time() < deadline and threading.active_count() > before:
+            time.sleep(0.05)
+        assert threading.active_count() <= before  # producer exited
+        assert len(drained) < 100  # and did NOT drain the whole iterator
+
 
 class TestMultiHostHelpers:
     """Single-process contracts of h36x/parallel/distributed.py (a pod run

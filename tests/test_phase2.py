@@ -94,6 +94,43 @@ class TestPhase2Step:
 
 
 class TestDistributedHelpers:
+    def test_weighted_future_eval_scores_the_ar_path(self, setup, rng):
+        """The phase-2 eval step must respond to f_AR (the module phase 2
+        trains); the plain eval step does not, which is exactly why it
+        cannot drive phase-2 early stopping."""
+        import jax
+
+        from h36x.train.step import (
+            make_weighted_eval_step,
+            make_weighted_future_eval_step,
+        )
+
+        model, _, state, _ = setup
+        b = batch(rng)
+        w = jnp.ones(b[0].shape[0], jnp.float32)
+        wb = (*b, w)
+
+        fstep = make_weighted_future_eval_step(model, input_len=5, pred_len=10)
+        base = fstep(state.params, wb)
+        assert float(base["n"]) == b[0].shape[0]
+        assert np.isfinite(float(base["loss"]))
+
+        bumped = jax.tree.map(lambda x: x, state.params)
+        bumped["f_AR"] = jax.tree.map(lambda x: x + 0.05, bumped["f_AR"])
+        moved = fstep(bumped, wb)
+        assert float(moved["mpjpe"]) != float(base["mpjpe"])
+
+        # the plain (phase-1) eval metric is blind to the same change
+        pstep = make_weighted_eval_step(model)
+        np.testing.assert_allclose(
+            float(pstep(bumped, wb)["mpjpe"]),
+            float(pstep(state.params, wb)["mpjpe"]), rtol=1e-6)
+
+        # padded rows with weight 0 contribute nothing
+        w0 = w.at[-1].set(0.0)
+        part = fstep(state.params, (*b, w0))
+        assert float(part["n"]) == b[0].shape[0] - 1
+
     def test_grouped_dispatch_modes(self, setup, rng):
         """Phase-2 gets the same scan/accum grouped modes as phase 1:
         scan reproduces sequential steps; accum applies one update."""

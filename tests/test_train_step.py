@@ -391,12 +391,24 @@ class TestFusedTrainStep:
     3-pass MXU) must reproduce the XLA step."""
 
     def test_matches_xla_step_no_dropout(self, setup, rng):
-        model, optimizer, state = setup
+        """Params are compared through plain SGD, NOT AdamW: the adaptive
+        normalizer divides by sqrt(v)+eps, so on near-zero-gradient
+        coordinates it amplifies the Pallas-vs-XLA grad agreement (~5e-6
+        rel) unboundedly — a previous AdamW-based version of this assert
+        was tolerance-borderline and only passed when an earlier test's
+        in-place set_learning_rate happened to shrink the step. With SGD
+        the param diff is exactly lr * grad diff."""
+        import optax
+
+        model, _, _ = setup
+        sgd = optax.sgd(1e-2)
+        state = create_train_state(model, sgd, jax.random.key(0),
+                                   jnp.zeros((2, 6, 32)))
         batch = synth_batch(rng)
         key = jax.random.key(2)
 
-        xla_step = make_train_step(model, optimizer, donate=False)
-        fused_step = make_train_step(model, optimizer, donate=False,
+        xla_step = make_train_step(model, sgd, donate=False)
+        fused_step = make_train_step(model, sgd, donate=False,
                                      fused=True, interpret=True)
         s_x, m_x = xla_step(state, batch, key)
         s_f, m_f = fused_step(state, batch, key)
