@@ -59,6 +59,8 @@ def _store_info(root):
 
         idx = load_index(root)
         n = idx["n_shards"]
+        if n is None:  # reference index.pt may omit it; recompute from clips
+            n = 1 + max(c["shard_id"] for c in idx["clips"])
         missing = [s for s in range(n)
                    if not shard_path(root, s).exists()]
         if missing and not idx.get("torch_format"):

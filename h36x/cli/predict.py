@@ -38,6 +38,10 @@ def main(argv=None):
     p.add_argument("--clips", type=int, default=8, help="clips to serve")
     p.add_argument("--forecast", type=int, default=25,
                    help="AR future frames past each window (0 disables)")
+    p.add_argument("--window", type=int, default=0,
+                   help="streaming window (0: seq-len; with --freeze it "
+                        "defaults to seq-len//2 so the frozen O(1) path "
+                        "actually serves the second half of each clip)")
     p.add_argument("--streaming", action="store_true",
                    help="per-frame online replay instead of batch rollout")
     p.add_argument("--freeze", action="store_true",
@@ -80,9 +84,15 @@ def main(argv=None):
                  "meta": np.asarray(meta, dtype=object)}
 
     if args.streaming:
+        # window == seq_len would only become warm after a clip's LAST push
+        # (freeze would never engage during replay), so --freeze defaults
+        # to a half-clip window: warm+freeze on the first half, frozen O(1)
+        # pushes on the second.
+        window = args.window or (seq_len // 2 if args.freeze else seq_len)
+        window = max(1, min(window, seq_len))
         preds = np.zeros((n, seq_len, JOINTS_NUM, 3), np.float32)
         for b in range(n):
-            sp = StreamingPredictor(params, window=seq_len,
+            sp = StreamingPredictor(params, window=window,
                                     feature_dim=feature_dim,
                                     joints_num=JOINTS_NUM, groups=args.groups)
             for t in range(seq_len):

@@ -43,10 +43,14 @@ def main(argv=None):
 
     test_set = FeatureClipDataset(args.features_root, subjects=args.subjects,
                                   test_set=True)
+    # derive the feature width from the store (predict.py does the same);
+    # hardcoding 2048 would mis-shape the restore template for stores
+    # produced by a different backbone
+    feature_dim = test_set[0][0].shape[-1]
     model = PHDFor3DJoints(latent_dim=args.latent_dim, joints_num=JOINTS_NUM,
                            number_blocks=args.num_blocks)
     template = model.init(
-        jax.random.key(0), jnp.zeros((1, args.seq_len, 2048))
+        jax.random.key(0), jnp.zeros((1, args.seq_len, feature_dim))
     )["params"]
     params = ckpt.load_params_only(args.model_path, jax.device_get(template))
 

@@ -28,7 +28,8 @@ def main(argv=None):
         cfg.train_root,
         subjects=cfg.train_subjects,
         augment=True,
-        shard_cache_size=max(cfg.data.shard_cache_size, 64),
+        shard_cache_size=(cfg.data.shard_cache_size
+                          if cfg.data.shard_cache_size > 0 else 64),
         log_loads_every=cfg.data.log_shard_loads,
     )
     val_set = FeatureClipDataset(val_root, subjects=cfg.val_subjects)

@@ -50,7 +50,8 @@ class DataConfig:
     stride: int = 10
     resize: int = 224
     crop_scale: float = 1.6
-    shard_cache_size: int = 2
+    shard_cache_size: int = -1  # -1: auto (64 for the training set; other
+    #   consumers use FeatureClipDataset's own default of 2)
     # >0: print shard-cache load/hit counts every N disk loads (the
     # reference's cache-thrash observability, dataset_features.py:101-105)
     log_shard_loads: int = 0

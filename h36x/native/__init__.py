@@ -10,6 +10,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from pathlib import Path
 from typing import Optional
 
@@ -19,6 +20,7 @@ _DIR = Path(__file__).resolve().parent
 _LIB_PATH = _DIR / "libh36xio.so"
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_load_lock = threading.Lock()
 
 
 def _build() -> bool:
@@ -33,7 +35,20 @@ def _build() -> bool:
 
 
 def load() -> Optional[ctypes.CDLL]:
-    """The native library, building it on first call; None if unavailable."""
+    """The native library, building it on first call; None if unavailable.
+
+    Thread-safe: first use happens from the extraction decode pool (up to
+    num_workers threads at once), so build+load is serialized under a lock
+    and the Makefile writes via tmp+rename (no torn .so is ever visible).
+    """
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _load_lock:
+        return _load_locked()
+
+
+def _load_locked() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib

@@ -185,7 +185,11 @@ def plot_batch_sample_2d_2dproj_3d_no_video(
     sample_idx: int = 0, fps: int = 10, point_size: int = 18, line_width: int = 2,
     invert_y: bool = True, equal_aspect: bool = True, show: bool = True,
 ):
-    """Feature-space variant without frames (reference visualize_features.py)."""
+    """Feature-space variant without frames (reference visualize_features.py).
+
+    K=None skips the reprojection math (no intrinsics available — e.g. raw
+    pickles without a camera file): the middle panel shows the GT 2D again
+    rather than a degenerate projection through a fake K."""
     import matplotlib.pyplot as plt
     from matplotlib.animation import FuncAnimation
 
@@ -193,17 +197,21 @@ def plot_batch_sample_2d_2dproj_3d_no_video(
 
     js3 = np.asarray(joints3d)[sample_idx]
     js2 = np.asarray(joints2d)[sample_idx]
-    Kk = np.asarray(K)
-    Kk = Kk[sample_idx] if Kk.ndim == 3 else Kk
     t_len = js3.shape[0]
-    proj2 = np.asarray(project_with_K(js3, Kk))
+    if K is None:
+        proj2, prj_title = js2, "GT 2D (no K for reprojection)"
+    else:
+        Kk = np.asarray(K)
+        Kk = Kk[sample_idx] if Kk.ndim == 3 else Kk
+        proj2 = np.asarray(project_with_K(js3, Kk))
+        prj_title = "Reprojected 2D joints"
 
     fig = plt.figure(figsize=(15, 4))
     ax_gt = fig.add_subplot(1, 3, 1)
     ax_prj = fig.add_subplot(1, 3, 2)
     ax_3d = fig.add_subplot(1, 3, 3, projection="3d")
     ax_gt.set_title("GT 2D joints")
-    ax_prj.set_title("Reprojected 2D joints")
+    ax_prj.set_title(prj_title)
     ax_3d.set_title("Skeleton 3D")
 
     for ax, pts in ((ax_gt, js2), (ax_prj, proj2)):
@@ -248,7 +256,25 @@ def plot_raw_sequence(
 
         video = decode_clip(video_path, 0, js3.shape[0], frame_skip)
         return plot_batch_sample(video[None], js3[None], 0, fps=fps, show=show)
+
+    # Real intrinsics from the sibling camera_wext.pkl (ingested layout)
+    # make the reprojection panel meaningful; the raw (uncentered,
+    # camera-frame) 3D is what projects through K. Without the camera
+    # file K=None shows GT 2D instead of a degenerate identity-K panel.
+    import os
+
+    cam_path = os.path.join(os.path.dirname(gt_poses_path), "camera_wext.pkl")
+    K = None
+    js3_for_proj = js3
+    if os.path.exists(cam_path):
+        with open(cam_path, "rb") as f:
+            cam = pickle.load(f)
+        f_xy, c_xy = np.asarray(cam["f"]).ravel(), np.asarray(cam["c"]).ravel()
+        K = np.array([[f_xy[0], 0, c_xy[0]], [0, f_xy[1], c_xy[1]], [0, 0, 1]],
+                     np.float32)
+        js3_for_proj = np.asarray(data["3d"], np.float32)[::frame_skip][:max_frames]
     return plot_batch_sample_2d_2dproj_3d_no_video(
-        js3[None], np.asarray(data["2d"], np.float32)[::frame_skip][:max_frames][None],
-        np.eye(3, dtype=np.float32), 0, fps=fps, show=show,
+        js3_for_proj[None],
+        np.asarray(data["2d"], np.float32)[::frame_skip][:max_frames][None],
+        K, 0, fps=fps, show=show,
     )
