@@ -30,7 +30,10 @@ AUG_NAMES = ("orig", "cjitter", "hflip", "trev")
 
 _FLIP_PERM = flip_permutation()
 
-_GRAY = jnp.asarray([0.2989, 0.587, 0.114], dtype=jnp.float32)
+# numpy, not jnp, on purpose: module-level jnp constants would initialize
+# the JAX backend (a tunnel TPU client here) the moment any host-only
+# consumer imports this module; jnp ops accept numpy operands unchanged.
+_GRAY = np.array([0.2989, 0.587, 0.114], dtype=np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -94,13 +97,15 @@ def _adjust_hue(v, shift):
 
 
 # RGB -> YIQ (NTSC); hue rotation is a rotation of the (I, Q) chroma plane.
-_RGB2YIQ = jnp.asarray(
+# numpy at module scope (see _GRAY): np.linalg.inv runs on the host at
+# import; the jnp matmuls below consume the constants as-is.
+_RGB2YIQ = np.array(
     [[0.299, 0.587, 0.114],
      [0.595716, -0.274453, -0.321263],
      [0.211456, -0.522591, 0.311135]],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
-_YIQ2RGB = jnp.linalg.inv(_RGB2YIQ)
+_YIQ2RGB = np.linalg.inv(_RGB2YIQ).astype(np.float32)
 
 
 def _adjust_hue_yiq(v, shift):

@@ -19,6 +19,7 @@ parsing needs only the XML (no native deps).
 
 from __future__ import annotations
 
+import functools
 import itertools
 import os
 import pickle
@@ -43,6 +44,15 @@ N_CAMS = 4
 SUBJECTS_ORDER = (1, 6, 7, 8, 5, 9, 11)  # processing order used by the lab
 
 
+@functools.lru_cache(maxsize=4)
+def _parse_metadata(xml_path: str):
+    """Parsed metadata.xml root, cached: a full ingest touches up to 840
+    (subject, action, trial, camera) cells and each used to re-parse the
+    whole file (the reference shares that flaw, read_human_36m.py:233-283);
+    the output is byte-identical, only the parse is amortized."""
+    return ET.parse(xml_path).getroot()
+
+
 def read_cam_parameters(xml_path: str, sbj_id: int, cam_id: int):
     """Camera extrinsics/intrinsics/distortion from metadata.xml's w0 blob.
 
@@ -57,7 +67,7 @@ def read_cam_parameters(xml_path: str, sbj_id: int, cam_id: int):
     sbj0 = sbj_id - 1
     cam0 = cam_id - 1
 
-    root = ET.parse(xml_path).getroot()
+    root = _parse_metadata(xml_path)
     w0 = root.find("w0")
     if w0 is None:
         raise ValueError(f"no <w0> element in {xml_path}")
@@ -80,7 +90,7 @@ def read_cam_parameters(xml_path: str, sbj_id: int, cam_id: int):
 def read_action_name(xml_path: str, sbj_id: int, action_no: int, trial_no: int) -> Optional[str]:
     """Per-subject sequence name from the XML <mapping> table
     (reference read_human_36m.py:273-283; action 1 is 'ALL', hence +1)."""
-    root = ET.parse(xml_path).getroot()
+    root = _parse_metadata(xml_path)
     mapping = root.find("mapping")
     if mapping is None:
         raise ValueError(f"no <mapping> element in {xml_path}")
@@ -160,8 +170,10 @@ def ingest(
     Returns the number of (sequence, camera) cells written or found complete.
     """
     xml_path = join(source_dir, "metadata.xml")
-    subjects = list(subjects) if subjects else list(SUBJECTS_ORDER)
-    actions = list(actions) if actions else list(range(1, 16))
+    # `is not None`, not truthiness: an empty list means "ingest nothing",
+    # not "ingest everything"
+    subjects = list(subjects) if subjects is not None else list(SUBJECTS_ORDER)
+    actions = list(actions) if actions is not None else list(range(1, 16))
     n_done = 0
 
     for sbj_id, action_id, trial_id, cam_id in itertools.product(

@@ -36,7 +36,9 @@ def clean_mask_to_crop(mask: np.ndarray, x: int, y: int, w: int, h: int) -> np.n
     (reference :149-167). Returns uint8 {0, 255}."""
     import cv2
 
-    crop = np.uint8(np.asarray(mask)[y : y + h, x : x + w]) * 255
+    # >0 then scale: np.uint8(mask) * 255 would WRAP for uint8 {0,255}
+    # inputs (255*255 == 1 mod 256), turning the mask near-black
+    crop = (np.asarray(mask)[y : y + h, x : x + w] > 0).astype(np.uint8) * 255
     contours, _ = cv2.findContours(
         crop.copy(), cv2.RETR_LIST, cv2.CHAIN_APPROX_SIMPLE
     )

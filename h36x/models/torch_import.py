@@ -27,16 +27,19 @@ def _to_numpy(v) -> np.ndarray:
     return np.asarray(v, dtype=np.float32)
 
 
+def _put(tree: dict, path, value) -> None:
+    """Insert value at a nested path, creating intermediate dicts."""
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
 def convert_torch_resnet50(state_dict: dict) -> dict:
     """state_dict (torch tensors or numpy) -> {'params', 'batch_stats'}."""
     params: dict = {}
     stats: dict = {}
-
-    def put(tree, path, value):
-        node = tree
-        for k in path[:-1]:
-            node = node.setdefault(k, {})
-        node[path[-1]] = value
+    put = _put
 
     for key, value in state_dict.items():
         if key.startswith("fc.") or key.endswith("num_batches_tracked"):
@@ -116,10 +119,7 @@ def convert_torch_phd(state_dict: dict) -> dict:
     params: dict = {}
 
     def put(path, value):
-        node = params
-        for k in path[:-1]:
-            node = node.setdefault(k, {})
-        node[path[-1]] = value
+        _put(params, path, value)
 
     # Sequential(Linear, ReLU, Dropout, Linear, ReLU, Linear): the second
     # Dropout is commented out in the reference (src/model.py:97), so the

@@ -27,6 +27,13 @@ class TestMasks:
         assert out[5, 5] == 255
         assert out[16, 16] == 0
 
+    def test_clean_mask_accepts_uint8_255(self):
+        """uint8 {0,255} masks must not wrap (255*255 == 1 mod 256)."""
+        mask = np.zeros((20, 20), np.uint8)
+        mask[2:10, 2:10] = 255
+        out = clean_mask_to_crop(mask, 0, 0, 20, 20)
+        assert out[5, 5] == 255 and out.dtype == np.uint8
+
     def test_reroot(self):
         joints = np.array([[0.0, 0, 0], [1, 0, 0], [0, 2, 0]])
         out = reroot_joints(joints, np.array([10.0, 10, 10]))

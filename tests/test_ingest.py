@@ -141,6 +141,15 @@ class TestIngest:
                 mp4s = list(cdir.glob("*.mp4"))
                 assert len(mp4s) == 1 and mp4s[0].is_symlink()
 
+    def test_empty_subjects_means_nothing(self, raw_tree, tmp_path):
+        """subjects=[] ingests NOTHING (only None means 'all') — a filtered
+        empty list must not silently kick off a full-dataset ingest."""
+        out = tmp_path / "out_empty"
+        assert ingest(str(raw_tree), str(out), subjects=[], verbose=False) == 0
+        assert ingest(str(raw_tree), str(out), subjects=[1], actions=[],
+                      verbose=False) == 0
+        assert not out.exists() or not any(out.iterdir())
+
     def test_idempotent(self, raw_tree, tmp_path):
         out = tmp_path / "out"
         ingest(str(raw_tree), str(out), subjects=[1], actions=[1], verbose=False)
