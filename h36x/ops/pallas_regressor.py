@@ -113,6 +113,11 @@ def fused_joint_regressor(
     Weights follow the flax JointRegressor layout: w1 ((D+out_dim), H),
     w2 (H, H), w3 (H, out_dim), biases 1-D.
     """
+    if out_dim > P_PAD:
+        raise ValueError(
+            f"fused_joint_regressor pads the iterate to P_PAD={P_PAD} lanes "
+            f"but out_dim={out_dim} exceeds it (joints_num > {P_PAD // 3}); "
+            "use the jnp regressor path for larger joint sets")
     if interpret:
         # interpret mode routes through the same pallas program on CPU
         return _fused_interpret(phi2d, w1, b1, w2, b2, w3, b3, iters, out_dim, tile_n)

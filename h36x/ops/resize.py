@@ -1,9 +1,12 @@
 """Bilinear image resize on device (jnp), matching torch's non-antialiased
 `interpolate(..., mode="bilinear", align_corners=False)` sampling grid.
 
-Used by the fused preprocessing path (crop -> resize -> normalize) of the
-feature-extraction stage (reference src/dataset.py:141-152 resizes crops with
-torchvision F.resize(antialias=False), which is bilinear align_corners=False).
+A convenience wrapper over the SAME sampling-grid construction the
+production extraction front end uses (h36x/ops/preprocess.py
+crop_resize_matrix, of which a full-image resize is the no-crop special
+case) — one grid implementation, no drift. Kept for whole-image resizes
+(e.g. results-stage video downscaling oracles) where the channels-leading
+(..., H, W) layout of decoded video is what arrives.
 
 Implemented as two separable 1-D interpolations expressed as small matmuls
 (gather-free), which XLA fuses and the MXU executes: out = Wy @ img @ Wx^T.
@@ -19,19 +22,11 @@ import numpy as np
 
 @functools.lru_cache(maxsize=64)
 def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
-    """(out_size, in_size) row-stochastic bilinear interpolation matrix."""
-    scale = in_size / out_size
-    # align_corners=False pixel-center mapping: src = (dst + 0.5) * scale - 0.5
-    src = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
-    src = np.clip(src, 0.0, in_size - 1)
-    lo = np.floor(src).astype(np.int64)
-    hi = np.minimum(lo + 1, in_size - 1)
-    frac = src - lo
-    mat = np.zeros((out_size, in_size), dtype=np.float32)
-    rows = np.arange(out_size)
-    np.add.at(mat, (rows, lo), (1.0 - frac).astype(np.float32))
-    np.add.at(mat, (rows, hi), frac.astype(np.float32))
-    return mat
+    """(out_size, in_size) bilinear matrix: the no-crop case of
+    h36x.ops.preprocess.crop_resize_matrix (single shared grid impl)."""
+    from h36x.ops.preprocess import crop_resize_matrix
+
+    return crop_resize_matrix(0, in_size, in_size, out_size)
 
 
 def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:

@@ -91,18 +91,22 @@ def save_checkpoint_orbax(
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, state, force=True)
 
-    manifest = {
-        "epoch": int(epoch),
-        "best_val": float(best_val),
-        "step": int(np.asarray(jax.device_get(state.step))),
-        "config": config or {},
-        "backend": "orbax",
-    }
-    mpath = directory / f"{name}.json"
-    tmp = str(mpath) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=2)
-    os.replace(tmp, mpath)
+    # The directory save above is COLLECTIVE (every process writes its own
+    # shards), but the manifest is one shared file on the common outdir —
+    # rank-0 only, or concurrent O_TRUNC writers could corrupt it.
+    if jax.process_index() == 0:
+        manifest = {
+            "epoch": int(epoch),
+            "best_val": float(best_val),
+            "step": int(np.asarray(jax.device_get(state.step))),
+            "config": config or {},
+            "backend": "orbax",
+        }
+        mpath = directory / f"{name}.json"
+        tmp = str(mpath) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, mpath)
     return path
 
 
@@ -123,10 +127,20 @@ def _load_checkpoint_orbax(directory, name: str, template: TrainState):
 
 def load_checkpoint(directory, name: str, template: TrainState):
     """Restore (state, manifest). `template` supplies the pytree structure
-    (build it with create_train_state on the same model/optimizer). The
-    storage backend is autodetected: <name>.msgpack wins if present, else an
-    Orbax <name>/ directory."""
+    (build it with create_train_state on the same model/optimizer).
+
+    Backend autodetection trusts the shared <name>.json manifest first:
+    both backends write it, so after a backend switch mid-run a stale file
+    from the OTHER backend may still sit next to the current one — picking
+    by file existence alone could pair old params with the new manifest.
+    """
     directory = Path(directory)
+    manifest_path = directory / f"{name}.json"
+    if manifest_path.exists():
+        with open(manifest_path) as f:
+            backend = json.load(f).get("backend", "msgpack")
+        if backend == "orbax" and (directory / name).is_dir():
+            return _load_checkpoint_orbax(directory, name, template)
     if (directory / f"{name}.msgpack").exists():
         with open(directory / f"{name}.msgpack", "rb") as f:
             blob = f.read()
@@ -143,11 +157,23 @@ def load_checkpoint(directory, name: str, template: TrainState):
 
 
 def load_params_only(path, params_template) -> Any:
-    """Restore just the model params from a full-state checkpoint file.
+    """Restore just the model params from a full-state checkpoint.
 
-    Accepts either a full TrainState msgpack (takes its 'params' entry) or a
-    bare params msgpack.
+    Accepts a full TrainState msgpack (takes its 'params' entry), a bare
+    params msgpack, or an Orbax checkpoint DIRECTORY (the `--ckpt-backend
+    orbax` output) — every params-only consumer (predict/export/results/
+    serve/init_from) goes through here, so both backends must load.
     """
+    path = Path(path)
+    if path.is_dir():  # orbax OCDBT directory
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            raw = ckptr.restore(path.absolute())  # saved structure as-is
+        if isinstance(raw, dict) and "params" in raw:
+            raw = raw["params"]
+        return serialization.from_state_dict(
+            params_template, jax.device_get(raw))
     with open(path, "rb") as f:
         blob = f.read()
     raw = serialization.msgpack_restore(blob)

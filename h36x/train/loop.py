@@ -426,6 +426,14 @@ def fit(
             flush=True,
         )
 
+        # Decide improvement BEFORE saving `last`, so the manifest records
+        # the post-epoch best_val. The reference writes last.pt with the
+        # PRE-update value (src/train.py:437-445), which lets a resume
+        # restore a stale best_val and then overwrite `best` with a model
+        # worse than the true best — fixed here, same policy otherwise.
+        improved = (best_val - va["mpjpe"]) > cfg.optim.early_stop_min_delta
+        if improved:
+            best_val = va["mpjpe"]
         if write_ckpt:
             save_ckpt(cfg.outdir, "last", state, epoch, best_val, cfg_json)
         if main:
@@ -443,9 +451,7 @@ def fit(
                 },
             )
 
-        improved = (best_val - va["mpjpe"]) > cfg.optim.early_stop_min_delta
         if improved:
-            best_val = va["mpjpe"]
             no_improve = 0
             if write_ckpt:
                 save_ckpt(cfg.outdir, "best", state, epoch, best_val, cfg_json)

@@ -22,8 +22,12 @@ _EDGE_SRC, _EDGE_DST = edge_index_arrays()
 
 
 def mse3d(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
-    """Mean squared error over all coordinates; the phase-1 training loss."""
-    return jnp.mean((pred - gt) ** 2)
+    """Mean squared error over all coordinates; the phase-1 training loss.
+
+    Equals mean(mse3d_per_row(...)) — every row reduces the same element
+    count — and the scalar forms are defined that way so the math lives in
+    ONE place (the per-row variants the weighted eval steps consume)."""
+    return jnp.mean(mse3d_per_row(pred, gt))
 
 
 def mse2d_reproj(pred3d: jnp.ndarray, joints2d: jnp.ndarray,
@@ -40,7 +44,7 @@ def mse2d_reproj(pred3d: jnp.ndarray, joints2d: jnp.ndarray,
 
 def mpjpe(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
     """Mean per-joint position error: mean over (B,T,J) of ||pred-gt||_2."""
-    return jnp.mean(jnp.linalg.norm(pred - gt, axis=-1))
+    return jnp.mean(mpjpe_per_row(pred, gt))
 
 
 def bone_length_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
@@ -48,15 +52,7 @@ def bone_length_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
 
     pred, gt: (B, T, J, 3).
     """
-    src = jnp.asarray(_EDGE_SRC)
-    dst = jnp.asarray(_EDGE_DST)
-    pred_len = jnp.linalg.norm(
-        jnp.take(pred, dst, axis=-2) - jnp.take(pred, src, axis=-2), axis=-1
-    )
-    gt_len = jnp.linalg.norm(
-        jnp.take(gt, dst, axis=-2) - jnp.take(gt, src, axis=-2), axis=-1
-    )
-    return jnp.mean((pred_len - gt_len) ** 2)
+    return jnp.mean(bone_length_per_row(pred, gt))
 
 
 # --- per-row variants (shape (B,)); used by the weighted eval step so that

@@ -81,7 +81,7 @@ def make_optimizer(
     else:
         frozen = PHASE_FROZEN[phase]
     if not frozen:
-        return trainable, None
+        return trainable, ()  # same type either way; () means nothing frozen
 
     def label_fn(params):
         return _freeze_labels(params, frozen)

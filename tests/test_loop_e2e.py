@@ -111,8 +111,9 @@ def test_fit_end_to_end(cfg, tmp_path, capsys):
     assert {"epoch", "lr", "train_loss", "val_mpjpe", "epoch_seconds"} <= set(rec)
 
     # resume continues from epoch 2 (i.e. does nothing more at epochs=2);
-    # the restored best_val is the one recorded in `last` (pre-update, the
-    # same semantics as the reference's last.pt policy)
+    # `last` records the POST-epoch best_val (unlike the reference's
+    # last.pt, whose pre-update value could let a resumed run overwrite
+    # `best` with a worse model)
     cfg.resume = str(runs)
     state2, best2 = fit(cfg, *_datasets(cfg))
     out = capsys.readouterr().out

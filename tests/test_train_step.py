@@ -371,6 +371,41 @@ class TestCheckpoint:
         _, manifest = ckpt.load_checkpoint(tmp_path, "last", template)
         assert manifest["epoch"] == 5
 
+    def test_manifest_backend_wins_over_stale_msgpack(self, setup, tmp_path,
+                                                      rng):
+        """After a backend switch, a STALE .msgpack from the old backend
+        must not shadow the newer orbax directory: the shared manifest's
+        'backend' field decides."""
+        model, optimizer, state = setup
+        step = make_train_step(model, optimizer, donate=False)
+        s1, _ = step(state, synth_batch(rng), jax.random.key(0))
+        ckpt.save_checkpoint(tmp_path, "last", s1, epoch=10, best_val=0.5)
+        s2, _ = step(s1, synth_batch(rng), jax.random.key(1))
+        ckpt.save_checkpoint_orbax(tmp_path, "last", s2, epoch=20,
+                                   best_val=0.4)
+        assert (tmp_path / "last.msgpack").exists()  # stale file remains
+
+        template = create_train_state(model, optimizer, jax.random.key(9),
+                                      jnp.zeros((2, 6, 32)))
+        restored, manifest = ckpt.load_checkpoint(tmp_path, "last", template)
+        assert manifest["epoch"] == 20  # the newer (orbax) checkpoint
+        for a, b in zip(jax.tree.leaves(s2.params),
+                        jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_load_params_only_orbax_directory(self, setup, tmp_path, rng):
+        """Every params-only consumer (predict/export/results/serve/
+        init_from) must load orbax-trained checkpoints too."""
+        model, optimizer, state = setup
+        step = make_train_step(model, optimizer, donate=False)
+        state, _ = step(state, synth_batch(rng), jax.random.key(0))
+        ckpt.save_checkpoint_orbax(tmp_path, "best", state, 0, 1.0)
+
+        template = jax.device_get(state.params)
+        params = ckpt.load_params_only(tmp_path / "best", template)
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_missing_checkpoint_raises(self, setup, tmp_path):
         model, optimizer, state = setup
         with pytest.raises(FileNotFoundError, match="neither"):
