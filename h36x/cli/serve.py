@@ -22,8 +22,9 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--artifact", default="",
-                     help="AOT artifact from h36x-export (serves any batch "
-                          "size without recompilation)")
+                     help="AOT artifact from h36x-export (one artifact for "
+                          "all batch sizes, no re-export; batches are "
+                          "padded to pre-warmed power-of-two buckets)")
     src.add_argument("--model-path", default="", help="checkpoint .msgpack")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=7036)
@@ -47,11 +48,12 @@ def main(argv=None):
         artifact=args.artifact, model_path=args.model_path,
         seq_len=args.seq_len, feature_dim=args.feature_dim,
         latent_dim=args.latent_dim, num_blocks=args.num_blocks,
-        max_batch=args.max_batch,
+        max_batch=args.max_batch, warm=bool(args.artifact),
     )
     server = BatchingServer(
         predict_fn, seq_len=args.seq_len, feature_dim=args.feature_dim,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms, pad_to=pad_to,
+        bucket_pad=not pad_to,
     )
     bind = ({"unix_path": args.unix} if args.unix
             else {"host": args.host, "port": args.port})

@@ -189,6 +189,22 @@ class ExtractConfig:
     #   N independent single-host jobs over shared storage, each writing its
     #   own part store; h36x-merge-shards unifies them (multi-host scale-out
     #   without any cross-host coordination)
+    partition_by: str = "clip"  # 'clip' (round-robin clips, preserves the
+    #   legacy semantics) or 'video' (round-robin whole videos — each video
+    #   is decoded by exactly one job, the right choice with --dedup)
+    dedup: bool = True  # unique-frame scheduling (h36x/extract/dedup.py):
+    #   sequential per-video decode + content-addressed (frame, crop-box)
+    #   feature cache; byte-identical store, ~2.4x less device work at the
+    #   reference stride/seq_len when crop boxes are stable across windows
+    crop_scope: str = "clip"  # 'clip' = reference parity (box from the
+    #   clip's 40-frame joint window, src/dataset.py:395-400); 'video' =
+    #   one box per video (deviation: looser crop, guarantees full dedup)
+    jitter_key: str = "clip"  # color-jitter rng keying: 'clip' = reference
+    #   parity (one factor set per clip — jitter pass not dedupable);
+    #   'video'/'frame' = deviation modes making the jittered variant
+    #   deterministic per frame (dedupable; 8x total at stride 5)
+    frames_per_dispatch: int = 0  # device batch rows for the dedup path;
+    #   0 = auto (batch_size * seq_len * pixel-variants, one compiled shape)
 
 
 @dataclass

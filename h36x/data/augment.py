@@ -222,21 +222,34 @@ def _np_hue(v, shift):
     return np.stack([r, g, b], axis=-1)
 
 
-def color_jitter_host(
-    video01: np.ndarray,
+def sample_jitter_params(
     rng: np.random.Generator,
     brightness: float = 0.3,
     contrast: float = 0.3,
     saturation: float = 0.2,
     hue: float = 0.05,
-) -> np.ndarray:
-    """numpy mirror of :func:`color_jitter`: one factor set per clip, ops in
-    a seeded random order. video01 (T, H, W, 3) float32 in [0, 1]."""
+):
+    """Draw one (order, brightness, contrast, saturation, hue) factor set.
+
+    Split out of :func:`color_jitter_host` so the factor set can be keyed
+    per clip (reference parity), per video, or per frame — the latter two
+    make the jittered variant deterministic per frame and therefore
+    dedupable across overlapping clip windows (h36x/extract/dedup.py).
+    """
     order = rng.permutation(4)
     fb = rng.uniform(1.0 - brightness, 1.0 + brightness)
     fc = rng.uniform(1.0 - contrast, 1.0 + contrast)
     fs = rng.uniform(1.0 - saturation, 1.0 + saturation)
     fh = rng.uniform(-hue, hue)
+    return order, fb, fc, fs, fh
+
+
+def apply_jitter_params(video01: np.ndarray, params) -> np.ndarray:
+    """Apply a :func:`sample_jitter_params` factor set to (T, H, W, 3) or
+    (H, W, 3) video in [0, 1]. Every op's statistics are per-frame (the
+    contrast gray-mean reduces over H, W only), so applying per frame and
+    per window commute."""
+    order, fb, fc, fs, fh = params
     v = video01
     for op in order:
         if op == 0:
@@ -248,10 +261,25 @@ def color_jitter_host(
             v = _np_blend(v, (v @ _GRAY_NP)[..., None], fs)
         else:
             try:
-                v = _np_hue_cv2(v, fh)
+                v = _np_hue_cv2(v.reshape((-1,) + v.shape[-3:]), fh).reshape(v.shape)
             except ImportError:  # cv2-less host: exact numpy fallback
                 v = _np_hue(v, fh)
     return v
+
+
+def color_jitter_host(
+    video01: np.ndarray,
+    rng: np.random.Generator,
+    brightness: float = 0.3,
+    contrast: float = 0.3,
+    saturation: float = 0.2,
+    hue: float = 0.05,
+) -> np.ndarray:
+    """numpy mirror of :func:`color_jitter`: one factor set per clip, ops in
+    a seeded random order. video01 (T, H, W, 3) float32 in [0, 1]."""
+    return apply_jitter_params(
+        video01, sample_jitter_params(rng, brightness, contrast, saturation, hue)
+    )
 
 
 def make_clip_variants_u8(crops_u8: np.ndarray, rng: np.random.Generator):

@@ -273,6 +273,75 @@ class PreprocessedClips:
         ]
 
 
+class SequentialVideoCursor:
+    """One sequential decode pass over a video serving monotonic clip windows.
+
+    Consecutive clips of a video overlap by seq_len - stride subsampled
+    frames (stride=5, seq_len=40 -> 35 of 40 shared); the legacy per-clip
+    `decode_clip` seeks and re-decodes every window, paying up to 8x
+    redundant decode work. This cursor reads the file ONCE front to back
+    (cv2 sequential read, no seeks) and keeps a ring of the subsampled
+    frames still inside any future window. `get(start, end)` calls must
+    have non-decreasing `start` — exactly the order clip windows are
+    scheduled in (reference access pattern: src/dataset.py:323-368, one
+    VideoReader seek per clip).
+    """
+
+    def __init__(self, video_path: str, frame_skip: int = 2):
+        import cv2
+
+        self.path = video_path
+        self.frame_skip = frame_skip
+        self._cap = cv2.VideoCapture(video_path)
+        if not self._cap.isOpened():
+            self._cap.release()
+            raise FileNotFoundError(f"cannot open video {video_path}")
+        self._raw_idx = 0  # next raw frame the capture will deliver
+        self._buf: Dict[int, np.ndarray] = {}  # subsampled idx -> RGB frame
+        self._min_start = 0
+
+    def get(self, start: int, end: int) -> np.ndarray:
+        """Subsampled frames [start, end) as (T, H, W, 3) u8 RGB."""
+        if start < self._min_start:
+            raise ValueError(
+                f"non-monotonic cursor access: start={start} after "
+                f"start={self._min_start} on {self.path}"
+            )
+        self._min_start = start
+        for idx in [i for i in self._buf if i < start]:
+            del self._buf[idx]
+        while (end - 1) not in self._buf:
+            ok, img = self._cap.read()
+            if not ok:
+                raise RuntimeError(
+                    f"frame count mismatch scanning {self.path}: ran out at "
+                    f"raw frame {self._raw_idx}, need subsampled [{start}:{end}] "
+                    f"(skip={self.frame_skip})"
+                )
+            if self._raw_idx % self.frame_skip == 0:
+                sub = self._raw_idx // self.frame_skip
+                if sub >= start:
+                    self._buf[sub] = np.ascontiguousarray(img[:, :, ::-1])
+            self._raw_idx += 1
+        try:
+            return np.stack([self._buf[i] for i in range(start, end)])
+        except KeyError as e:
+            raise RuntimeError(
+                f"missing subsampled frame {e} decoding {self.path} "
+                f"[{start}:{end}]"
+            )
+
+    def close(self) -> None:
+        self._cap.release()
+        self._buf.clear()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 class ClipDataset:
     """Indexable clip provider: decoded frames + windowed poses + camera.
 
@@ -280,6 +349,11 @@ class ClipDataset:
            cam_params dict, clip: ClipIndex).
     Geometry (crop box / K adjustment) is left to the consumer so the
     extraction pipeline can fuse crop+resize on device.
+
+    Beyond the indexable API, the dedup extraction scheduler
+    (h36x/extract/dedup.py) uses the video-structured access surface:
+    :meth:`video_groups`, :meth:`clip_annotations` (no decode) and
+    :meth:`open_video` (one sequential decode pass per video).
     """
 
     def __init__(
@@ -300,6 +374,46 @@ class ClipDataset:
 
     def __len__(self):
         return len(self.clips)
+
+    def video_groups(self) -> List[List[int]]:
+        """Global clip indices grouped by video, clips in start order.
+
+        Videos appear in scan order and clips within a video are generated
+        with increasing start (scan_clips windowing loop), so iterating
+        groups and clips in this order visits clips in global-index order —
+        the invariant the dedup scheduler's in-order assembly relies on.
+        """
+        groups: Dict[int, List[int]] = {}
+        for i, ci in enumerate(self.clips):
+            groups.setdefault(ci.video_idx, []).append(i)
+        return [groups[v] for v in sorted(groups)]
+
+    def clip_annotations(self, idx: int):
+        """(joints3d, joints2d, cam_params, ci) for a clip — no decode."""
+        ci = self.clips[idx]
+        j3d_all, j2d_all = self._gt_cache[ci.gt_path]
+        orig_idx = np.arange(ci.start, ci.end) * self.frame_skip
+        if orig_idx[-1] >= j3d_all.shape[0]:
+            raise RuntimeError(
+                f"joint index out of range for {ci.gt_path}: "
+                f"max={orig_idx[-1]}, n_frames={j3d_all.shape[0]}"
+            )
+        return j3d_all[orig_idx], j2d_all[orig_idx], ci.cam_params, ci
+
+    def video_joints2d(self, video_idx: int) -> np.ndarray:
+        """All subsampled-frame 2D joints of a video (crop_scope='video')."""
+        for ci in self.clips:
+            if ci.video_idx == video_idx:
+                j2d_all = self._gt_cache[ci.gt_path][1]
+                return j2d_all[:: self.frame_skip]
+        raise KeyError(f"no clips for video_idx={video_idx}")
+
+    def open_video(self, video_idx: int) -> SequentialVideoCursor:
+        """Sequential decode cursor for one video (dedup extraction path)."""
+        for ci in self.clips:
+            if ci.video_idx == video_idx:
+                return SequentialVideoCursor(ci.video_path, self.frame_skip)
+        raise KeyError(f"no clips for video_idx={video_idx}")
 
     def __getitem__(self, idx: int):
         ci = self.clips[idx]

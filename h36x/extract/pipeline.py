@@ -211,32 +211,43 @@ class ShufflePool:
         self._flush(final=True)
 
 
-def crop_resize_host(frames: np.ndarray, joints2d: np.ndarray, out_size: int,
-                     crop_scale: float = 1.6):
-    """Square person crop + bilinear resize on the host (decode worker).
+def crop_resize_frames(frames: np.ndarray, box, out_size: int) -> np.ndarray:
+    """Crop (T,H,W,3) u8 frames to `box` and bilinear-resize to out_size.
 
-    frames (T,H,W,3) u8 -> ((T,out,out,3) u8, box). Uses the threaded native
-    library when built (h36x/native), else cv2. Both use the half-pixel
-    sampling convention of the reference's torchvision resize
-    (antialias=False), so geometry parity holds within u8 rounding.
+    Uses the threaded native library when built (h36x/native), else cv2.
+    Both use the half-pixel sampling convention of the reference's
+    torchvision resize (antialias=False), so geometry parity holds within
+    u8 rounding. Per-frame independent: cropping a subset of frames gives
+    bit-identical rows to cropping the full clip (the dedup scheduler's
+    crop cache relies on this).
     """
     from h36x import native
 
-    t_len, img_h, img_w, _ = frames.shape
-    box = compute_square_crop_from_2d(joints2d, img_h, img_w, scale=crop_scale)
-    top, left, hh, ww = (int(v) for v in box)
+    t_len = frames.shape[0]
+    top, left, hh, _ww = (int(v) for v in np.asarray(box).reshape(4))
     if native.available():
-        return native.crop_resize_clip(frames, top, left, hh, out_size), box
+        return native.crop_resize_clip(frames, top, left, hh, out_size)
 
     import cv2
 
-    crop = frames[:, top : top + hh, left : left + ww]
+    crop = frames[:, top : top + hh, left : left + hh]
     out = np.empty((t_len, out_size, out_size, 3), np.uint8)
     for t in range(t_len):
         out[t] = cv2.resize(
             crop[t], (out_size, out_size), interpolation=cv2.INTER_LINEAR
         )
-    return out, box
+    return out
+
+
+def crop_resize_host(frames: np.ndarray, joints2d: np.ndarray, out_size: int,
+                     crop_scale: float = 1.6):
+    """Square person crop + bilinear resize on the host (decode worker).
+
+    frames (T,H,W,3) u8 -> ((T,out,out,3) u8, box).
+    """
+    t_len, img_h, img_w, _ = frames.shape
+    box = compute_square_crop_from_2d(joints2d, img_h, img_w, scale=crop_scale)
+    return crop_resize_frames(frames, box, out_size), box
 
 
 def _load_backbone(cfg: ExtractConfig):
@@ -283,8 +294,27 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
     file records which clips landed in which shard rows; an interrupted run
     restarted with resume=True skips those clips, re-processes only the ones
     that were still buffered in the shuffle pool, and appends new shards.
+
+    With cfg.dedup (default) and a video-structured dataset, work routes to
+    the unique-frame scheduler (h36x/extract/dedup.py): byte-identical
+    store, sequential per-video decode, overlapping windows deduplicated.
+    This per-clip scheduler remains for --no-dedup and for clip sources
+    without sequential/annotation access.
     """
     import json as _json
+
+    if dataset is None:
+        dataset = ClipDataset(
+            cfg.root, cfg.subjects, seq_len=cfg.seq_len, stride=cfg.stride,
+            frame_skip=cfg.frame_skip,
+        )
+    if getattr(cfg, "dedup", True) and all(
+        hasattr(dataset, a)
+        for a in ("video_groups", "clip_annotations", "clips")
+    ):
+        from h36x.extract.dedup import run_extract_dedup
+
+        return run_extract_dedup(cfg, dataset)
 
     out_root = Path(cfg.out)
     out_root.mkdir(parents=True, exist_ok=True)
@@ -293,11 +323,6 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
     feat_np_dtype = np.float16 if cfg.save_fp16 else np.float32
     progress_path = out_root / "progress.json"
 
-    if dataset is None:
-        dataset = ClipDataset(
-            cfg.root, cfg.subjects, seq_len=cfg.seq_len, stride=cfg.stride,
-            frame_skip=cfg.frame_skip,
-        )
     n_clips = len(dataset)
     part_i, part_n = _parse_partition(getattr(cfg, "partition", ""))
     part_note = f" [partition {part_i}/{part_n}]" if part_n > 1 else ""

@@ -40,8 +40,15 @@ def load() -> Optional[ctypes.CDLL]:
     Thread-safe: first use happens from the extraction decode pool (up to
     num_workers threads at once), so build+load is serialized under a lock
     and the Makefile writes via tmp+rename (no torn .so is ever visible).
+
+    The unlocked fast path must only short-circuit on a DEFINITIVE outcome:
+    `_tried` is set strictly after `_lib` at the end of `_load_locked`, so a
+    racer either sees the final state or takes the lock and blocks until
+    the build finishes. (Setting `_tried` before building — the original
+    order — let concurrent decode workers fall back to the cv2 path while
+    the first caller was still building, which changes resize rounding by
+    +-1 u8 and made the first clips of a fresh process nondeterministic.)
     """
-    global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     with _load_lock:
@@ -52,14 +59,15 @@ def _load_locked() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
-    _tried = True
     # make is a no-op when the .so is fresh and rebuilds when the source is
     # newer; fall back to an existing .so if the toolchain is unavailable.
     if not _build() and not _LIB_PATH.exists():
+        _tried = True
         return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:
+        _tried = True
         return None
     lib.h36x_crop_resize_clip_u8.restype = ctypes.c_int
     lib.h36x_crop_resize_clip_u8.argtypes = [
@@ -78,6 +86,7 @@ def _load_locked() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
     ]
     _lib = lib
+    _tried = True  # after _lib: the unlocked fast path keys on _tried
     return _lib
 
 

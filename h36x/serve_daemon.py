@@ -11,8 +11,10 @@ that of B=1 for this model.
 
 Two model sources:
   - an AOT artifact from `h36x-export` (StableHLO with weights baked in and
-    a symbolic batch dimension — any coalesced batch size runs without
-    recompilation, and deployment needs only jax, not h36x), or
+    a symbolic batch dimension — one artifact covers every batch size with
+    no re-export/retracing; XLA still compiles per concrete batch size, so
+    batches are padded to power-of-two buckets and the buckets are
+    pre-warmed at startup to keep that cost off the request tail), or
   - a training checkpoint (`.msgpack`) + model hyper-parameters, padded to
     `max_batch` so the jit compiles exactly once.
 
@@ -71,24 +73,33 @@ def _write_msg(writer: asyncio.StreamWriter, header: dict,
 # ---------------------------------------------------------------------------
 
 
+def bucket_size(n: int) -> int:
+    """Smallest power of two >= n (the batch-size buckets artifact mode
+    pads to, bounding the number of distinct compiled shapes)."""
+    return 1 << max(0, int(n) - 1).bit_length()
+
+
 class BatchingServer:
     """Coalesce concurrent (T, F) requests into one (B, T, F) device call.
 
     predict_fn: (B, T, F) f32 numpy -> (B, T, J, 3) numpy-convertible.
     pad_to > 0 pads every batch to that many rows (checkpoint mode: one
-    compiled shape); 0 leaves B dynamic (AOT artifacts with a symbolic
-    batch dim).
+    compiled shape). pad_to == 0 with bucket_pad=True pads each batch up to
+    the next power of two (artifact mode: a handful of compiled sizes, all
+    pre-warmable, instead of up to max_batch distinct ones). pad_to == 0
+    with bucket_pad=False runs batches at their exact size.
     """
 
     def __init__(self, predict_fn: Callable, seq_len: int, feature_dim: int,
                  max_batch: int = 16, max_wait_ms: float = 5.0,
-                 pad_to: int = 0):
+                 pad_to: int = 0, bucket_pad: bool = False):
         self.predict_fn = predict_fn
         self.seq_len = int(seq_len)
         self.feature_dim = int(feature_dim)
         self.max_batch = int(max_batch)
         self.max_wait = max_wait_ms / 1000.0
         self.pad_to = int(pad_to)
+        self.bucket_pad = bool(bucket_pad)
         self._queue: asyncio.Queue = asyncio.Queue()
         self._batcher: Optional[asyncio.Task] = None
         self.stats = {"requests": 0, "batches": 0, "rows": 0}
@@ -161,8 +172,9 @@ class BatchingServer:
                     break
             feats = np.stack([f for f, _ in items])
             n = feats.shape[0]
-            if self.pad_to and n < self.pad_to:
-                pad = np.zeros((self.pad_to - n,) + feats.shape[1:], np.float32)
+            target = self.pad_to or (bucket_size(n) if self.bucket_pad else n)
+            if n < target:
+                pad = np.zeros((target - n,) + feats.shape[1:], np.float32)
                 feats = np.concatenate([feats, pad])
             try:
                 # the device wait runs in a worker thread so the event loop
@@ -245,13 +257,24 @@ def request(feats: np.ndarray, **kw) -> np.ndarray:
 def build_predict_fn(artifact: str = "", model_path: str = "",
                      seq_len: int = 40, feature_dim: int = 2048,
                      latent_dim: int = 1024, num_blocks: int = 2,
-                     max_batch: int = 16):
-    """Returns (predict_fn, pad_to) from an AOT artifact or a checkpoint."""
+                     max_batch: int = 16, warm: bool = False):
+    """Returns (predict_fn, pad_to) from an AOT artifact or a checkpoint.
+
+    Artifact mode returns pad_to=0 (pair it with bucket_pad=True): the
+    symbolic batch dim means one artifact serves every size without
+    re-export, but XLA still compiles per concrete size — warm=True
+    compiles every power-of-two bucket up to max_batch at startup so the
+    first request of each size never eats a compile in its latency."""
     if artifact:
         from h36x.export import load_artifact
 
         fn = load_artifact(artifact)
-        return (lambda feats: fn(feats)), 0  # symbolic batch: no padding
+        if warm:
+            b = 1
+            while b <= max_batch:
+                fn(np.zeros((b, seq_len, feature_dim), np.float32))
+                b *= 2
+        return (lambda feats: fn(feats)), 0  # bucket-padded by the server
 
     import jax
     import jax.numpy as jnp

@@ -77,16 +77,27 @@ def save_checkpoint_orbax(
     best_val: float,
     config: Optional[dict] = None,
 ) -> Path:
-    """Orbax backend: write <directory>/<name>/ (OCDBT) + <name>.json.
+    """Orbax backend: write <directory>/<name>.{epoch%2}/ (OCDBT) + <name>.json.
 
     Orbax commits the directory atomically and, under a multi-host runtime,
     each process writes only its own shards — no host-0 gather of the full
-    state, unlike the msgpack path."""
+    state, unlike the msgpack path.
+
+    Crash-atomicity: `ckptr.save(..., force=True)` rmtree()s an existing
+    target before writing, so saving straight to <name>/ would leave a
+    window every epoch where NO resume checkpoint exists. Instead saves
+    alternate between two slot directories <name>.0 / <name>.1 chosen by
+    epoch parity (deterministic on every host, no manifest read — immune to
+    multi-host manifest-read races), and the manifest's "dir" field is
+    swapped only after the collective save commits. A crash mid-save loses
+    only the in-progress slot; the manifest still points at the previous
+    epoch's intact slot."""
     import orbax.checkpoint as ocp
 
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
-    path = (directory / name).absolute()
+    slot_name = f"{name}.{int(epoch) % 2}"
+    path = (directory / slot_name).absolute()
 
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, state, force=True)
@@ -101,6 +112,7 @@ def save_checkpoint_orbax(
             "step": int(np.asarray(jax.device_get(state.step))),
             "config": config or {},
             "backend": "orbax",
+            "dir": slot_name,
         }
         mpath = directory / f"{name}.json"
         tmp = str(mpath) + ".tmp"
@@ -110,16 +122,36 @@ def save_checkpoint_orbax(
     return path
 
 
+def _orbax_dir(directory: Path, name: str) -> Optional[Path]:
+    """Resolve the live orbax directory for checkpoint `name`.
+
+    Prefers the manifest's "dir" slot pointer (written by
+    save_checkpoint_orbax); falls back to a legacy un-slotted <name>/ dir.
+    """
+    manifest_path = directory / f"{name}.json"
+    if manifest_path.exists():
+        with open(manifest_path) as f:
+            slot = json.load(f).get("dir")
+        if slot and (directory / slot).is_dir():
+            return directory / slot
+    if (directory / name).is_dir():
+        return directory / name
+    return None
+
+
 def _load_checkpoint_orbax(directory, name: str, template: TrainState):
     import orbax.checkpoint as ocp
 
     directory = Path(directory)
+    ckpt_dir = _orbax_dir(directory, name)
+    if ckpt_dir is None:
+        raise FileNotFoundError(f"no orbax checkpoint '{name}' under {directory}")
     abstract = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
         jax.device_get(template),
     )
     with ocp.StandardCheckpointer() as ckptr:
-        state = ckptr.restore((directory / name).absolute(), abstract)
+        state = ckptr.restore(ckpt_dir.absolute(), abstract)
     with open(directory / f"{name}.json") as f:
         manifest = json.load(f)
     return state, manifest
@@ -139,7 +171,19 @@ def load_checkpoint(directory, name: str, template: TrainState):
     if manifest_path.exists():
         with open(manifest_path) as f:
             backend = json.load(f).get("backend", "msgpack")
-        if backend == "orbax" and (directory / name).is_dir():
+        if backend == "orbax":
+            # NO msgpack fallthrough here: the manifest was written by an
+            # orbax save, so a sibling <name>.msgpack is from an OLDER run —
+            # pairing it with this newer manifest would resume old params at
+            # a new epoch/best_val (exactly the mispairing the manifest
+            # check exists to prevent). Missing dir -> raise.
+            if _orbax_dir(directory, name) is None:
+                raise FileNotFoundError(
+                    f"manifest {manifest_path} records backend=orbax but no "
+                    f"orbax checkpoint directory for '{name}' exists under "
+                    f"{directory} (crashed save or partial sync?); refusing "
+                    "to fall back to a stale msgpack file"
+                )
             return _load_checkpoint_orbax(directory, name, template)
     if (directory / f"{name}.msgpack").exists():
         with open(directory / f"{name}.msgpack", "rb") as f:
@@ -165,6 +209,12 @@ def load_params_only(path, params_template) -> Any:
     serve/init_from) goes through here, so both backends must load.
     """
     path = Path(path)
+    if not path.exists():
+        # `outdir/last` style reference to a slotted orbax save: resolve the
+        # live slot via the manifest written next to it.
+        resolved = _orbax_dir(path.parent, path.name)
+        if resolved is not None:
+            path = resolved
     if path.is_dir():  # orbax OCDBT directory
         import orbax.checkpoint as ocp
 

@@ -10,8 +10,41 @@ from __future__ import annotations
 
 import os
 
-_DEFAULT_CACHE = os.path.expanduser("~/.cache/h36x_jax")
 _done = False
+
+
+def _machine_scoped_default() -> str:
+    """Per-machine cache directory.
+
+    The persistent cache stores AOT-compiled XLA:CPU executables that embed
+    host ISA features; loading one compiled on a different machine can
+    SIGILL ("Machine type used for XLA:CPU compilation doesn't match the
+    machine on which the code will run"). Scoping the directory by platform
+    + CPU model + jax version means a cache warmed on another host (shared
+    $HOME, container image reuse) is simply not found rather than loaded.
+    """
+    import hashlib
+    import platform
+
+    cpu = platform.processor() or platform.machine()
+    try:  # the model name catches ISA differences `machine()` misses
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    cpu = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    try:
+        import jax
+
+        ver = jax.__version__
+    except Exception:
+        ver = "unknown"
+    key = hashlib.sha1(
+        f"{platform.system()}-{platform.machine()}-{cpu}-{ver}".encode()
+    ).hexdigest()[:12]
+    return os.path.expanduser(f"~/.cache/h36x_jax/{key}")
 
 
 def setup_jax_cache(cache_dir: str | None = None) -> None:
@@ -24,7 +57,7 @@ def setup_jax_cache(cache_dir: str | None = None) -> None:
     env = os.environ.get("H36X_JAX_CACHE_DIR")
     if cache_dir is None and env == "":
         return  # env kill-switch (explicit cache_dir still wins)
-    path = cache_dir or env or _DEFAULT_CACHE
+    path = cache_dir or env or _machine_scoped_default()
     try:
         import jax
 

@@ -1,0 +1,372 @@
+"""Unique-frame extraction scheduling (h36x/extract/dedup.py): byte-exact
+parity with the per-clip scheduler, actual dedup on overlapping windows,
+the deviation modes (crop_scope='video', jitter_key='video'/'frame'),
+sequential video decode, resume and partitioning.
+
+Byte-exact parity is asserted with a DETERMINISTIC stand-in backbone (a
+fixed f64 projection of the pixels): it isolates the scheduler's actual
+contract — which pixels reach the backbone and where each row lands —
+from XLA:CPU's threaded convolutions, whose bf16 reductions are NOT
+reliably batch-position-deterministic under concurrent host load (the
+per-clip pipeline's own store showed run-to-run 2e-2 feature jitter at
+shared frames). One integration test runs the real backbone at a matching
+tolerance. On TPU the backbone's fixed MXU tiling is position-invariant,
+so the store contract is bitwise there."""
+
+import numpy as np
+import pytest
+
+from h36x.config import ExtractConfig
+from h36x.data.clips import ClipIndex
+from h36x.data.features import FeatureClipDataset
+from h36x.extract.pipeline import run_extract
+
+H, W = 40, 48
+
+_PROJ = np.random.default_rng(99).normal(size=(16 * 16 * 3, 64))
+
+
+@pytest.fixture
+def fake_backbone(monkeypatch):
+    """Deterministic per-frame 'backbone': position/batch-shape invariant by
+    construction (per-row f64 contraction), so any store mismatch is a
+    scheduler bug, not numeric noise."""
+    import h36x.extract.pipeline as pl
+
+    def load(cfg):
+        return None, None
+
+    def make(model, mesh=None, engine="flax"):
+        def fn(variables, frames):
+            flat = np.asarray(frames).reshape(frames.shape[0], -1)
+            f = flat.astype(np.float64) @ _PROJ
+            return np.tile(np.asarray(f, np.float32), (1, 2048 // 64))
+
+        return fn
+
+    monkeypatch.setattr(pl, "_load_backbone", load)
+    monkeypatch.setattr(pl, "make_feature_fn", make)
+
+
+class FakeOverlapDataset:
+    """Video-structured clip source with OVERLAPPING windows.
+
+    Frames are deterministic per (video, frame) — the invariant real video
+    gives the dedup scheduler — so the per-clip path (which regenerates a
+    frame for every window containing it) and the dedup path (which reads
+    it once) see identical pixels. `smooth=True` keeps each video's 2D
+    joints constant so every window computes the same crop box (full
+    dedup); `smooth=False` drifts them so boxes change between windows
+    (content-addressed cache must keep exact parity at partial hit rates).
+    """
+
+    def __init__(self, n_videos=2, n_sub=14, seq_len=8, stride=2,
+                 smooth=True):
+        self.seq_len = seq_len
+        self.frame_skip = 2
+        self.n_sub = n_sub
+        self.smooth = smooth
+        self.clips = []
+        self._j2d = {}
+        self._j3d = {}
+        for v in range(n_videos):
+            rng = np.random.default_rng(100 + v)
+            base = rng.random((1, 17, 2)) * [W - 16, H - 16] + 8
+            if smooth:
+                j2d = np.repeat(base, n_sub, axis=0)
+            else:
+                drift = np.cumsum(rng.normal(0, 1.5, size=(n_sub, 1, 2)),
+                                  axis=0)
+                j2d = np.clip(base + drift, 4, [W - 4, H - 4])
+            self._j2d[v] = j2d.astype(np.float32)
+            self._j3d[v] = (rng.normal(size=(n_sub, 17, 3)) * 100).astype(
+                np.float32)
+            for start in range(0, n_sub - seq_len + 1, stride):
+                self.clips.append(ClipIndex(
+                    video_path=f"fake_{v}.mp4", gt_path=f"fake_{v}.pkl",
+                    subject=1 + v, action="Act", cam="cam_0",
+                    cam_params={"f": np.array([500.0, 500.0]),
+                                "c": np.array([W / 2, H / 2]),
+                                "k": np.zeros(5), "rt": np.eye(3),
+                                "t": np.zeros(3)},
+                    start=start, end=start + seq_len, video_idx=v,
+                ))
+
+    def __len__(self):
+        return len(self.clips)
+
+    def _frame(self, v, f):
+        rng = np.random.default_rng(v * 10_000 + f)
+        return rng.integers(0, 256, size=(H, W, 3)).astype(np.uint8)
+
+    def clip_annotations(self, i):
+        ci = self.clips[i]
+        v = ci.video_idx
+        return (self._j3d[v][ci.start:ci.end].copy(),
+                self._j2d[v][ci.start:ci.end].copy(), ci.cam_params, ci)
+
+    def video_groups(self):
+        groups = {}
+        for i, ci in enumerate(self.clips):
+            groups.setdefault(ci.video_idx, []).append(i)
+        return [groups[v] for v in sorted(groups)]
+
+    def video_joints2d(self, video_idx):
+        return self._j2d[video_idx]
+
+    def __getitem__(self, i):
+        j3d, j2d, cam, ci = self.clip_annotations(i)
+        frames = np.stack([self._frame(ci.video_idx, f)
+                           for f in range(ci.start, ci.end)])
+        return frames, j3d, j2d, cam, ci
+
+
+def _cfg(out, **kw):
+    base = dict(out=str(out), seq_len=8, resize=16, batch_size=2,
+                num_workers=2, augment=True, shard_size=3, shuffle_pool=100,
+                shuffle_seed=1)
+    base.update(kw)
+    return ExtractConfig(**base)
+
+
+def _rows(root, augment=True):
+    ds = FeatureClipDataset(root, augment=augment, test_set=True)
+    out = {}
+    for i in range(len(ds)):
+        feats, j3d, j2d, K, meta = ds[i]
+        key = (meta["subject"], meta["start"], meta["aug"])
+        assert key not in out
+        out[key] = (feats, j3d, j2d, K, meta["box"])
+    return out
+
+
+@pytest.mark.parametrize("smooth", [True, False])
+@pytest.mark.parametrize("augment", [True, False])
+def test_dedup_store_matches_per_clip_exactly(tmp_path, smooth, augment,
+                                              fake_backbone):
+    """The headline invariant: the dedup scheduler's store is byte-identical
+    to the per-clip scheduler's — same clips, same shard rows, same feature
+    BYTES (orig/cjitter/hflip/trev), same joints/K/meta — whether crop
+    boxes are stable across windows (smooth) or drift (content-addressed
+    cache partial hits)."""
+    ds = FakeOverlapDataset(smooth=smooth)
+    s_legacy = run_extract(_cfg(tmp_path / "legacy", dedup=False,
+                                augment=augment), dataset=ds)
+    s_dedup = run_extract(_cfg(tmp_path / "dedup", dedup=True,
+                               augment=augment), dataset=ds)
+    assert s_legacy["n_clips"] == s_dedup["n_clips"] == len(ds)
+
+    want = _rows(tmp_path / "legacy", augment)
+    got = _rows(tmp_path / "dedup", augment)
+    assert want.keys() == got.keys()
+    for key in want:
+        for a, b in zip(want[key], got[key]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=str(key))
+
+    if smooth:
+        # overlapping windows share frames: stride=2, seq_len=8 -> interior
+        # clips add only 2 new frames per deterministic variant
+        legacy_rows = len(ds) * 8 * (3 if augment else 1)
+        assert s_dedup["backbone_frames"] < legacy_rows
+        assert s_dedup["dedup_ratio"] > 1.5
+
+
+def test_dedup_shuffle_pool_order_matches(tmp_path, fake_backbone):
+    """Shard assignment (seeded shuffle over arrival order) must be
+    identical between the two schedulers — clips enter the pool in global
+    clip-index order in both."""
+    ds = FakeOverlapDataset()
+    run_extract(_cfg(tmp_path / "a", dedup=False), dataset=ds)
+    run_extract(_cfg(tmp_path / "b", dedup=True), dataset=ds)
+    import json
+
+    idx_a = json.loads((tmp_path / "a" / "index.json").read_text())
+    idx_b = json.loads((tmp_path / "b" / "index.json").read_text())
+    assert idx_a["clips"] == idx_b["clips"]
+
+
+def test_crop_scope_video_full_dedup(tmp_path, fake_backbone):
+    """crop_scope='video' pins one box per video, so even with drifting
+    joints every overlapping frame dedups; the store stays self-consistent
+    (per-clip j2d/K adjusted with the same video box)."""
+    ds = FakeOverlapDataset(smooth=False)
+    s = run_extract(_cfg(tmp_path / "out", crop_scope="video"), dataset=ds)
+    # unique frames per video: n_sub per variant; cjitter stays per-clip
+    n_clips, T, n_sub, n_videos = len(ds), 8, 14, 2
+    expected = n_clips * T + 2 * n_sub * n_videos  # cj per clip + (o,h) unique
+    assert s["backbone_frames"] == expected
+
+    rows = _rows(tmp_path / "out")
+    # all clips of one video share the box
+    boxes = {(k[0], tuple(v[4])) for k, v in rows.items()}
+    assert len(boxes) == n_videos
+    # geometric self-consistency: hflip j2d is the mirrored orig j2d with
+    # left/right joint identities swapped (same rule as the default path)
+    from h36x.geometry.skeleton import flip_permutation
+
+    perm = flip_permutation()
+    for (subj, start, aug), (f, j3, j2, K, box) in rows.items():
+        if aug != "orig":
+            continue
+        fh, j3h, j2h, Kh, _ = rows[(subj, start, "hflip")]
+        np.testing.assert_allclose(j2h[..., perm, 0], 16 - j2[..., 0],
+                                   rtol=0, atol=1e-4)
+
+
+@pytest.mark.parametrize("jitter_key", ["video", "frame"])
+def test_jitter_key_modes_dedup_cjitter(tmp_path, jitter_key, fake_backbone):
+    """jitter_key='video'/'frame' makes the jittered variant deterministic
+    per frame: overlapping clips share cjitter rows at shared frames, and
+    the deterministic variants (orig/hflip/trev) still match the default
+    store exactly."""
+    ds = FakeOverlapDataset(smooth=True)
+    s_ref = run_extract(_cfg(tmp_path / "ref"), dataset=ds)
+    s = run_extract(_cfg(tmp_path / "out", jitter_key=jitter_key),
+                    dataset=ds)
+    assert s["backbone_frames"] < s_ref["backbone_frames"]
+
+    ref = _rows(tmp_path / "ref")
+    got = _rows(tmp_path / "out")
+    assert ref.keys() == got.keys()
+    for (subj, start, aug), (f, j3, j2, K, box) in got.items():
+        if aug in ("orig", "hflip", "trev"):
+            np.testing.assert_array_equal(f, ref[(subj, start, aug)][0])
+        np.testing.assert_array_equal(j3, ref[(subj, start, aug)][1])
+
+    # shared frames: consecutive clips overlap by 6 frames; their cjitter
+    # rows must agree on the overlap (same frame, same box, same factors)
+    for (subj, start, aug), (f, *_rest) in got.items():
+        if aug != "cjitter":
+            continue
+        nxt = got.get((subj, start + 2, "cjitter"))
+        if nxt is not None:
+            np.testing.assert_array_equal(f[2:], nxt[0][:-2])
+
+
+def test_dedup_resume_after_crash(tmp_path, fake_backbone):
+    """Dedup extraction resumes from progress.json without duplicating or
+    dropping clips."""
+    import time as _time
+
+    class Flaky(FakeOverlapDataset):
+        def __init__(self, fail_at, **kw):
+            super().__init__(**kw)
+            self.fail_at = fail_at
+
+        def clip_annotations(self, i):
+            if self.fail_at is not None and i == self.fail_at:
+                raise RuntimeError("simulated annotation crash")
+            return super().clip_annotations(i)
+
+    # small dispatches so some clips finalize (and progress flushes) before
+    # the crash lands
+    cfg = _cfg(tmp_path / "out", shard_size=2, shuffle_pool=2,
+               frames_per_dispatch=12)
+    with pytest.raises(RuntimeError, match="simulated annotation crash"):
+        run_extract(cfg, dataset=Flaky(fail_at=5))
+
+    progress = tmp_path / "out" / "progress.json"
+    for _ in range(50):
+        if progress.exists():
+            break
+        _time.sleep(0.1)
+    assert progress.exists()
+
+    cfg.resume = True
+    ok = Flaky(fail_at=None)
+    summary = run_extract(cfg, dataset=ok)
+    assert not progress.exists()
+    rows = _rows(tmp_path / "out")
+    starts = {(s, st) for (s, st, aug) in rows}
+    assert len(starts) == len(ok)  # every clip exactly once
+
+    # resumed rows still byte-match a clean single run
+    run_extract(_cfg(tmp_path / "clean", shard_size=2, shuffle_pool=2),
+                dataset=FakeOverlapDataset())
+    clean = _rows(tmp_path / "clean")
+    assert rows.keys() == clean.keys()
+    for key in rows:
+        np.testing.assert_array_equal(rows[key][0], clean[key][0],
+                                      err_msg=str(key))
+
+
+@pytest.mark.parametrize("partition_by", ["clip", "video"])
+def test_dedup_partitioned_merge_matches_full(tmp_path, partition_by,
+                                             fake_backbone):
+    """Partitioned dedup jobs + merge == one full job, for both partition
+    semantics (clip round-robin keeps legacy behavior; video round-robin
+    decodes each video exactly once across jobs)."""
+    from h36x.data.shards import merge_stores
+
+    ds = FakeOverlapDataset()
+    run_extract(_cfg(tmp_path / "full"), dataset=ds)
+    for i in range(2):
+        run_extract(_cfg(tmp_path / f"p{i}", partition=f"{i}/2",
+                         partition_by=partition_by), dataset=ds)
+    merge_stores([tmp_path / "p0", tmp_path / "p1"], tmp_path / "merged")
+
+    want = _rows(tmp_path / "full")
+    got = _rows(tmp_path / "merged")
+    assert want.keys() == got.keys()
+    for key in want:
+        np.testing.assert_array_equal(want[key][0], got[key][0],
+                                      err_msg=str(key))
+
+
+def test_sequential_cursor_matches_per_clip_decode(tmp_path):
+    """SequentialVideoCursor must deliver the same subsampled frames as the
+    per-clip scan decode, across overlapping monotonic windows."""
+    cv2 = pytest.importorskip("cv2")
+    from h36x.data.clips import SequentialVideoCursor, _decode_scan
+
+    path = str(tmp_path / "v.mp4")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 25, (32, 24))
+    rng = np.random.default_rng(0)
+    for _ in range(40):
+        vw.write(rng.integers(0, 255, size=(24, 32, 3)).astype(np.uint8))
+    vw.release()
+
+    with SequentialVideoCursor(path, frame_skip=2) as cur:
+        for start, end in ((0, 8), (2, 10), (6, 14), (12, 20)):
+            got = cur.get(start, end)
+            want = _decode_scan(path, start, end, 2)
+            np.testing.assert_array_equal(got, want)
+        with pytest.raises(ValueError, match="non-monotonic"):
+            cur.get(4, 12)
+
+    with SequentialVideoCursor(path, frame_skip=2) as cur:
+        with pytest.raises(RuntimeError, match="frame count mismatch"):
+            cur.get(0, 99)
+
+    with pytest.raises(FileNotFoundError):
+        SequentialVideoCursor(str(tmp_path / "missing.mp4"))
+
+
+def test_dedup_real_backbone_integration(tmp_path):
+    """End-to-end with the real ResNet-50: the dedup store matches the
+    per-clip store with byte-equal joints/K/meta and features equal within
+    XLA:CPU's threaded-conv reduction jitter (see module docstring; the
+    deterministic-backbone tests above pin the scheduler byte-exactly)."""
+    ds = FakeOverlapDataset(n_videos=1, n_sub=12)
+    run_extract(_cfg(tmp_path / "legacy", dedup=False), dataset=ds)
+    run_extract(_cfg(tmp_path / "dedup", dedup=True), dataset=ds)
+    want = _rows(tmp_path / "legacy")
+    got = _rows(tmp_path / "dedup")
+    assert want.keys() == got.keys()
+    for key in want:
+        np.testing.assert_allclose(want[key][0], got[key][0], rtol=0.1,
+                                   atol=0.1, err_msg=str(key))
+        for a, b in zip(want[key][1:], got[key][1:]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=str(key))
+
+
+def test_dedup_store_trains(tmp_path):
+    """Dedup extraction output feeds the feature dataset / training path."""
+    ds = FakeOverlapDataset()
+    run_extract(_cfg(tmp_path / "out", augment=False), dataset=ds)
+    out = FeatureClipDataset(tmp_path / "out")
+    feats, j3d, j2d, K = out[0]
+    assert feats.shape == (8, 2048)
+    assert np.all(np.isfinite(feats))

@@ -129,9 +129,15 @@ def test_fit_orbax_backend_and_resume(cfg, tmp_path, capsys):
     _, best_val = fit(cfg, *_datasets(cfg))
     assert np.isfinite(best_val)
 
+    import json
+
     runs = tmp_path / "runs"
-    assert (runs / "last").is_dir() and (runs / "best").is_dir()
-    assert (runs / "last.json").exists()
+    # saves land in epoch-parity slot dirs; the manifest's "dir" points at
+    # the live one (crash-atomic: force=True never rmtree's the live slot)
+    last_manifest = json.loads((runs / "last.json").read_text())
+    best_manifest = json.loads((runs / "best.json").read_text())
+    assert (runs / last_manifest["dir"]).is_dir()
+    assert (runs / best_manifest["dir"]).is_dir()
     assert not (runs / "last.msgpack").exists()
 
     cfg.resume = str(runs)

@@ -91,6 +91,37 @@ def test_sequential_requests_and_padding(predict_fn):
     assert server.stats["batches"] == 2
 
 
+def test_bucket_padding(predict_fn):
+    """Artifact mode (pad_to=0, bucket_pad=True) pads each coalesced batch
+    to the next power of two, bounding the set of compiled shapes."""
+    from h36x.serve_daemon import bucket_size
+
+    assert [bucket_size(n) for n in (1, 2, 3, 4, 5, 8, 9)] == \
+        [1, 2, 4, 4, 8, 8, 16]
+
+    seen = []
+
+    def spy(feats):
+        seen.append(feats.shape[0])
+        return predict_fn(feats)
+
+    server = BatchingServer(spy, seq_len=T, feature_dim=F, max_batch=8,
+                            max_wait_ms=200.0, pad_to=0, bucket_pad=True)
+    rng = np.random.default_rng(3)
+    feats = [rng.normal(size=(T, F)).astype(np.float32) for _ in range(3)]
+
+    async def clients(port):
+        return await asyncio.gather(*[
+            request_async(f, host="127.0.0.1", port=port) for f in feats
+        ])
+
+    outs = _serve(server, clients)
+    want = np.asarray(predict_fn(np.stack(feats)))
+    for got, w in zip(outs, want):
+        np.testing.assert_allclose(got, w, rtol=1e-5, atol=1e-6)
+    assert seen == [4]  # 3 requests coalesced, padded to the 4-bucket
+
+
 def test_bad_requests_get_errors_and_connection_survives(predict_fn):
     server = BatchingServer(predict_fn, seq_len=T, feature_dim=F,
                             max_batch=4, max_wait_ms=1.0, pad_to=4)

@@ -347,7 +347,7 @@ class TestCheckpoint:
 
         ckpt.save_checkpoint_orbax(tmp_path, "last", state, epoch=4,
                                    best_val=0.321, config={"note": "orbax"})
-        assert (tmp_path / "last").is_dir()
+        assert (tmp_path / "last.0").is_dir()  # epoch-parity slot
         assert not (tmp_path / "last.msgpack").exists()
 
         template = create_train_state(
@@ -365,11 +365,32 @@ class TestCheckpoint:
         np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
                                    rtol=1e-6)
 
-        # per-epoch overwrite (the "last" policy) must not fail
+        # per-epoch overwrite (the "last" policy) must not fail, and the
+        # PREVIOUS epoch's slot must survive the new save (crash window
+        # safety: a kill during the epoch-5 save leaves epoch 4 resumable)
         ckpt.save_checkpoint_orbax(tmp_path, "last", s_a, epoch=5,
                                    best_val=0.3, config={})
+        assert (tmp_path / "last.1").is_dir()
+        assert (tmp_path / "last.0").is_dir()  # epoch-4 slot intact
         _, manifest = ckpt.load_checkpoint(tmp_path, "last", template)
         assert manifest["epoch"] == 5
+        assert manifest["dir"] == "last.1"
+
+    def test_orbax_manifest_without_dir_raises(self, setup, tmp_path, rng):
+        """backend=orbax manifest + missing orbax dir (crashed save,
+        partial sync) must raise, NOT fall back to a stale sibling
+        .msgpack with the newer manifest (epoch/params mispairing)."""
+        import shutil
+
+        model, optimizer, state = setup
+        ckpt.save_checkpoint(tmp_path, "last", state, epoch=1, best_val=0.9)
+        ckpt.save_checkpoint_orbax(tmp_path, "last", state, epoch=2,
+                                   best_val=0.8)
+        shutil.rmtree(tmp_path / "last.0")  # the live orbax slot vanishes
+        template = create_train_state(model, optimizer, jax.random.key(9),
+                                      jnp.zeros((2, 6, 32)))
+        with pytest.raises(FileNotFoundError, match="stale msgpack"):
+            ckpt.load_checkpoint(tmp_path, "last", template)
 
     def test_manifest_backend_wins_over_stale_msgpack(self, setup, tmp_path,
                                                       rng):
