@@ -82,15 +82,19 @@ class ResidualBlock(nn.Module):
         residual = x
         # GroupNorm over (time, channels-in-group) per sample — on (B, T, C)
         # this reduces the same element set as torch GN on (B, C, T).
-        # Statistics in f32 even under bf16 compute (dtype=f32 on the norm).
+        # Statistics at least f32 under low-precision compute (bf16/f16),
+        # but NOT forced down to f32 when the inputs are wider (the f64
+        # trajectory-parity oracle relies on full-width norms).
+        gn_dtype = (jnp.float32 if self.dtype is not None
+                    and jnp.dtype(self.dtype).itemsize < 4 else None)
         x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="gn1",
-                         dtype=jnp.float32)(x)
+                         dtype=gn_dtype)(x)
         x = nn.relu(x)
         x = CausalConv1d(self.channels, self.kernel_size, dtype=self.dtype,
                          name="conv1")(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="gn2",
-                         dtype=jnp.float32)(x)
+                         dtype=gn_dtype)(x)
         x = nn.relu(x)
         x = CausalConv1d(self.channels, self.kernel_size, dtype=self.dtype,
                          name="conv2")(x)
