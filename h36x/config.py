@@ -115,10 +115,13 @@ class OptimConfig:
 
 @dataclass
 class MeshConfig:
-    """Device mesh layout. data = batch sharding, model = tensor parallel."""
+    """Device mesh layout. data = batch sharding, model = tensor parallel,
+    slices > 1 adds a leading DCN axis for multislice pods (batch shards
+    over slice x data; params replicate over slice)."""
 
     data: int = -1  # -1: use all devices on the data axis
     model: int = 1
+    slices: int = 1
 
 
 @dataclass

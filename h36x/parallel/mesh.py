@@ -37,8 +37,21 @@ def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch tensors shard their leading axis over `data`."""
+    """Batch tensors shard their leading axis over the data-parallel axes.
+
+    On the 2-axis (data, model) mesh that is `data`; on a multislice
+    (slice, data, model) mesh rows shard over the combined (slice, data)
+    super-axis — params stay replicated over `slice`, so the gradient
+    psum's slice hop is the only DCN traffic.
+    """
+    if "slice" in mesh.axis_names:
+        return NamedSharding(mesh, P(("slice", "data")))
     return NamedSharding(mesh, P("data"))
+
+
+def data_axis_size(mesh: Mesh) -> int:
+    """Number of ways the batch axis is split (slice*data on multislice)."""
+    return mesh.shape.get("slice", 1) * mesh.shape.get("data", 1)
 
 
 # Param-path -> PartitionSpec rules for tensor parallelism. Paths are

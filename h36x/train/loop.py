@@ -154,9 +154,11 @@ def _batches(
 
 
 def _data_axis(sharding) -> int:
-    """Rows a batch must be divisible by under this sharding (data-axis size)."""
+    """Rows a batch must be divisible by under this sharding (data-axis
+    size; slice*data on a multislice mesh)."""
     try:
-        return sharding.mesh.shape.get("data", 1)
+        shape = sharding.mesh.shape
+        return shape.get("slice", 1) * shape.get("data", 1)
     except AttributeError:
         return 1
 
@@ -293,24 +295,47 @@ def fit(
     if mesh is None:
         n_dev = len(jax.devices())
         model_ax = max(1, cfg.mesh.model)
-        data_ax = cfg.mesh.data if cfg.mesh.data > 0 else n_dev // model_ax
-        # the batch must divide the data axis; shrink to the largest divisor
-        while data_ax > 1 and cfg.optim.batch_size % data_ax != 0:
-            data_ax -= 1
-        n_used = data_ax * model_ax
-        if n_used != n_dev:
-            if pcount > 1:
+        slices = max(1, getattr(cfg.mesh, "slices", 1))
+        if slices > 1:
+            # Multislice pod: (slice, data, model) — the slice axis is the
+            # DCN dimension; batch rows shard over slice x data and params
+            # replicate over slice, so only the final gradient psum hop
+            # crosses DCN (h36x/parallel/distributed.py:make_multislice_mesh).
+            from h36x.parallel.distributed import make_multislice_mesh
+
+            if n_dev % (slices * model_ax) != 0:
                 raise ValueError(
-                    f"multi-process runs must use every device: batch "
-                    f"{cfg.optim.batch_size} / mesh {cfg.mesh} leaves "
-                    f"{n_dev - n_used}/{n_dev} devices idle")
-            log(f"mesh: using {n_used}/{n_dev} devices "
-                  f"(data={data_ax}, model={model_ax}; batch "
-                  f"{cfg.optim.batch_size} must divide the data axis)")
-        mesh = make_mesh(data_ax, model_ax, devices=jax.devices()[:n_used])
-    if pcount > 1 and mesh.shape.get("data", 1) % pcount != 0:
+                    f"{n_dev} devices not divisible by slices*model="
+                    f"{slices * model_ax}")
+            data_ax = (cfg.mesh.data if cfg.mesh.data > 0
+                       else n_dev // (slices * model_ax))
+            if cfg.optim.batch_size % (slices * data_ax) != 0:
+                raise ValueError(
+                    f"batch {cfg.optim.batch_size} must divide the combined "
+                    f"slice*data axis {slices * data_ax}")
+            mesh = make_multislice_mesh(slices, data_ax, model_ax)
+            log(f"mesh: multislice (slice={slices}, data={data_ax}, "
+                f"model={model_ax})")
+        else:
+            data_ax = cfg.mesh.data if cfg.mesh.data > 0 else n_dev // model_ax
+            # the batch must divide the data axis; shrink to the largest divisor
+            while data_ax > 1 and cfg.optim.batch_size % data_ax != 0:
+                data_ax -= 1
+            n_used = data_ax * model_ax
+            if n_used != n_dev:
+                if pcount > 1:
+                    raise ValueError(
+                        f"multi-process runs must use every device: batch "
+                        f"{cfg.optim.batch_size} / mesh {cfg.mesh} leaves "
+                        f"{n_dev - n_used}/{n_dev} devices idle")
+                log(f"mesh: using {n_used}/{n_dev} devices "
+                      f"(data={data_ax}, model={model_ax}; batch "
+                      f"{cfg.optim.batch_size} must divide the data axis)")
+            mesh = make_mesh(data_ax, model_ax, devices=jax.devices()[:n_used])
+    rows_split = mesh.shape.get("slice", 1) * mesh.shape.get("data", 1)
+    if pcount > 1 and rows_split % pcount != 0:
         raise ValueError(
-            f"data axis {mesh.shape.get('data', 1)} not divisible by "
+            f"batch-sharding axis {rows_split} not divisible by "
             f"{pcount} processes — local_batch_slice needs equal row counts")
     if (pcount > 1 and getattr(cfg, "ckpt_backend", "msgpack") == "msgpack"
             and mesh.shape.get("model", 1) > jax.local_device_count()):

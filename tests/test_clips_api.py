@@ -100,6 +100,49 @@ class TestPreprocessedClips:
         np.testing.assert_allclose(j_tr, j0[::-1], rtol=1e-6)
         assert K_hf[0, 2] != K0[0, 2]
 
+    def test_shim_variants_match_extraction_path(self, tree):
+        """Shared-oracle check for the reference-API shim: the variants
+        PreprocessedClips(augment=True) returns must equal what the
+        extraction pipeline computes for the same clip — the shim flips
+        AFTER normalization and skips the u8 re-quantization of the
+        jittered pixels, both of which must be identity-level differences
+        (flip commutes with per-channel normalize; quantization is
+        bounded by 1/510 pre-normalize). Closes the gap where only the
+        extraction path had the involution test."""
+        from h36x.data.augment import make_clip_variants_u8
+        from h36x.data.clips import ClipDataset, PreprocessedClips
+        from h36x.extract.pipeline import crop_resize_host
+        from h36x.ops.preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+        seed = 3
+        shim = PreprocessedClips(str(tree), subjects=[1], seq_len=4,
+                                 stride=2, frame_skip=2, resize=32,
+                                 augment=True, jitter_seed=seed)
+        variants = shim[1]
+
+        # extraction-path pixels for the same clip (global index 1)
+        raw = ClipDataset(str(tree), subjects=[1], seq_len=4, stride=2,
+                          frame_skip=2)
+        frames, _j3, j2d_raw, _cam, _ci = raw[1]
+        small, _box = crop_resize_host(frames, j2d_raw, 32)
+        rng = np.random.default_rng(seed * 1_000_003 + 1)
+        px = make_clip_variants_u8(small, rng)  # (orig, cjitter, hflip) u8
+
+        def norm(u8):
+            return (u8.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+
+        # orig / hflip / trev: exact (same bytes, same order of operations
+        # up to float associativity)
+        np.testing.assert_allclose(variants[0][0], norm(px[0]), atol=1e-6)
+        np.testing.assert_allclose(variants[2][0], norm(px[2]), atol=1e-6)
+        np.testing.assert_allclose(variants[3][0], norm(px[0][::-1]),
+                                   atol=1e-6)
+        # cjitter: identical factors (same rng keying); the extraction path
+        # re-quantizes to u8 for transfer — max error 1/510 pre-normalize,
+        # /min(std) after
+        atol = (1.0 / 510.0) / float(np.min(IMAGENET_STD)) + 1e-6
+        np.testing.assert_allclose(variants[1][0], norm(px[1]), atol=atol)
+
     def test_decode_scan_fallback_matches_seek(self, tree):
         from h36x.data.clips import _decode_scan, _decode_seek
 

@@ -4,6 +4,7 @@ training runs, loss falls, checkpoints land, resume works, early stop fires.
 
 from pathlib import Path
 
+import jax
 import numpy as np
 import pytest
 
@@ -146,6 +147,35 @@ def test_fit_orbax_backend_and_resume(cfg, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "Resumed" in out
     assert np.isfinite(best2)
+
+
+def test_fit_multislice_matches_plain_dp(cfg, tmp_path):
+    """--mesh.slices 2 trains on a (slice, data, model) mesh with rows
+    sharded over slice x data; since params replicate over `slice`, the
+    trajectory must equal the plain DP run bit-for-bit in expectation
+    (same global batches, same reduction math — only collective routing
+    differs)."""
+    import dataclasses
+
+    state_dp, best_dp = fit(cfg, *_datasets(cfg))
+
+    cfg2 = dataclasses.replace(cfg, outdir=str(tmp_path / "runs_ms"))
+    cfg2.mesh = dataclasses.replace(cfg.mesh, slices=2, data=4, model=1)
+    state_ms, best_ms = fit(cfg2, *_datasets(cfg2))
+
+    np.testing.assert_allclose(best_ms, best_dp, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state_dp.params),
+                    jax.tree_util.tree_leaves(state_ms.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-7)
+
+
+def test_fit_multislice_bad_batch_raises(cfg, tmp_path):
+    import dataclasses
+
+    cfg.mesh = dataclasses.replace(cfg.mesh, slices=3)  # 8 % 3 != 0
+    with pytest.raises(ValueError, match="divisible by slices"):
+        fit(cfg, *_datasets(cfg))
 
 
 def test_fit_rejects_unknown_ckpt_backend(cfg):

@@ -144,11 +144,18 @@ def test_train_cli_two_processes_matches_single(tmp_path):
 
     port = _free_port()
     mp_out = tmp_path / "mp"
+    # --mesh.slices 2 puts each process's 2 devices on one slice of a
+    # (slice=2, data=2, model=1) mesh — the multislice (DCN) topology with
+    # the slice axis spanning the process boundary. Batch rows shard over
+    # slice x data = all 4 devices, so the numbers must STILL match the
+    # plain 4-device DP run (multislice changes the collective routing,
+    # not the math).
     logs = _run_train_cli(mp_out, store, [
         ["--dist.platform", "cpu", "--dist.local-devices", "2",
          "--dist.collectives", "gloo", "--dist.num-processes", "2",
          "--dist.coordinator", f"localhost:{port}",
-         "--dist.process-id", str(pid)]
+         "--dist.process-id", str(pid),
+         "--mesh.slices", "2"]
         for pid in range(2)
     ], timeout=900)
     # rank 0 logs, rank 1 stays quiet
