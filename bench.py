@@ -157,10 +157,13 @@ def main():
             "backbone_frames_per_sec": round(backbone_fps, 1),
             "passes_per_clip_frame": PASSES_DEFAULT,
             "value_full_dedup": round(backbone_fps / PASSES_FULL_DEDUP, 1),
+            "value_zero_dedup": round(backbone_fps / 3.0, 1),
             "note": ("unique-frame schedule (seq_len=40, stride=5): "
                      "seq_len+2*stride backbone-frames per clip at stable "
-                     "crop boxes; value_full_dedup adds --jitter-key "
-                     "video|frame (documented deviation)"),
+                     "crop boxes (guaranteed by --crop-scope video; "
+                     "value_zero_dedup is the worst case when every "
+                     "window's box differs); value_full_dedup adds "
+                     "--jitter-key video|frame (documented deviation)"),
         }
     except Exception:  # fall back so the driver always gets a line
         import traceback

@@ -86,17 +86,18 @@ def _time_best(run, iters, bursts=6):
     return best
 
 
-def bench(mode: str, m=4096, k=4096, n=4096, iters=24):
+def bench(mode: str, m=4096, k=4096, n=4096, iters=24, bm=512, bk=512, bn=512):
     rng = np.random.default_rng(0)
     if mode.startswith("int8"):
         x = jnp.asarray(rng.integers(-127, 128, size=(m, k)), jnp.int8)
         y = jnp.asarray(rng.integers(-127, 128, size=(k, n)), jnp.int8)
-        mm = make_pallas_matmul(m, k, n, jnp.int8, jnp.int32, jnp.int32)
+        mm = make_pallas_matmul(m, k, n, jnp.int8, jnp.int32, jnp.int32,
+                                bm=bm, bk=bk, bn=bn)
     elif mode == "pallas_bf16":
         x = jnp.asarray(rng.normal(size=(m, k)), jnp.bfloat16)
         y = jnp.asarray(rng.normal(size=(k, n)), jnp.bfloat16)
         mm = make_pallas_matmul(m, k, n, jnp.bfloat16, jnp.float32,
-                                jnp.bfloat16)
+                                jnp.bfloat16, bm=bm, bk=bk, bn=bn)
     elif mode == "xla_bf16":
         x = jnp.asarray(rng.normal(size=(m, k)), jnp.bfloat16)
         y = jnp.asarray(rng.normal(size=(k, n)), jnp.bfloat16)
@@ -130,11 +131,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=4096)
     p.add_argument("--iters", type=int, default=24)
+    p.add_argument("--block", type=int, nargs=3, default=[512, 512, 512])
     args = p.parse_args()
     s = args.size
     for mode in ("xla_bf16", "pallas_bf16", "int8"):
         try:
-            dt, tops = bench(mode, s, s, s, args.iters)
+            dt, tops = bench(mode, s, s, s, args.iters, *args.block)
             unit = "TOPS" if mode == "int8" else "TFLOPS"
             print(f"{mode:12s}: {dt*1e3:7.3f} ms  {tops:7.1f} {unit}",
                   flush=True)

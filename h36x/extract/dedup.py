@@ -141,13 +141,13 @@ def _video_worker(
             except Full:
                 continue
 
+    cursor = None
     try:
         todo = [i for i in group if i in todo_set]
         if not todo:
             put(("done", None))
             return
         video_idx = dataset.clips[todo[0]].video_idx
-        cursor = None
         if hasattr(dataset, "open_video"):
             cursor = dataset.open_video(video_idx)
         crop_cache: Dict[FrameKey, np.ndarray] = {}
@@ -234,8 +234,6 @@ def _video_worker(
                         )
                         job.cj_miss.append((k, cj))
             put(("job", job))
-        if cursor is not None:
-            cursor.close()
         put(("done", None))
     except _ConsumerGone:
         pass  # consumer already failed; nothing to report
@@ -244,6 +242,9 @@ def _video_worker(
             put(("error", e))
         except _ConsumerGone:
             pass
+    finally:
+        if cursor is not None:
+            cursor.close()  # even on error paths: the cv2 capture holds an fd
 
 
 class _Assembler:
@@ -386,6 +387,12 @@ def run_extract_dedup(cfg: ExtractConfig, dataset) -> dict:
     partition_by = getattr(cfg, "partition_by", "clip")
     if partition_by not in ("clip", "video"):
         raise ValueError(f"--partition-by must be clip|video, got {partition_by!r}")
+    if cfg.crop_scope not in ("clip", "video"):
+        raise ValueError(f"--crop-scope must be clip|video, got {cfg.crop_scope!r}")
+    if cfg.jitter_key not in ("clip", "video", "frame"):
+        # a typo here would silently select a DEVIATION mode's store bytes
+        raise ValueError(
+            f"--jitter-key must be clip|video|frame, got {cfg.jitter_key!r}")
     if partition_by == "video":
         groups = groups[part_i::part_n]
         owned = [i for g in groups for i in g]
@@ -421,6 +428,10 @@ def run_extract_dedup(cfg: ExtractConfig, dataset) -> dict:
         "shuffle_seed": cfg.shuffle_seed,
         "partition": getattr(cfg, "partition", ""),
     }
+    if part_n > 1:
+        # partition semantics change the owned clip set; resuming a part
+        # store under the other scheme would append the wrong clips
+        run_config["partition_by"] = partition_by
     if cfg.crop_scope != "clip" or cfg.jitter_key != "clip":
         # deviation modes change feature bytes: a resume mixing them with
         # default-mode rows would corrupt the store silently

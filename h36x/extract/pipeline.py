@@ -315,6 +315,16 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
         from h36x.extract.dedup import run_extract_dedup
 
         return run_extract_dedup(cfg, dataset)
+    # guards: this scheduler only implements the default semantics — a flag
+    # asking for a dedup-path mode must not silently degrade to them
+    for flag, default in (("partition_by", "clip"), ("crop_scope", "clip"),
+                          ("jitter_key", "clip")):
+        if getattr(cfg, flag, default) != default:
+            raise ValueError(
+                f"--{flag.replace('_', '-')}={getattr(cfg, flag)!r} needs the "
+                "unique-frame scheduler (a video-structured dataset with "
+                "--dedup); the per-clip scheduler only implements "
+                f"{flag}={default!r}")
 
     out_root = Path(cfg.out)
     out_root.mkdir(parents=True, exist_ok=True)

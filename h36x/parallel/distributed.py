@@ -104,10 +104,13 @@ def make_multislice_mesh(slices: int, data: int = -1, model: int = 1,
 
 
 def multislice_batch_sharding(mesh):
-    """Batch rows shard over the combined (slice, data) super-axis."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    """Batch rows shard over the combined (slice, data) super-axis.
 
-    return NamedSharding(mesh, P(("slice", "data")))
+    Same rule as h36x.parallel.mesh.batch_sharding (which detects the
+    slice axis); kept as the explicitly-named multislice entry point."""
+    from h36x.parallel.mesh import batch_sharding
+
+    return batch_sharding(mesh)
 
 
 def make_global_batch(local_arrays, mesh, global_batch: int,

@@ -172,7 +172,10 @@ class BatchingServer:
                     break
             feats = np.stack([f for f, _ in items])
             n = feats.shape[0]
-            target = self.pad_to or (bucket_size(n) if self.bucket_pad else n)
+            # bucket padding clamps at max_batch: a non-power-of-two cap
+            # must not round past itself into an unwarmed, oversized shape
+            target = self.pad_to or (
+                min(bucket_size(n), self.max_batch) if self.bucket_pad else n)
             if n < target:
                 pad = np.zeros((target - n,) + feats.shape[1:], np.float32)
                 feats = np.concatenate([feats, pad])
@@ -270,10 +273,14 @@ def build_predict_fn(artifact: str = "", model_path: str = "",
 
         fn = load_artifact(artifact)
         if warm:
+            sizes = set()
             b = 1
-            while b <= max_batch:
-                fn(np.zeros((b, seq_len, feature_dim), np.float32))
+            while b < max_batch:
+                sizes.add(b)
                 b *= 2
+            sizes.add(max_batch)  # the clamp bucket (may be non-pow2)
+            for b in sorted(sizes):
+                fn(np.zeros((b, seq_len, feature_dim), np.float32))
         return (lambda feats: fn(feats)), 0  # bucket-padded by the server
 
     import jax

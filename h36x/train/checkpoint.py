@@ -86,17 +86,34 @@ def save_checkpoint_orbax(
     Crash-atomicity: `ckptr.save(..., force=True)` rmtree()s an existing
     target before writing, so saving straight to <name>/ would leave a
     window every epoch where NO resume checkpoint exists. Instead saves
-    alternate between two slot directories <name>.0 / <name>.1 chosen by
-    epoch parity (deterministic on every host, no manifest read — immune to
-    multi-host manifest-read races), and the manifest's "dir" field is
-    swapped only after the collective save commits. A crash mid-save loses
-    only the in-progress slot; the manifest still points at the previous
-    epoch's intact slot."""
+    alternate between two slot directories <name>.0 / <name>.1, and the
+    manifest's "dir" field is swapped only after the collective save
+    commits. A crash mid-save loses only the in-progress slot; the
+    manifest still points at the previous save's intact slot.
+
+    Slot choice must (a) never target the live slot and (b) agree across
+    hosts without a mid-run manifest read (ranks can race rank-0's
+    manifest write). A per-(directory, name) in-process counter does both:
+    every rank executes the same save sequence, so the counters agree; the
+    FIRST save of a process seeds the counter from the on-disk manifest
+    (written by a long-quiesced previous process — no race), targeting the
+    slot opposite the live one. Epoch parity would NOT work for `best`,
+    whose improvement epochs can repeat parity (0, 2 -> both slot 0 would
+    rmtree the live best)."""
     import orbax.checkpoint as ocp
 
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
-    slot_name = f"{name}.{int(epoch) % 2}"
+    counter_key = (str(directory.absolute()), name)
+    if counter_key not in _slot_counters:
+        start = 0
+        live = _orbax_dir(directory, name)
+        if live is not None and live.name.rsplit(".", 1)[-1] in ("0", "1"):
+            start = 1 - int(live.name.rsplit(".", 1)[-1])
+        _slot_counters[counter_key] = start
+    slot = _slot_counters[counter_key] % 2
+    _slot_counters[counter_key] += 1
+    slot_name = f"{name}.{slot}"
     path = (directory / slot_name).absolute()
 
     with ocp.StandardCheckpointer() as ckptr:
@@ -122,18 +139,26 @@ def save_checkpoint_orbax(
     return path
 
 
+_slot_counters: dict = {}  # (directory, name) -> saves issued this process
+
+
 def _orbax_dir(directory: Path, name: str) -> Optional[Path]:
     """Resolve the live orbax directory for checkpoint `name`.
 
-    Prefers the manifest's "dir" slot pointer (written by
-    save_checkpoint_orbax); falls back to a legacy un-slotted <name>/ dir.
+    Follows the manifest's "dir" slot pointer (written by
+    save_checkpoint_orbax). A manifest WITH a "dir" field whose directory
+    is gone is a dangling pointer (crashed save / partial sync) — return
+    None rather than falling back to a stale legacy <name>/ dir, which
+    would pair old params with the newer manifest. The legacy un-slotted
+    layout is honored only when the manifest predates slots (no "dir"
+    field) or there is no manifest at all.
     """
     manifest_path = directory / f"{name}.json"
     if manifest_path.exists():
         with open(manifest_path) as f:
             slot = json.load(f).get("dir")
-        if slot and (directory / slot).is_dir():
-            return directory / slot
+        if slot is not None:
+            return directory / slot if (directory / slot).is_dir() else None
     if (directory / name).is_dir():
         return directory / name
     return None

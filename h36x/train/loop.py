@@ -28,7 +28,8 @@ from h36x.parallel.distributed import (
     make_global_batch,
 )
 from h36x.parallel.feed import prefetch_to_device
-from h36x.parallel.mesh import batch_sharding, make_mesh, shard_params
+from h36x.parallel.mesh import (batch_sharding, data_axis_size, make_mesh,
+                               shard_params)
 from h36x.train import checkpoint as ckpt
 from h36x.train.state import (
     TrainState,
@@ -157,8 +158,7 @@ def _data_axis(sharding) -> int:
     """Rows a batch must be divisible by under this sharding (data-axis
     size; slice*data on a multislice mesh)."""
     try:
-        shape = sharding.mesh.shape
-        return shape.get("slice", 1) * shape.get("data", 1)
+        return data_axis_size(sharding.mesh)
     except AttributeError:
         return 1
 
@@ -332,7 +332,7 @@ def fit(
                       f"(data={data_ax}, model={model_ax}; batch "
                       f"{cfg.optim.batch_size} must divide the data axis)")
             mesh = make_mesh(data_ax, model_ax, devices=jax.devices()[:n_used])
-    rows_split = mesh.shape.get("slice", 1) * mesh.shape.get("data", 1)
+    rows_split = data_axis_size(mesh)
     if pcount > 1 and rows_split % pcount != 0:
         raise ValueError(
             f"batch-sharding axis {rows_split} not divisible by "

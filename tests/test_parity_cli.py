@@ -78,20 +78,29 @@ def full_chain_artifacts(tmp_path, rng):
     h = w = 48
     n_frames = 24  # 12 subsampled at skip 2
     root = tmp_path / "ingested"
-    cam_dir = root / "S1" / "Walking_0" / "cam_0"
-    cam_dir.mkdir(parents=True)
-    vw = cv2.VideoWriter(str(cam_dir / "v.mp4"),
-                         cv2.VideoWriter_fourcc(*"mp4v"), 25, (w, h))
-    for _ in range(n_frames):
-        vw.write(rng.integers(0, 255, size=(h, w, 3)).astype(np.uint8))
-    vw.release()
-    j3d = rng.normal(size=(n_frames, 17, 3)).astype(np.float32) * 100
-    j2d = (rng.random((n_frames, 17, 2)) * 30 + 9).astype(np.float32)
-    with open(cam_dir / "gt_poses.pkl", "wb") as f:
-        pickle.dump({"2d": j2d, "3d": j3d}, f)
-    with open(cam_dir / "camera_wext.pkl", "wb") as f:
-        pickle.dump({"f": np.array([90.0, 90.0]), "c": np.array([24.0, 24.0]),
-                     "k": np.zeros(5), "rt": np.eye(3), "t": np.zeros(3)}, f)
+    # TWO cameras with different GT: identical (subject, action, start)
+    # triples, so the runbook's store lookup must disambiguate by cam —
+    # resolving the wrong camera would show up as a nonzero GT delta.
+    j3d = None
+    for cam in ("cam_0", "cam_1"):
+        cam_dir = root / "S1" / "Walking_0" / cam
+        cam_dir.mkdir(parents=True)
+        vw = cv2.VideoWriter(str(cam_dir / "v.mp4"),
+                             cv2.VideoWriter_fourcc(*"mp4v"), 25, (w, h))
+        for _ in range(n_frames):
+            vw.write(rng.integers(0, 255, size=(h, w, 3)).astype(np.uint8))
+        vw.release()
+        cam_j3d = rng.normal(size=(n_frames, 17, 3)).astype(np.float32) * 100
+        cam_j2d = (rng.random((n_frames, 17, 2)) * 30 + 9).astype(np.float32)
+        if cam == "cam_0":
+            j3d = cam_j3d
+        with open(cam_dir / "gt_poses.pkl", "wb") as f:
+            pickle.dump({"2d": cam_j2d, "3d": cam_j3d}, f)
+        with open(cam_dir / "camera_wext.pkl", "wb") as f:
+            pickle.dump({"f": np.array([90.0, 90.0]),
+                         "c": np.array([24.0, 24.0]),
+                         "k": np.zeros(5), "rt": np.eye(3), "t": np.zeros(3)},
+                        f)
 
     resnet_sd = _fake_torchvision_state_dict(rng)
     resnet_path = tmp_path / "resnet50.pt"
@@ -153,8 +162,8 @@ def test_parity_full_chain_runbook(full_chain_artifacts, capsys):
     by_key = {}
     for i in range(len(store)):
         *_, m = store[i]
-        by_key[(m["subject"], m["start"])] = i
-    rows = [by_key[(1, 0)], by_key[(1, 2)]]
+        by_key[(m["subject"], m["start"], m["cam"])] = i
+    rows = [by_key[(1, 0, "cam_0")], by_key[(1, 2, "cam_0")]]
     feats, gt, *_ = store.get_batch(rows)
     params = jax.tree.map(jnp.asarray, load_torch_phd(a["phd"]))
     model = PHDFor3DJoints(latent_dim=64, feature_dim=2048, number_blocks=1)

@@ -121,6 +121,24 @@ def test_bucket_padding(predict_fn):
         np.testing.assert_allclose(got, w, rtol=1e-5, atol=1e-6)
     assert seen == [4]  # 3 requests coalesced, padded to the 4-bucket
 
+    # non-power-of-two max_batch: the bucket clamps at the cap instead of
+    # rounding past it into an unwarmed oversized shape
+    seen.clear()
+    server6 = BatchingServer(spy, seq_len=T, feature_dim=F, max_batch=6,
+                             max_wait_ms=200.0, pad_to=0, bucket_pad=True)
+    feats5 = [rng.normal(size=(T, F)).astype(np.float32) for _ in range(5)]
+
+    async def clients5(port):
+        return await asyncio.gather(*[
+            request_async(f, host="127.0.0.1", port=port) for f in feats5
+        ])
+
+    outs = _serve(server6, clients5)
+    want = np.asarray(predict_fn(np.stack(feats5)))
+    for got, w in zip(outs, want):
+        np.testing.assert_allclose(got, w, rtol=1e-5, atol=1e-6)
+    assert seen == [6]  # bucket_size(5)=8 clamped to max_batch=6
+
 
 def test_bad_requests_get_errors_and_connection_survives(predict_fn):
     server = BatchingServer(predict_fn, seq_len=T, feature_dim=F,

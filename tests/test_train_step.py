@@ -376,6 +376,32 @@ class TestCheckpoint:
         assert manifest["epoch"] == 5
         assert manifest["dir"] == "last.1"
 
+    def test_orbax_best_same_parity_epochs_alternate_slots(self, setup,
+                                                           tmp_path, rng):
+        """`best` saves happen on improvement epochs, which can share
+        parity (epoch 0 then epoch 2): consecutive saves must still
+        alternate slots so force=True never rmtree's the live slot."""
+        import json
+
+        model, optimizer, state = setup
+        ckpt.save_checkpoint_orbax(tmp_path, "best", state, epoch=0,
+                                   best_val=0.9)
+        m1 = json.loads((tmp_path / "best.json").read_text())
+        ckpt.save_checkpoint_orbax(tmp_path, "best", state, epoch=2,
+                                   best_val=0.5)
+        m2 = json.loads((tmp_path / "best.json").read_text())
+        assert m1["dir"] != m2["dir"]
+        assert (tmp_path / m1["dir"]).is_dir()  # previous save intact
+        assert (tmp_path / m2["dir"]).is_dir()
+
+        # a fresh process (counter reset) seeds from the manifest and
+        # still avoids the live slot
+        ckpt._slot_counters.clear()
+        ckpt.save_checkpoint_orbax(tmp_path, "best", state, epoch=4,
+                                   best_val=0.4)
+        m3 = json.loads((tmp_path / "best.json").read_text())
+        assert m3["dir"] != m2["dir"]
+
     def test_orbax_manifest_without_dir_raises(self, setup, tmp_path, rng):
         """backend=orbax manifest + missing orbax dir (crashed save,
         partial sync) must raise, NOT fall back to a stale sibling
