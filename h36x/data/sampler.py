@@ -78,9 +78,22 @@ class MixedShardBatchSampler:
         def remaining():
             return [s for s in order if cursor[s] < len(table[s])]
 
+        def take(sid: int, n: int, batch: List[int]) -> None:
+            lo = cursor[sid]
+            hi = min(lo + n, len(table[sid]))
+            batch.extend(table[sid][lo:hi])
+            cursor[sid] = hi
+
         while True:
             live = remaining()
-            if not live or (self.drop_last and len(live) < self.k):
+            total_left = sum(len(table[s]) - cursor[s] for s in live)
+            if not live or (self.drop_last and total_left < self.batch_size):
+                # true drop_last semantics: only a final sub-batch_size
+                # remainder is ever dropped. (The reference stops as soon
+                # as fewer than k shards stay non-empty — samplers.py:48 —
+                # which on unbalanced stores silently drops every item
+                # still in the surviving shards and desynchronizes __len__;
+                # deliberate fix, like the drop_last=False drain.)
                 return
             # drop_last=False drains the tail: once fewer than k shards
             # remain, draw from all of them (smaller partial batches) so
@@ -89,10 +102,17 @@ class MixedShardBatchSampler:
             picks = rng.sample(live, k_now) if self.shuffle else live[:k_now]
             batch: List[int] = []
             for sid in picks:
-                lo = cursor[sid]
-                hi = min(lo + self.per_shard, len(table[sid]))
-                batch.extend(table[sid][lo:hi])
-                cursor[sid] = hi
+                take(sid, self.per_shard, batch)
+            if self.drop_last:
+                # unbalanced picks can come up short although the epoch has
+                # batch_size items left — top up from the other live shards
+                # so the batch (and __len__'s count) stays exact
+                while len(batch) < self.batch_size:
+                    live = remaining()
+                    if not live:
+                        break
+                    sid = rng.choice(live) if self.shuffle else live[0]
+                    take(sid, self.batch_size - len(batch), batch)
             if len(batch) == self.batch_size or not self.drop_last:
                 yield batch
 

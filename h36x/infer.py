@@ -43,8 +43,15 @@ from h36x.ops.pallas_temporal import (
 )
 
 
+def sorted_blocks(net_params: dict):
+    """Residual-block names in execution order (block0, block1, ... —
+    numeric suffix sort, shared by the batch, masked and streaming paths
+    so the ordering invariant lives in exactly one place)."""
+    return sorted(net_params.keys(), key=lambda n: int(n.removeprefix("block")))
+
+
 def _temporal_net(x, net_params, groups, use_pallas, interpret, tile_o):
-    blocks = sorted(net_params.keys(), key=lambda n: int(n.removeprefix("block")))
+    blocks = sorted_blocks(net_params)
     for name in blocks:
         p = net_params[name]
         if use_pallas:
@@ -68,7 +75,7 @@ def _temporal_net_masked(x, net_params, groups, valid_len):
     """XLA-path temporal net with GroupNorm statistics masked to
     [0, valid_len) — required for fixed-shape autoregressive rollout (GN is
     the block's one non-causal op). Outputs at t >= valid_len are invalid."""
-    blocks = sorted(net_params.keys(), key=lambda n: int(n.removeprefix("block")))
+    blocks = sorted_blocks(net_params)
     for name in blocks:
         p = net_params[name]
         h = reference_gn_relu_cconv(

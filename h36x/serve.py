@@ -130,7 +130,9 @@ def _frozen_gn_relu(u, mean_g, rstd_g, scale, bias, groups: int):
 
 
 def _sorted_blocks(net_params: dict):
-    return sorted(net_params.keys(), key=lambda n: int(n.removeprefix("block")))
+    from h36x.infer import sorted_blocks
+
+    return sorted_blocks(net_params)
 
 
 def _capture_freeze(x, net_params, groups: int, eps: float):
@@ -181,6 +183,56 @@ def _stream_block(u, p, st, fs, groups: int):
     return c2 + u, {"h": h_hist[1:], "g": g_hist[1:]}
 
 
+# Module-level jitted step programs shared by every StreamingPredictor
+# instance: jit keys on (function, static args), so constructing a new
+# predictor per clip (h36x/cli/predict.py) reuses the compiled executables
+# instead of re-tracing per-instance closures.
+
+
+def _project(params, feat):  # (feature_dim,) -> (latent,)
+    return feat @ params["input_proj"]["kernel"] + params["input_proj"]["bias"]
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def _warm_start(params, feat, *, window: int):
+    return jnp.tile(_project(params, feat)[None, None, :], (1, window, 1))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("groups", "joints_num", "use_pallas"))
+def _step_jit(params, xbuf, feat, *, groups, joints_num, use_pallas):
+    xnew = _project(params, feat)
+    xbuf = jnp.concatenate([xbuf[:, 1:], xnew[None, None, :]], axis=1)
+    phi = _temporal_net(xbuf, params["f_movie"], groups, use_pallas,
+                        False, None)
+    joints = _regressor(phi[:, -1:], params["f_3D"], joints_num,
+                        use_pallas, False)
+    return xbuf, joints[0, -1]
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "eps"))
+def _capture_jit(params, xbuf, *, groups, eps):
+    _, stats, state = _capture_freeze(xbuf, params["f_movie"], groups, eps)
+    return stats, state
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("groups", "joints_num", "use_pallas"))
+def _frozen_step_jit(params, xbuf, stats, state, feat, *, groups,
+                     joints_num, use_pallas):
+    xnew = _project(params, feat)
+    xbuf = jnp.concatenate([xbuf[:, 1:], xnew[None, None, :]], axis=1)
+    u = xnew[None, :]
+    new_state = {}
+    for name in _sorted_blocks(params["f_movie"]):
+        u, new_state[name] = _stream_block(
+            u, params["f_movie"][name], state[name], stats[name], groups
+        )
+    joints = _regressor(u[:, None, :], params["f_3D"], joints_num,
+                        use_pallas, False)
+    return xbuf, new_state, joints[0, 0]
+
+
 class StreamingPredictor:
     """Online per-frame 3D pose over a sliding feature window.
 
@@ -202,6 +254,11 @@ class StreamingPredictor:
                  use_pallas: bool = False, eps: float = 1e-5):
         self.params = params
         self.window = window
+        self.feature_dim = int(params["input_proj"]["kernel"].shape[0])
+        if feature_dim != self.feature_dim:
+            raise ValueError(
+                f"feature_dim={feature_dim} does not match the checkpoint's "
+                f"input projection ({self.feature_dim})")
         self.joints_num = joints_num
         self.groups = groups
         self.use_pallas = use_pallas
@@ -210,60 +267,37 @@ class StreamingPredictor:
         self._seen = 0
         self._frozen = None  # (stats, state) pytrees when frozen
 
-        @jax.jit
-        def project(params, feat):  # (feature_dim,) -> (latent,)
-            return feat @ params["input_proj"]["kernel"] + params["input_proj"]["bias"]
-
-        @jax.jit
-        def step(params, xbuf, xnew):
-            xbuf = jnp.concatenate([xbuf[:, 1:], xnew[None, None, :]], axis=1)
-            phi = _temporal_net(xbuf, params["f_movie"], groups, use_pallas,
-                                False, None)
-            joints = _regressor(phi[:, -1:], params["f_3D"], joints_num,
-                                use_pallas, False)
-            return xbuf, joints[0, -1]
-
-        @jax.jit
-        def capture(params, xbuf):
-            _, stats, state = _capture_freeze(xbuf, params["f_movie"], groups,
-                                              eps)
-            return stats, state
-
-        @jax.jit
-        def frozen_step(params, xbuf, stats, state, xnew):
-            xbuf = jnp.concatenate([xbuf[:, 1:], xnew[None, None, :]], axis=1)
-            u = xnew[None, :]
-            new_state = {}
-            for name in _sorted_blocks(params["f_movie"]):
-                u, new_state[name] = _stream_block(
-                    u, params["f_movie"][name], state[name], stats[name], groups
-                )
-            joints = _regressor(u[:, None, :], params["f_3D"], joints_num,
-                                use_pallas, False)
-            return xbuf, new_state, joints[0, 0]
-
-        self._project = project
-        self._step = step
-        self._capture = capture
-        self._frozen_step = frozen_step
-
     def push(self, feat: np.ndarray) -> np.ndarray:
-        """Add one frame's features; returns that frame's joints (J, 3)."""
+        """Add one frame's features; returns that frame's joints (J, 3).
+
+        One jitted dispatch per push (the input projection is fused into
+        the step program — two dispatches would double per-frame latency
+        on high-latency dispatch paths); only the very first push pays an
+        extra dispatch to build the edge-replicated warm-start buffer.
+        """
         feat = np.asarray(feat, dtype=np.float32).reshape(-1)
-        xnew = self._project(self.params, jnp.asarray(feat))
+        if feat.size != self.feature_dim:
+            raise ValueError(
+                f"feat has {feat.size} features, expected {self.feature_dim}")
+        feat = jnp.asarray(feat)
         if self._seen == 0:
             # edge-replicate warm start (constant window, so the roll in the
             # step functions is a no-op on content)
-            self._xbuf = jnp.tile(xnew[None, None, :], (1, self.window, 1))
+            self._xbuf = _warm_start(self.params, feat, window=self.window)
         self._seen += 1
         if self._frozen is not None:
             stats, state = self._frozen
-            self._xbuf, state, joints = self._frozen_step(
-                self.params, self._xbuf, stats, state, xnew
+            self._xbuf, state, joints = _frozen_step_jit(
+                self.params, self._xbuf, stats, state, feat,
+                groups=self.groups, joints_num=self.joints_num,
+                use_pallas=self.use_pallas,
             )
             self._frozen = (stats, state)
         else:
-            self._xbuf, joints = self._step(self.params, self._xbuf, xnew)
+            self._xbuf, joints = _step_jit(
+                self.params, self._xbuf, feat, groups=self.groups,
+                joints_num=self.joints_num, use_pallas=self.use_pallas,
+            )
         return np.asarray(joints)
 
     def freeze(self) -> None:
@@ -272,7 +306,8 @@ class StreamingPredictor:
         call again later to re-pin the statistics to a newer window."""
         if self._seen == 0:
             raise RuntimeError("no frames pushed yet")
-        self._frozen = self._capture(self.params, self._xbuf)
+        self._frozen = _capture_jit(self.params, self._xbuf,
+                                    groups=self.groups, eps=self.eps)
 
     def unfreeze(self) -> None:
         """Return to exact sliding-statistics inference."""

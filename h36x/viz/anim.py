@@ -140,7 +140,9 @@ def plot_batch_sample_2d_2dproj_3d(
     js3 = np.asarray(joints3d)[sample_idx]
     js2 = np.asarray(joints2d)[sample_idx]
     Kk = np.asarray(K)
-    Kk = Kk[sample_idx] if Kk.ndim == 3 else Kk
+    # (B,3,3) batched and (B,T,3,3) per-frame intrinsics both select the
+    # sample; a bare (3,3) passes through
+    Kk = Kk[sample_idx] if Kk.ndim >= 3 else Kk
     t_len = vid.shape[0]
     proj2 = np.asarray(project_with_K(js3, Kk))
     frames = [_frame_to_hwc_uint8(vid[t]) for t in range(t_len)]
@@ -202,7 +204,8 @@ def plot_batch_sample_2d_2dproj_3d_no_video(
         proj2, prj_title = js2, "GT 2D (no K for reprojection)"
     else:
         Kk = np.asarray(K)
-        Kk = Kk[sample_idx] if Kk.ndim == 3 else Kk
+        # select the sample for (B,3,3) and (B,T,3,3) alike
+        Kk = Kk[sample_idx] if Kk.ndim >= 3 else Kk
         proj2 = np.asarray(project_with_K(js3, Kk))
         prj_title = "Reprojected 2D joints"
 

@@ -71,8 +71,18 @@ class TestMixedShardBatchSampler:
 
         s_drop = MixedShardBatchSampler(ds, batch_size=8, shards_per_batch=2,
                                         drop_last=True, seed=0)
+        seen_drop = []
+        n_batches = 0
         for b in s_drop:
             assert len(b) == 8  # drop_last contract unchanged
+            seen_drop.extend(b)
+            n_batches += 1
+        # drop_last drops ONLY the final sub-batch_size remainder — not
+        # everything left in the surviving shards once the small shard
+        # empties (the reference's early stop, samplers.py:48, would yield
+        # a single batch here and drop 36 of 44 items)
+        assert n_batches == len(s_drop) == len(ds) // 8
+        assert len(seen_drop) == len(set(seen_drop)) == n_batches * 8
 
     def test_drop_last_only_full_batches(self, dataset):
         s = MixedShardBatchSampler(dataset, batch_size=8, drop_last=True, seed=3)

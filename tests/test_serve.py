@@ -248,11 +248,14 @@ class TestFrozenStreaming:
         sp.push(rng.normal(size=32).astype(np.float32))
         sp.freeze()
         stats, state = sp._frozen
-        xnew = jnp.zeros(64, dtype=jnp.float32)  # latent dim = 64
+        from h36x.serve import _frozen_step_jit, _step_jit
 
-        full = sp._step.lower(params, sp._xbuf, xnew).compile().cost_analysis()
-        froz = sp._frozen_step.lower(
-            params, sp._xbuf, stats, state, xnew
+        feat = jnp.zeros(32, dtype=jnp.float32)
+        statics = dict(groups=8, joints_num=17, use_pallas=False)
+        full = _step_jit.lower(
+            params, sp._xbuf, feat, **statics).compile().cost_analysis()
+        froz = _frozen_step_jit.lower(
+            params, sp._xbuf, stats, state, feat, **statics
         ).compile().cost_analysis()
         if not (full and froz and full.get("flops") and froz.get("flops")):
             pytest.skip("cost_analysis unavailable on this backend")
