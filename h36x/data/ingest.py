@@ -199,20 +199,36 @@ def ingest(
             with open(name_path, "w") as f:
                 f.write(seq_name)
 
-        video_paths = sorted(
-            glob(join(source_dir, f"S{sbj_id}", "Videos", f"{seq_name}.*mp4"))
-        )
-        pose2d_paths = sorted(
-            glob(join(source_dir, f"S{sbj_id}", "MyPoseFeatures/D2_Positions",
-                      f"{seq_name}.*cdf"))
-        )
-        pose3d_paths = sorted(
-            glob(join(source_dir, f"S{sbj_id}", "MyPoseFeatures/D3_Positions_mono",
-                      f"{seq_name}.*cdf"))
-        )
-        if len(pose2d_paths) < cam_id or len(pose3d_paths) < cam_id:
+        # Files are keyed by the camera identifier embedded in the name
+        # ({seq_name}.{camera_serial}.{ext}); cam_id 1..4 selects the
+        # cam_id-th identifier in sorted order — the same assignment as
+        # the reference's positional pose2d_paths[cam_id-1]
+        # (read_human_36m.py:366-392) when all files exist, but immune to
+        # the silent off-by-one the positional form gets when an EARLIER
+        # camera's file is missing (every later camera would then read its
+        # neighbor's poses/video with no error).
+        def _by_ident(pattern):
+            out = {}
+            for p in glob(pattern):
+                parts = os.path.basename(p).rsplit(".", 2)
+                if len(parts) == 3:
+                    out[parts[1]] = p
+            return out
+
+        videos = _by_ident(
+            join(source_dir, f"S{sbj_id}", "Videos", f"{seq_name}.*mp4"))
+        pose2d = _by_ident(
+            join(source_dir, f"S{sbj_id}", "MyPoseFeatures/D2_Positions",
+                 f"{seq_name}.*cdf"))
+        pose3d = _by_ident(
+            join(source_dir, f"S{sbj_id}", "MyPoseFeatures/D3_Positions_mono",
+                 f"{seq_name}.*cdf"))
+        idents = sorted(set(videos) | set(pose2d) | set(pose3d))
+        ident = idents[cam_id - 1] if cam_id <= len(idents) else None
+        if ident is None or ident not in pose2d or ident not in pose3d:
             if verbose:
-                print(f"  missing pose files for cam {cam_id}, skipping")
+                print(f"  missing pose files for cam {cam_id}"
+                      f"{f' (camera {ident})' if ident else ''}, skipping")
             continue
 
         cam_path = join(output_dir, "camera_wext.pkl")
@@ -223,18 +239,18 @@ def ingest(
 
         gt_path = join(output_dir, "gt_poses.pkl")
         if not exists(gt_path):
-            poses2d = read_poses(pose2d_paths[cam_id - 1])
-            poses3d = read_poses(pose3d_paths[cam_id - 1], is_3d=True)
+            poses2d = read_poses(pose2d[ident])
+            poses3d = read_poses(pose3d[ident], is_3d=True)
             with open(gt_path, "wb") as fgt:
                 pickle.dump({"2d": poses2d, "3d": poses3d}, fgt)
 
-        if video_paths and len(video_paths) >= cam_id:
+        if ident in videos:
             out_video = join(
                 output_dir,
                 f"S{sbj_id}_{ACTION_NAMES[action_id - 1]}_{trial_id - 1}_cam_{cam_id - 1}.mp4",
             )
             if not exists(out_video):
-                os.symlink(os.path.abspath(video_paths[cam_id - 1]), out_video)
+                os.symlink(os.path.abspath(videos[ident]), out_video)
         n_done += 1
 
     return n_done

@@ -197,13 +197,17 @@ class ShardReader:
             self._order.remove(shard_id)
             self._order.append(shard_id)
             return self._cache[shard_id]
-        if len(self._order) >= self.cache_size:
+        while self._order and len(self._order) >= self.cache_size:
+            # `while`+non-empty guard: cache_size=0 ("no caching") must not
+            # pop from an empty list, and the freshly loaded shard below is
+            # still returned (and immediately evicted on the next get)
             oldest = self._order.pop(0)
             del self._cache[oldest]
         self.load_calls += 1
         shard = self._loader(self.root, shard_id)
-        self._cache[shard_id] = shard
-        self._order.append(shard_id)
+        if self.cache_size > 0:
+            self._cache[shard_id] = shard
+            self._order.append(shard_id)
         if self.log_loads_every and self.load_calls % self.log_loads_every == 0:
             print(f"[shards] {self.load_calls} loads / {self.hits} hits "
                   f"(cache {self.cache_size}, shard {shard_id})", flush=True)
@@ -318,6 +322,11 @@ def merge_stores(parts, out_root, move: bool = True) -> dict:
     seen = set()
     offset = 0
     for part, idx in zip(parts, indexes):
+        if idx.get("n_shards") is None:
+            raise ValueError(
+                f"part {part} has a torch-format index without an n_shards "
+                "count — convert it first (h36x-convert --torch-shards) or "
+                "merge only native h36x part stores")
         for sid in range(idx["n_shards"]):
             src, dst = shard_path(part, sid), shard_path(out_root, offset + sid)
             if not src.exists():

@@ -478,10 +478,7 @@ def run_extract_dedup(cfg: ExtractConfig, dataset) -> dict:
 
     todo_set = {
         i for i in owned
-        if not done_keys
-        or (int(dataset.clips[i].subject), str(dataset.clips[i].action),
-            str(dataset.clips[i].cam), int(dataset.clips[i].start))
-        not in done_keys
+        if not done_keys or _clip_key(dataset.clips[i]) not in done_keys
     }
     n_todo = len(todo_set)
     if n_todo < len(owned):
@@ -603,8 +600,6 @@ def run_extract_dedup(cfg: ExtractConfig, dataset) -> dict:
 
     pool.finish()
     async_writer.wait()
-    if progress_path.exists():
-        progress_path.unlink()
     async_writer.stop()
 
     write_index(
@@ -620,6 +615,11 @@ def run_extract_dedup(cfg: ExtractConfig, dataset) -> dict:
         shuffle_seed=cfg.shuffle_seed,
         shuffle_pool=cfg.shuffle_pool,
     )
+    if progress_path.exists():
+        # only after index.json is committed: unlinking first would leave a
+        # crash window with all shards on disk but neither resume state nor
+        # an index (the whole extraction would redo from scratch)
+        progress_path.unlink()
 
     total = time.perf_counter() - t_all
     legacy_rows = n_todo * cfg.seq_len * (3 if cfg.augment else 1)

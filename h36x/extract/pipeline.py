@@ -115,12 +115,22 @@ def make_feature_fn(model: ResNet50, mesh=None, engine: str = "flax"):
     if mesh is None:
         return fn
 
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     from h36x.parallel.mesh import batch_sharding
 
     sharding = batch_sharding(mesh)
+    replicated = NamedSharding(mesh, P())
     n_data = mesh.shape["data"]
+    var_box = {}  # weights placed on the mesh once, not re-broadcast per batch
 
     def sharded_fn(variables, frames_u8):
+        if var_box.get("src") is not variables:
+            # single-device weights would otherwise be resharded to the
+            # replicated layout on EVERY dispatch (~50 MB broadcast per
+            # batch on the extraction hot loop); pin them to the mesh once
+            var_box["src"] = variables
+            var_box["repl"] = jax.device_put(variables, replicated)
         n = frames_u8.shape[0]
         n_pad = (n + n_data - 1) // n_data * n_data
         if n_pad != n:
@@ -130,7 +140,7 @@ def make_feature_fn(model: ResNet50, mesh=None, engine: str = "flax"):
         # device_put on the host array splits per shard on host and sends
         # each shard straight to its device (no single-chip staging copy)
         frames_dev = jax.device_put(np.ascontiguousarray(frames_u8), sharding)
-        return fn(variables, frames_dev)[:n]
+        return fn(var_box["repl"], frames_dev)[:n]
 
     return sharded_fn
 
@@ -267,9 +277,14 @@ def _load_backbone(cfg: ExtractConfig):
     return model, variables
 
 
-def _clip_key(entry: dict):
-    return (int(entry["subject"]), str(entry["action"]), str(entry["cam"]),
-            int(entry["start"]))
+def _clip_key(entry) -> tuple:
+    """Resume identity of a clip; accepts progress-index dicts and
+    ClipIndex objects so the done-set and the todo-filter can never drift."""
+    if isinstance(entry, dict):
+        return (int(entry["subject"]), str(entry["action"]),
+                str(entry["cam"]), int(entry["start"]))
+    return (int(entry.subject), str(entry.action), str(entry.cam),
+            int(entry.start))
 
 
 def _parse_partition(spec: str):
@@ -425,7 +440,6 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
     def finalize_batch(inflight):
         nonlocal done, t_last, last_print
         feats_dev, items, (B, V, T) = inflight
-        boxes = [it[5] for it in items]
         feats_flat = np.asarray(feats_dev, dtype=feat_np_dtype)
         feats = feats_flat.reshape(B, V, T, -1)
         if cfg.augment:
@@ -434,8 +448,7 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
         else:
             f_orig = feats[:, 0]
 
-        for b, (fr, j3d, j2d_raw, cam, ci, _box) in enumerate(items):
-            box = boxes[b]
+        for b, (fr, j3d, j2d_raw, cam, ci, box) in enumerate(items):
             j2d = adjust_joints2d_after_crop_and_resize(j2d_raw, box, cfg.resize)
             K = adjust_camera_after_crop_and_resize(cam["f"], cam["c"], box, cfg.resize)
             base_meta = {
@@ -504,9 +517,7 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
     owned = list(range(n_clips))[part_i::part_n]
     todo = [
         i for i in owned
-        if not done_keys
-        or (int(dataset.clips[i].subject), str(dataset.clips[i].action),
-            str(dataset.clips[i].cam), int(dataset.clips[i].start)) not in done_keys
+        if not done_keys or _clip_key(dataset.clips[i]) not in done_keys
     ]
     if len(todo) < len(owned):
         print(f"{len(owned) - len(todo)} clips already done; {len(todo)} to go")
@@ -542,9 +553,7 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
             finalize_batch(inflight)
 
     pool.finish()
-    async_writer.wait()
-    if progress_path.exists():
-        progress_path.unlink()  # superseded by the final index.json
+    async_writer.wait()  # superseded by the final index.json
     async_writer.stop()
 
     write_index(
@@ -560,6 +569,11 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
         shuffle_seed=cfg.shuffle_seed,
         shuffle_pool=cfg.shuffle_pool,
     )
+    if progress_path.exists():
+        # only after index.json is committed: unlinking first would leave a
+        # crash window with all shards on disk but neither resume state nor
+        # an index (the whole extraction would redo from scratch)
+        progress_path.unlink()
 
     total = time.perf_counter() - t_all
     summary = {

@@ -220,18 +220,26 @@ def make_future_train_step(
             jnp.mean((joints_hat - joints3d) ** 2, axis=(0, 2, 3)) * mask_f
         ) / denom
         loss = l_ar + lambda_joints * l_j
-        return loss, (l_ar, l_j, joints_hat)
+        # mpjpe masked to the SAME AR window as the losses (and as the
+        # phase-2 eval step) — an unmasked train mpjpe would average the
+        # frozen input window too and not be comparable to val mpjpe
+        mp = jnp.sum(
+            jnp.mean(jnp.linalg.norm(
+                joints_hat.astype(jnp.float32) - joints3d.astype(jnp.float32),
+                axis=-1), axis=(0, 2)) * mask_f
+        ) / denom
+        return loss, (l_ar, l_j, mp)
 
     def grads_and_metrics(params, batch, rng, horizon):
         feats, joints3d = batch[0], batch[1]
-        (loss, (l_ar, l_j, joints_hat)), grads = jax.value_and_grad(
+        (loss, (l_ar, l_j, mp)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params, feats, joints3d, rng, horizon)
         metrics = {
             "loss": loss,
             "l_ar": l_ar,
             "l3d": l_j,
-            "mpjpe": mpjpe(joints_hat, joints3d),
+            "mpjpe": mp,
         }
         return grads, metrics
 

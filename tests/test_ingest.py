@@ -141,6 +141,33 @@ class TestIngest:
                 mp4s = list(cdir.glob("*.mp4"))
                 assert len(mp4s) == 1 and mp4s[0].is_symlink()
 
+    def test_interior_camera_gap_does_not_shift_assignment(self, raw_tree,
+                                                           tmp_path):
+        """Deleting camera 2's pose files must skip ONLY cam 2 — cams 3/4
+        keep their own files. (Positional indexing of the sorted glob —
+        the reference's pose2d_paths[cam_id-1], read_human_36m.py:390 —
+        would silently hand cam 2's slot to cam 3's file and so on,
+        geometrically corrupting every later camera.)"""
+        p2 = raw_tree / "S1" / "MyPoseFeatures" / "D2_Positions"
+        victim = "Seq_2_1_S1.2"
+        (p2 / f"{victim}.cdf").unlink()
+        (p2 / f"{victim}.npz").unlink()
+
+        out = tmp_path / "out_gap"
+        n = ingest(str(raw_tree), str(out), subjects=[1], actions=[1],
+                   verbose=False)
+        assert n == 7  # 8 cells minus the one with the missing camera
+
+        base = out / "S1" / f"{ACTION_NAMES[0]}_0"
+        assert not (base / "cam_1" / "gt_poses.pkl").exists()
+        for cam0, ident in ((0, "1"), (2, "3"), (3, "4")):
+            with open(base / f"cam_{cam0}" / "gt_poses.pkl", "rb") as f:
+                got = pickle.load(f)
+            src = np.load(p2 / f"Seq_2_1_S1.{ident}.npz")["Pose"]
+            want2d = src[0].reshape(-1, 32, 2)[:, np.asarray(H36M_RAW_JOINT_IDS)]
+            np.testing.assert_allclose(np.asarray(got["2d"]), want2d,
+                                       rtol=1e-6)
+
     def test_empty_subjects_means_nothing(self, raw_tree, tmp_path):
         """subjects=[] ingests NOTHING (only None means 'all') — a filtered
         empty list must not silently kick off a full-dataset ingest."""
