@@ -12,6 +12,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import typing
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence
 
@@ -235,7 +236,13 @@ def _add_fields(parser: argparse.ArgumentParser, cfg, prefix: str = "") -> None:
         if isinstance(value, bool):
             parser.add_argument(flag, type=_parse_bool, default=None)
         elif isinstance(value, list):
-            parser.add_argument(flag, type=int, nargs="*", default=None)
+            # element type from the List[...] annotation, not a blanket
+            # int (under `from __future__ import annotations` f.type is a
+            # string, so resolve the real hint once per dataclass type)
+            hints = typing.get_type_hints(type(cfg))
+            args = typing.get_args(hints.get(f.name, None))
+            elem = args[0] if args and args[0] in (int, float, str) else int
+            parser.add_argument(flag, type=elem, nargs="*", default=None)
         elif value is None:
             parser.add_argument(flag, type=int, default=None)
         else:
@@ -264,11 +271,20 @@ def parse_into(cfg, argv: Optional[Sequence[str]] = None, description: str = "")
     _add_fields(parser, cfg)
     ns = parser.parse_args(argv)
     out = dataclasses.replace(cfg)
-    # dataclasses.replace is shallow; deep-copy nested dataclasses.
-    for f in dataclasses.fields(out):
-        v = getattr(out, f.name)
-        if dataclasses.is_dataclass(v):
-            setattr(out, f.name, dataclasses.replace(v))
+
+    # dataclasses.replace is shallow; detach nested dataclasses AND list
+    # fields so in-place edits on the returned config never leak back into
+    # the template (or into sibling parse_into results).
+    def _detach(dc):
+        for f in dataclasses.fields(dc):
+            v = getattr(dc, f.name)
+            if dataclasses.is_dataclass(v):
+                setattr(dc, f.name, dataclasses.replace(v))
+                _detach(getattr(dc, f.name))
+            elif isinstance(v, list):
+                setattr(dc, f.name, list(v))
+
+    _detach(out)
     for key, value in vars(ns).items():
         if value is None:
             continue

@@ -28,19 +28,17 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 
 def crop_resize_matrix(start: int, size: int, in_size: int, out_size: int) -> np.ndarray:
     """(out_size, in_size) matrix: crop [start, start+size) then bilinear
-    resize to out_size (align_corners=False)."""
-    scale = size / out_size
-    src = start + (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
-    src = np.clip(src, start, start + size - 1)
-    # also clamp into the physical image
-    src = np.clip(src, 0, in_size - 1)
-    lo = np.floor(src).astype(np.int64)
-    hi = np.minimum(lo + 1, in_size - 1)
-    frac = (src - lo).astype(np.float32)
+    resize to out_size (align_corners=False).
+
+    Built from :func:`crop_resize_grid`'s (lo, hi, frac) so the sampling
+    convention (half-pixel centers, the double clamp) lives in exactly one
+    place — the matmul formulation and the production gather formulation
+    can never desynchronize."""
+    lo, hi, frac = crop_resize_grid(start, size, in_size, out_size)
     mat = np.zeros((out_size, in_size), dtype=np.float32)
     rows = np.arange(out_size)
-    np.add.at(mat, (rows, lo), 1.0 - frac)
-    np.add.at(mat, (rows, hi), frac)
+    np.add.at(mat, (rows, lo.astype(np.int64)), 1.0 - frac)
+    np.add.at(mat, (rows, hi.astype(np.int64)), frac)
     return mat
 
 

@@ -40,8 +40,12 @@ def save_checkpoint(
     epoch: int,
     best_val: float,
     config: Optional[dict] = None,
+    extra: Optional[dict] = None,
 ) -> Path:
-    """Write <directory>/<name>.msgpack + .json. Atomic via rename."""
+    """Write <directory>/<name>.msgpack + .json. Atomic via rename.
+    `extra` entries are merged into the manifest (e.g. the early-stop
+    patience counter, so a resumed run stops when an uninterrupted one
+    would)."""
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
 
@@ -60,6 +64,7 @@ def save_checkpoint(
         "best_val": float(best_val),
         "step": int(np.asarray(jax.device_get(state.step))),
         "config": config or {},
+        **(extra or {}),
     }
     mpath = directory / f"{name}.json"
     tmp = str(mpath) + ".tmp"
@@ -76,6 +81,7 @@ def save_checkpoint_orbax(
     epoch: int,
     best_val: float,
     config: Optional[dict] = None,
+    extra: Optional[dict] = None,
 ) -> Path:
     """Orbax backend: write <directory>/<name>.{epoch%2}/ (OCDBT) + <name>.json.
 
@@ -130,6 +136,7 @@ def save_checkpoint_orbax(
             "config": config or {},
             "backend": "orbax",
             "dir": slot_name,
+            **(extra or {}),
         }
         mpath = directory / f"{name}.json"
         tmp = str(mpath) + ".tmp"

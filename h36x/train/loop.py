@@ -181,6 +181,7 @@ def train_epoch(train_step, state, dataset, sampler, sharding, rng, log_every=50
     timers = PhaseTimers()
     pending = []  # device-resident per-step metric dicts
     totals = {"loss": 0.0, "l3d": 0.0, "mpjpe": 0.0}
+    opt_keys = ("l2d", "l_ar")  # tracked when the step reports them
     n = 0
     last_log = 0
     epoch_start = time.perf_counter()
@@ -188,8 +189,11 @@ def train_epoch(train_step, state, dataset, sampler, sharding, rng, log_every=50
     def drain():
         nonlocal pending
         for m in jax.device_get(pending):
+            for k in opt_keys:
+                if k in m:
+                    totals.setdefault(k, 0.0)
             for k in totals:
-                totals[k] += float(np.sum(m[k]))
+                totals[k] += float(np.sum(m.get(k, 0.0)))
         pending = []
 
     timers.start("data")
@@ -296,6 +300,12 @@ def fit(
         n_dev = len(jax.devices())
         model_ax = max(1, cfg.mesh.model)
         slices = max(1, getattr(cfg.mesh, "slices", 1))
+        if model_ax > n_dev or n_dev % model_ax != 0:
+            # without this, data_ax floors to 0 (or devices silently drop)
+            # and the failure surfaces as an obscure sharding error later
+            raise ValueError(
+                f"--mesh.model {model_ax} must divide the device count "
+                f"({n_dev})")
         if slices > 1:
             # Multislice pod: (slice, data, model) — the slice axis is the
             # DCN dimension; batch rows shard over slice x data and params
@@ -311,14 +321,23 @@ def fit(
                        else n_dev // (slices * model_ax))
             if cfg.optim.batch_size % (slices * data_ax) != 0:
                 raise ValueError(
-                    f"batch {cfg.optim.batch_size} must divide the combined "
-                    f"slice*data axis {slices * data_ax}")
+                    f"the combined slice*data axis ({slices * data_ax}) must "
+                    f"divide the batch size ({cfg.optim.batch_size}) — pick "
+                    "a batch that is a multiple of slices*data")
             mesh = make_multislice_mesh(slices, data_ax, model_ax)
             log(f"mesh: multislice (slice={slices}, data={data_ax}, "
                 f"model={model_ax})")
         else:
-            data_ax = cfg.mesh.data if cfg.mesh.data > 0 else n_dev // model_ax
-            # the batch must divide the data axis; shrink to the largest divisor
+            explicit = cfg.mesh.data > 0
+            data_ax = cfg.mesh.data if explicit else n_dev // model_ax
+            if explicit and cfg.optim.batch_size % data_ax != 0:
+                # the user ASKED for this axis; shrinking it silently would
+                # idle devices with only a log line — make them choose
+                raise ValueError(
+                    f"--mesh.data {data_ax} does not divide the batch size "
+                    f"({cfg.optim.batch_size}); adjust one of them (or drop "
+                    "--mesh.data to auto-fit)")
+            # auto data axis: shrink to the largest batch divisor
             while data_ax > 1 and cfg.optim.batch_size % data_ax != 0:
                 data_ax -= 1
             n_used = data_ax * model_ax
@@ -417,7 +436,12 @@ def fit(
         )
         start_epoch = manifest["epoch"] + 1
         best_val = manifest["best_val"]
-        log(f"Resumed from {cfg.resume} (epoch={start_epoch}, best={best_val:.4f})")
+        # restore the early-stop patience too: without it a resumed run
+        # would tolerate up to `patience` MORE non-improving epochs than an
+        # uninterrupted one
+        no_improve = int(manifest.get("no_improve", 0))
+        log(f"Resumed from {cfg.resume} (epoch={start_epoch}, "
+            f"best={best_val:.4f}, no_improve={no_improve})")
 
     cfg_json = dataclasses.asdict(cfg)
 
@@ -445,7 +469,10 @@ def fit(
         va = evaluate(eval_step, state.params, val_set, val_sampler, data_sharding)
 
         log(
-            f"Train: loss={tr['loss']:.6f} | mpjpe={tr['mpjpe']:.3f}\n"
+            f"Train: loss={tr['loss']:.6f}"
+            + (f" (2d {tr['l2d']:.6f})" if tr.get("l2d") else "")
+            + (f" (ar {tr['l_ar']:.6f})" if tr.get("l_ar") else "")
+            + f" | mpjpe={tr['mpjpe']:.3f}\n"
             f"Val:   loss={va['loss']:.6f} (3d {va['l3d']:.6f}) | mpjpe={va['mpjpe']:.3f}\n"
             f"Epoch time: {time.perf_counter()-t0:.2f}s",
             flush=True,
@@ -460,7 +487,8 @@ def fit(
         if improved:
             best_val = va["mpjpe"]
         if write_ckpt:
-            save_ckpt(cfg.outdir, "last", state, epoch, best_val, cfg_json)
+            save_ckpt(cfg.outdir, "last", state, epoch, best_val, cfg_json,
+                      extra={"no_improve": 0 if improved else no_improve + 1})
         if main:
             _append_metrics(
                 cfg.outdir,
