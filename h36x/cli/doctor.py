@@ -106,11 +106,93 @@ def _ckpt_info(path):
     return probe
 
 
+def _dedup_estimate(root, seq_len, stride, frame_skip):
+    """Predict the unique-frame scheduler's dedup ratio from pose pickles
+    alone (no video decode): the crop box of every window is a pure
+    function of its 2D-joint slice (h36x/extract/dedup.py keys the feature
+    cache on (frame, box)), so the achievable ratio is computable up front
+    — the number that decides whether --crop-scope video or --jitter-key
+    frame is worth turning on for a given dataset."""
+
+    def probe():
+        import numpy as np
+
+        from h36x.data.clips import scan_clips
+        from h36x.geometry.crop import compute_square_crop_from_2d
+
+        clips, gt_cache, _ = scan_clips(
+            root, subjects=_all_subjects(root), seq_len=seq_len,
+            stride=stride, frame_skip=frame_skip,
+        )
+        by_video: dict = {}
+        for ci in clips:
+            by_video.setdefault(ci.video_idx, []).append(ci)
+        unique = 0
+        total = 0
+        stable = 0
+        windows = 0
+        uniq_frames = 0  # distinct subsampled frames covered (video scope)
+        for cis in by_video.values():
+            j2d_all = gt_cache[cis[0].gt_path][1]
+            # image dims unknown without decode; boxes compare RELATIVELY,
+            # so a generous bound only affects the clamp at the edges
+            img_h = img_w = int(np.ceil(j2d_all.max() * 1.6)) + 8
+            seen = set()
+            frames = set()
+            prev = None
+            for ci in cis:
+                j2d = j2d_all[np.arange(ci.start, ci.end) * frame_skip]
+                box = compute_square_crop_from_2d(j2d, img_h, img_w)
+                bkey = tuple(int(v) for v in box[:3])
+                windows += 1
+                if prev is not None and bkey == prev:
+                    stable += 1
+                prev = bkey
+                for t in range(ci.start, ci.end):
+                    total += 1
+                    frames.add(t)
+                    if (t, bkey) not in seen:
+                        seen.add((t, bkey))
+                        unique += 1
+            uniq_frames += len(frames)
+        # per clip-frame device cost: cjitter always seq_len per clip +
+        # orig/hflip once per unique (frame, box); with --crop-scope video
+        # every frame has ONE box, so unique pairs == distinct frames
+        passes = (total + 2 * unique) / total
+        passes_vid = (total + 2 * uniq_frames) / total
+        return (f"{len(clips)} clips / {len(by_video)} videos: "
+                f"{100 * stable / max(windows - len(by_video), 1):.0f}% of "
+                f"consecutive windows share a box; unique (frame, box) = "
+                f"{unique}/{total} -> ~{3 / passes:.2f}x device dedup at "
+                f"--jitter-key clip ({passes:.2f} passes/clip-frame; "
+                f"--crop-scope video guarantees {3 / passes_vid:.2f}x)")
+
+    return probe
+
+
+def _all_subjects(root):
+    import os
+    import re
+
+    subs = []
+    for d in os.listdir(root):
+        m = re.fullmatch(r"S(\d+)", d)
+        if m:
+            subs.append(int(m.group(1)))
+    return sorted(subs)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--root", default="", help="feature-shard store to check")
     p.add_argument("--ckpt", default="",
                    help="checkpoint file or run directory to check")
+    p.add_argument("--dedup-estimate", default="",
+                   help="ingested clip tree: predict the unique-frame "
+                        "scheduler's dedup ratio from pose data (no decode)")
+    p.add_argument("--seq-len", type=int, default=40)
+    p.add_argument("--stride", type=int, default=5)
+    p.add_argument("--frame-skip", type=int, default=2)
     args = p.parse_args(argv)
 
     problems: list = []
@@ -125,6 +207,13 @@ def main(argv=None):
         _check(f"store {args.root}", _store_info(args.root), problems)
     if args.ckpt:
         _check(f"checkpoint {args.ckpt}", _ckpt_info(args.ckpt), problems)
+    if args.dedup_estimate:
+        _check(
+            f"dedup estimate {args.dedup_estimate}",
+            _dedup_estimate(args.dedup_estimate, args.seq_len, args.stride,
+                            args.frame_skip),
+            problems,
+        )
 
     if problems:
         raise SystemExit(f"doctor found problems: {', '.join(problems)}")

@@ -169,3 +169,47 @@ class TestDoctorCLI:
 
         with pytest.raises(SystemExit, match="problems"):
             main(["--ckpt", str(tmp_path / "nope.msgpack")])
+
+    def test_dedup_estimate(self, tmp_path, capsys):
+        """--dedup-estimate predicts the unique-frame scheduler's ratio from
+        pose pickles alone: constant joints -> every window shares one box
+        -> unique (frame, box) pairs == subsampled frames per video."""
+        import pickle
+
+        from h36x.cli.doctor import main
+
+        rng = np.random.default_rng(3)
+        n_frames = 40  # 20 subsampled at skip 2
+        for subject, action in ((1, "Walking_0"), (1, "Eating_0")):
+            cam_dir = tmp_path / f"S{subject}" / action / "cam_0"
+            cam_dir.mkdir(parents=True)
+            (cam_dir / "video.mp4").write_bytes(b"")  # probe never decodes
+            j3d = rng.normal(size=(n_frames, 17, 3)).astype(np.float32)
+            j2d = np.tile(
+                (rng.random((1, 17, 2)) * 40 + 12).astype(np.float32),
+                (n_frames, 1, 1),
+            )
+            with open(cam_dir / "gt_poses.pkl", "wb") as f:
+                pickle.dump({"2d": j2d, "3d": j3d}, f)
+            with open(cam_dir / "camera_wext.pkl", "wb") as f:
+                pickle.dump(
+                    {"f": np.array([90.0, 90.0]), "c": np.array([30.0, 33.0]),
+                     "k": np.zeros(5), "rt": np.eye(3), "t": np.zeros(3)}, f,
+                )
+
+        main(["--dedup-estimate", str(tmp_path),
+              "--seq-len", "8", "--stride", "2", "--frame-skip", "2"])
+        out = capsys.readouterr().out
+        assert "[ok] dedup estimate" in out
+        # 2 videos x 7 windows each; constant joints -> one box per video
+        assert "14 clips / 2 videos" in out
+        assert "100% of consecutive windows share a box" in out
+        # unique (frame, box) = 20 subsampled frames/video = 40 of 14*8=112
+        assert "unique (frame, box) = 40/112" in out
+        # passes = (112 + 2*40)/112 = 12/7 -> 3/(12/7) = 1.75x, and with
+        # one box/video already, --crop-scope video guarantees the same
+        assert "~1.75x device dedup" in out
+        assert "guarantees 1.75x" in out
+
+        with pytest.raises(SystemExit, match="problems"):
+            main(["--dedup-estimate", str(tmp_path / "empty")])
