@@ -47,6 +47,27 @@ def _machine_scoped_default() -> str:
     return os.path.expanduser(f"~/.cache/h36x_jax/{key}")
 
 
+def _forced_cpu_platform() -> bool:
+    """True when this process is pinned to the XLA:CPU backend (tests,
+    `dryrun_multichip`'s virtual-device mesh). CPU compiles are fast, and
+    XLA:CPU AOT cache loads warn "machine type doesn't match" even on the
+    SAME machine (the compile embeds LLVM tuning features like
+    prefer-no-gather that the loader's host probe never reports) — so the
+    persistent cache buys nothing on CPU and pollutes the driver's dryrun
+    tail with SIGILL-risk warnings."""
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return True
+    if "xla_force_host_platform_device_count" in os.environ.get(
+            "XLA_FLAGS", ""):
+        return True
+    try:
+        import jax
+
+        return str(jax.config.jax_platforms).strip().lower() == "cpu"
+    except Exception:
+        return False
+
+
 def setup_jax_cache(cache_dir: str | None = None) -> None:
     """Idempotent; call before the first jit compile. Honors
     H36X_JAX_CACHE_DIR (set empty to disable)."""
@@ -57,6 +78,8 @@ def setup_jax_cache(cache_dir: str | None = None) -> None:
     env = os.environ.get("H36X_JAX_CACHE_DIR")
     if cache_dir is None and env == "":
         return  # env kill-switch (explicit cache_dir still wins)
+    if cache_dir is None and not env and _forced_cpu_platform():
+        return  # TPU-only optimization; see _forced_cpu_platform
     path = cache_dir or env or _machine_scoped_default()
     try:
         import jax

@@ -49,3 +49,49 @@ class TestFeedTransform:
         )
         for i, (x,) in enumerate(out):
             np.testing.assert_allclose(np.asarray(x), np.ones((2, 2)) * i * 10)
+
+
+class TestJaxCacheScoping:
+    """setup_jax_cache must not enable the persistent cache on a forced-CPU
+    process: XLA:CPU AOT cache loads warn 'machine type doesn't match' even
+    same-machine (LLVM tuning features the host probe never reports), and
+    CPU compiles are cheap anyway."""
+
+    def test_forced_cpu_detected(self, monkeypatch):
+        from h36x.utils import runtime
+
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+        assert runtime._forced_cpu_platform()
+        monkeypatch.setenv("JAX_PLATFORMS", "")
+        monkeypatch.setenv(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+        assert runtime._forced_cpu_platform()
+        monkeypatch.setenv("XLA_FLAGS", "")
+        # conftest pins jax_platforms='cpu' for the whole suite, so the
+        # config probe must also report forced-CPU here
+        assert runtime._forced_cpu_platform()
+
+    def test_noop_under_cpu(self, monkeypatch, tmp_path):
+        import jax
+
+        from h36x.utils import runtime
+
+        monkeypatch.setattr(runtime, "_done", False)
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+        monkeypatch.delenv("H36X_JAX_CACHE_DIR", raising=False)
+        before = jax.config.jax_compilation_cache_dir
+        runtime.setup_jax_cache()
+        assert jax.config.jax_compilation_cache_dir == before
+
+        # an explicit cache_dir still wins (user opt-in)
+        monkeypatch.setattr(runtime, "_done", False)
+        runtime.setup_jax_cache(str(tmp_path / "cache"))
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cache")
+        jax.config.update("jax_compilation_cache_dir", before)
+
+    def test_machine_key_is_stable_and_scoped(self):
+        from h36x.utils.runtime import _machine_scoped_default
+
+        a = _machine_scoped_default()
+        assert a == _machine_scoped_default()
+        assert "h36x_jax" in a
