@@ -106,66 +106,99 @@ def _ckpt_info(path):
     return probe
 
 
+def dedup_stats(root, seq_len, stride, frame_skip):
+    """Unique-frame-scheduler dedup counts from pose pickles alone (no
+    video decode): the crop box of every window is a pure function of its
+    2D-joint slice plus the frame dims (h36x/extract/dedup.py keys the
+    feature cache on (frame, box)), and the dims follow from the camera's
+    principal point (c sits at ~the image center, so dims = 2c — exact for
+    the H36M cameras, and matching the real scheduler's edge clamping,
+    unlike any bound derived from the joint coordinates themselves).
+
+    Returns the counts; the derived ratios equal run_extract_dedup's
+    reported `dedup_ratio` exactly when the whole tree is extracted with
+    --augment (asserted by tests/test_dedup.py)."""
+    import numpy as np
+
+    from h36x.data.clips import scan_clips
+    from h36x.geometry.crop import compute_square_crop_from_2d
+
+    clips, gt_cache, _ = scan_clips(
+        root, subjects=_all_subjects(root), seq_len=seq_len,
+        stride=stride, frame_skip=frame_skip,
+    )
+    by_video: dict = {}
+    for ci in clips:
+        by_video.setdefault(ci.video_idx, []).append(ci)
+    unique = 0
+    total = 0
+    stable = 0
+    windows = 0
+    uniq_frames = 0  # distinct subsampled frames covered (video scope)
+    for cis in by_video.values():
+        j2d_all = gt_cache[cis[0].gt_path][1]
+        c = np.asarray(cis[0].cam_params.get("c", ()), np.float64).reshape(-1)
+        if c.size == 2 and np.all(c > 0):
+            img_w, img_h = int(round(2 * c[0])), int(round(2 * c[1]))
+        else:  # no principal point: generous bound, clamp only at edges
+            img_h = img_w = int(np.ceil(j2d_all.max() * 1.6)) + 8
+        seen = set()
+        frames = set()
+        prev = None
+        for ci in cis:
+            j2d = j2d_all[np.arange(ci.start, ci.end) * frame_skip]
+            box = compute_square_crop_from_2d(j2d, img_h, img_w)
+            bkey = tuple(int(v) for v in box[:3])
+            windows += 1
+            if prev is not None and bkey == prev:
+                stable += 1
+            prev = bkey
+            for t in range(ci.start, ci.end):
+                total += 1
+                frames.add(t)
+                if (t, bkey) not in seen:
+                    seen.add((t, bkey))
+                    unique += 1
+        uniq_frames += len(frames)
+    return {
+        "n_clips": len(clips), "n_videos": len(by_video), "total": total,
+        "unique": unique, "uniq_frames": uniq_frames, "stable": stable,
+        "windows": windows,
+    }
+
+
+def dedup_ratios(s: dict) -> dict:
+    """Device dedup vs the per-clip pipeline's 3 passes/clip-frame, per
+    mode. cjitter costs seq_len per clip at --jitter-key clip but is
+    cached like orig/hflip when re-keyed; --crop-scope video gives every
+    frame ONE box, so unique (frame, box) pairs == distinct frames."""
+    t, u, uf = s["total"], s["unique"], s["uniq_frames"]
+    return {
+        "clip": 3 * t / (t + 2 * u),
+        "crop_video": 3 * t / (t + 2 * uf),
+        "jitter_rekey": t / u,
+        "full": t / uf,
+    }
+
+
 def _dedup_estimate(root, seq_len, stride, frame_skip):
-    """Predict the unique-frame scheduler's dedup ratio from pose pickles
-    alone (no video decode): the crop box of every window is a pure
-    function of its 2D-joint slice (h36x/extract/dedup.py keys the feature
-    cache on (frame, box)), so the achievable ratio is computable up front
-    — the number that decides whether --crop-scope video or --jitter-key
-    frame is worth turning on for a given dataset."""
+    """The number that decides whether --crop-scope video or --jitter-key
+    video|frame is worth turning on for a given dataset (see dedup_stats)."""
 
     def probe():
-        import numpy as np
-
-        from h36x.data.clips import scan_clips
-        from h36x.geometry.crop import compute_square_crop_from_2d
-
-        clips, gt_cache, _ = scan_clips(
-            root, subjects=_all_subjects(root), seq_len=seq_len,
-            stride=stride, frame_skip=frame_skip,
-        )
-        by_video: dict = {}
-        for ci in clips:
-            by_video.setdefault(ci.video_idx, []).append(ci)
-        unique = 0
-        total = 0
-        stable = 0
-        windows = 0
-        uniq_frames = 0  # distinct subsampled frames covered (video scope)
-        for cis in by_video.values():
-            j2d_all = gt_cache[cis[0].gt_path][1]
-            # image dims unknown without decode; boxes compare RELATIVELY,
-            # so a generous bound only affects the clamp at the edges
-            img_h = img_w = int(np.ceil(j2d_all.max() * 1.6)) + 8
-            seen = set()
-            frames = set()
-            prev = None
-            for ci in cis:
-                j2d = j2d_all[np.arange(ci.start, ci.end) * frame_skip]
-                box = compute_square_crop_from_2d(j2d, img_h, img_w)
-                bkey = tuple(int(v) for v in box[:3])
-                windows += 1
-                if prev is not None and bkey == prev:
-                    stable += 1
-                prev = bkey
-                for t in range(ci.start, ci.end):
-                    total += 1
-                    frames.add(t)
-                    if (t, bkey) not in seen:
-                        seen.add((t, bkey))
-                        unique += 1
-            uniq_frames += len(frames)
-        # per clip-frame device cost: cjitter always seq_len per clip +
-        # orig/hflip once per unique (frame, box); with --crop-scope video
-        # every frame has ONE box, so unique pairs == distinct frames
-        passes = (total + 2 * unique) / total
-        passes_vid = (total + 2 * uniq_frames) / total
-        return (f"{len(clips)} clips / {len(by_video)} videos: "
-                f"{100 * stable / max(windows - len(by_video), 1):.0f}% of "
-                f"consecutive windows share a box; unique (frame, box) = "
-                f"{unique}/{total} -> ~{3 / passes:.2f}x device dedup at "
-                f"--jitter-key clip ({passes:.2f} passes/clip-frame; "
-                f"--crop-scope video guarantees {3 / passes_vid:.2f}x)")
+        s = dedup_stats(root, seq_len, stride, frame_skip)
+        r = dedup_ratios(s)
+        passes = (s["total"] + 2 * s["unique"]) / s["total"]
+        pairs = max(s["windows"] - s["n_videos"], 1)
+        return (f"{s['n_clips']} clips / {s['n_videos']} videos: "
+                f"{100 * s['stable'] / pairs:.0f}% of consecutive windows "
+                f"share a box; unique (frame, box) = "
+                f"{s['unique']}/{s['total']} -> ~{r['clip']:.2f}x device "
+                f"dedup at reference semantics ({passes:.2f} "
+                f"passes/clip-frame); --crop-scope video guarantees "
+                f"{r['crop_video']:.2f}x; --jitter-key video|frame -> "
+                f"{r['jitter_rekey']:.2f}x ({r['full']:.2f}x with "
+                f"--crop-scope video)")
 
     return probe
 

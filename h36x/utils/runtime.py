@@ -54,11 +54,15 @@ def _forced_cpu_platform() -> bool:
     SAME machine (the compile embeds LLVM tuning features like
     prefer-no-gather that the loader's host probe never reports) — so the
     persistent cache buys nothing on CPU and pollutes the driver's dryrun
-    tail with SIGILL-risk warnings."""
+    tail with SIGILL-risk warnings.
+
+    Note: XLA_FLAGS=--xla_force_host_platform_device_count only sizes the
+    CPU platform, it does NOT win backend selection (a real TPU plugin
+    still takes over) — so it is deliberately not treated as a CPU pin
+    here, or a TPU process with that flag exported in the shell would
+    silently lose the cache. Callers that force CPU *after* import
+    (dryrun_multichip) must call disable_jax_cache() themselves."""
     if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
-        return True
-    if "xla_force_host_platform_device_count" in os.environ.get(
-            "XLA_FLAGS", ""):
         return True
     try:
         import jax
@@ -66,6 +70,21 @@ def _forced_cpu_platform() -> bool:
         return str(jax.config.jax_platforms).strip().lower() == "cpu"
     except Exception:
         return False
+
+
+def disable_jax_cache() -> None:
+    """Turn the persistent cache OFF for this process, even if
+    setup_jax_cache already enabled it. For callers that repoint jax at
+    the CPU backend after import (dryrun_multichip): the import-time gate
+    in setup_jax_cache cannot see a platform switch that happens later."""
+    global _done
+    _done = True  # later setup_jax_cache() calls stay no-ops
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", None)
+    except Exception:
+        pass
 
 
 def setup_jax_cache(cache_dir: str | None = None) -> None:

@@ -210,6 +210,8 @@ class TestDoctorCLI:
         # one box/video already, --crop-scope video guarantees the same
         assert "~1.75x device dedup" in out
         assert "guarantees 1.75x" in out
+        # re-keyed jitter is cached too: 3*112/(3*40) = 2.8x
+        assert "--jitter-key video|frame -> 2.80x" in out
 
         with pytest.raises(SystemExit, match="problems"):
             main(["--dedup-estimate", str(tmp_path / "empty")])

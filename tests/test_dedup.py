@@ -370,3 +370,54 @@ def test_dedup_store_trains(tmp_path):
     feats, j3d, j2d, K = out[0]
     assert feats.shape == (8, 2048)
     assert np.all(np.isfinite(feats))
+
+
+def test_doctor_estimate_matches_measured_ratio(tmp_path, fake_backbone):
+    """The pose-only prediction (h36x-doctor --dedup-estimate) equals
+    run_extract_dedup's measured dedup_ratio in every mode — the 'matches
+    exactly' guarantee PARITY.md documents. The tree's cameras put the
+    principal point at the exact frame center so the doctor's 2c dims
+    reproduce the scheduler's edge clamping."""
+    cv2 = pytest.importorskip("cv2")
+    import pickle
+
+    from h36x.cli.doctor import dedup_ratios, dedup_stats
+    from h36x.data.clips import ClipDataset
+    from h36x.extract.dedup import run_extract_dedup
+
+    root = tmp_path / "ingested"
+    h = w = 64
+    n_frames = 28  # 14 subsampled frames at skip 2
+    rng = np.random.default_rng(11)
+    for subject, action in ((1, "Walking_0"), (5, "Eating_0")):
+        cam_dir = root / f"S{subject}" / action / "cam_0"
+        cam_dir.mkdir(parents=True)
+        vw = cv2.VideoWriter(str(cam_dir / "v.mp4"),
+                             cv2.VideoWriter_fourcc(*"mp4v"), 25, (w, h))
+        for _ in range(n_frames):
+            vw.write(rng.integers(0, 255, size=(h, w, 3)).astype(np.uint8))
+        vw.release()
+        base = rng.random((1, 17, 2)) * 30 + 14
+        drift = np.cumsum(rng.normal(0, 0.6, size=(n_frames, 1, 2)), axis=0)
+        j2d = np.clip(base + drift, 4, w - 4).astype(np.float32)
+        j3d = (rng.normal(size=(n_frames, 17, 3)) * 100).astype(np.float32)
+        with open(cam_dir / "gt_poses.pkl", "wb") as f:
+            pickle.dump({"2d": j2d, "3d": j3d}, f)
+        with open(cam_dir / "camera_wext.pkl", "wb") as f:
+            pickle.dump({"f": np.array([90.0, 90.0]),
+                         "c": np.array([w / 2, h / 2]),
+                         "k": np.zeros(5), "rt": np.eye(3),
+                         "t": np.zeros(3)}, f)
+
+    stats = dedup_stats(str(root), seq_len=8, stride=2, frame_skip=2)
+    pred = dedup_ratios(stats)
+    # drift makes the case non-degenerate: some windows share boxes, some
+    # don't, so all three mode predictions are distinct numbers
+    assert stats["uniq_frames"] < stats["unique"] < stats["total"]
+
+    for kw, key in (({}, "clip"),
+                    ({"crop_scope": "video"}, "crop_video"),
+                    ({"jitter_key": "frame"}, "jitter_rekey")):
+        ds = ClipDataset(str(root), subjects=[1, 5], seq_len=8, stride=2)
+        summary = run_extract_dedup(_cfg(tmp_path / f"store_{key}", **kw), ds)
+        assert summary["dedup_ratio"] == pytest.approx(pred[key], abs=1e-9), key

@@ -58,18 +58,44 @@ class TestJaxCacheScoping:
     CPU compiles are cheap anyway."""
 
     def test_forced_cpu_detected(self, monkeypatch):
+        import jax
+
         from h36x.utils import runtime
 
         monkeypatch.setenv("JAX_PLATFORMS", "cpu")
         assert runtime._forced_cpu_platform()
         monkeypatch.setenv("JAX_PLATFORMS", "")
-        monkeypatch.setenv(
-            "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-        assert runtime._forced_cpu_platform()
-        monkeypatch.setenv("XLA_FLAGS", "")
         # conftest pins jax_platforms='cpu' for the whole suite, so the
         # config probe must also report forced-CPU here
         assert runtime._forced_cpu_platform()
+        # XLA_FLAGS device-count alone must NOT count as a CPU pin: it only
+        # sizes the CPU platform, a TPU plugin still wins backend selection
+        monkeypatch.setenv(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+        prev = jax.config.jax_platforms
+        jax.config.update("jax_platforms", None)
+        try:
+            assert not runtime._forced_cpu_platform()
+        finally:
+            jax.config.update("jax_platforms", prev)
+
+    def test_disable_after_enable(self, monkeypatch, tmp_path):
+        """dryrun_multichip's pattern: cache enabled at import, platform
+        switched to CPU later -> disable_jax_cache must turn it off and
+        keep later setup_jax_cache calls no-ops."""
+        import jax
+
+        from h36x.utils import runtime
+
+        before = jax.config.jax_compilation_cache_dir
+        monkeypatch.setattr(runtime, "_done", False)
+        runtime.setup_jax_cache(str(tmp_path / "warm"))
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "warm")
+        runtime.disable_jax_cache()
+        assert jax.config.jax_compilation_cache_dir is None
+        runtime.setup_jax_cache(str(tmp_path / "again"))  # stays off
+        assert jax.config.jax_compilation_cache_dir is None
+        jax.config.update("jax_compilation_cache_dir", before)
 
     def test_noop_under_cpu(self, monkeypatch, tmp_path):
         import jax
