@@ -168,24 +168,33 @@ def _kernel(*refs, rows: int, w_img: int, n_strips: int, has_proj: bool):
     out_ref[0] = jnp.maximum(c + res, 0.0).astype(out_ref.dtype)
 
 
-def _strip_rows(h: int, w: int, c_in: int, c_mid: int, c_out: int) -> int:
+def _strip_rows(h: int, w: int, c_in: int, c_mid: int, c_out: int,
+                itemsize: int = 2) -> int:
     """Largest divisor R of H whose per-cell working set fits VMEM.
 
     Weights are resident regardless of the strip height, so they come off
-    the budget first; striping only shrinks the activation tensors."""
+    the budget first; striping only shrinks the activation tensors.
+    `itemsize` is x.dtype's byte width — weights and activations are cast
+    to x.dtype (fused_bottleneck), so an f32 call doubles both vs bf16."""
     budget = 14 * 1024 * 1024
     weights = (9 * c_mid * c_mid + c_in * c_mid + c_mid * c_out
-               + (c_in * c_out if c_in != c_out else 0)) * 2
+               + (c_in * c_out if c_in != c_out else 0)) * itemsize
+    if weights >= budget:
+        # striping only shrinks activations; no R can help
+        raise ValueError(
+            f"fused_bottleneck weights alone need {weights / 1e6:.1f} MB of "
+            f"VMEM at itemsize={itemsize} (C_in={c_in}, C_mid={c_mid}, "
+            f"C_out={c_out}) — cast x to bfloat16 or use the XLA path")
     for rows in sorted({d for d in range(1, h + 1) if h % d == 0},
                        reverse=True):
         rw = rows * w
         tensors = (
-            (rw + 2 * w) * c_in * 2          # xa strip (bf16)
-            + (rw + 2 * w) * c_mid * 2       # a
+            (rw + 2 * w) * c_in * itemsize   # xa strip (x.dtype)
+            + (rw + 2 * w) * c_mid * itemsize  # a
             + 3 * rw * c_mid * 4             # acc f32 + masks + shifted
-            + rw * 9 * c_mid * 2             # im2col scratch
+            + rw * 9 * c_mid * itemsize      # im2col scratch
             + 2 * rw * c_out * 4             # c + res f32
-            + rw * c_out * 2                 # out
+            + rw * c_out * itemsize          # out
         )
         # Mosaic's stack accounting runs ~2.1x past the static activation
         # estimate (measured 24.0M vs 11.3M at layer1_0 full-image); 2.5x
@@ -208,7 +217,13 @@ def fused_bottleneck(x, folded, *, h: int, w: int, interpret: bool = False,
     c_out = folded["w3"].shape[1]
     dt = x.dtype
 
-    rows = force_rows if force_rows else _strip_rows(h, w, c_in, c_mid, c_out)
+    if force_rows:
+        rows = force_rows
+    elif interpret:
+        # CPU emulation has no VMEM: one full-image strip, no halo logic
+        rows = h
+    else:
+        rows = _strip_rows(h, w, c_in, c_mid, c_out, jnp.dtype(dt).itemsize)
     n_strips = h // rows
     # halo granularity: smallest g with (g*W) % 8 == 0 that divides `rows`
     halo_g = 1

@@ -56,7 +56,8 @@ def _pad_cols(w, width):
     return jnp.pad(w, ((0, 0), (0, width - w.shape[1])))
 
 
-def _fused_forward(phi2d, w1, b1, w2, b2, w3, b3, iters, out_dim, tile_n):
+def _fused_forward(phi2d, w1, b1, w2, b2, w3, b3, iters, out_dim, tile_n,
+                   interpret=False):
     n, d = phi2d.shape
     hidden = w2.shape[0]
     n_pad = (n + tile_n - 1) // tile_n * tile_n
@@ -68,23 +69,26 @@ def _fused_forward(phi2d, w1, b1, w2, b2, w3, b3, iters, out_dim, tile_n):
     w3p = _pad_cols(w3, P_PAD)
     b3p = jnp.pad(b3, (0, P_PAD - b3.shape[0]))
 
+    # interpret mode (CPU tests) runs the SAME program; it only drops the
+    # VMEM placement hints, which the interpreter does not model
+    kw = dict(memory_space=pltpu.VMEM) if not interpret else {}
     grid = (n_pad // tile_n,)
     out = pl.pallas_call(
         functools.partial(_kernel, iters=iters),
         out_shape=jax.ShapeDtypeStruct((n_pad, P_PAD), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P_PAD, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden, P_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i: (i, 0), **kw),
+            pl.BlockSpec((d, hidden), lambda i: (0, 0), **kw),
+            pl.BlockSpec((P_PAD, hidden), lambda i: (0, 0), **kw),
+            pl.BlockSpec((1, hidden), lambda i: (0, 0), **kw),
+            pl.BlockSpec((hidden, hidden), lambda i: (0, 0), **kw),
+            pl.BlockSpec((1, hidden), lambda i: (0, 0), **kw),
+            pl.BlockSpec((hidden, P_PAD), lambda i: (0, 0), **kw),
+            pl.BlockSpec((1, P_PAD), lambda i: (0, 0), **kw),
         ],
-        out_specs=pl.BlockSpec((tile_n, P_PAD), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tile_n, P_PAD), lambda i: (i, 0), **kw),
+        interpret=interpret,
     )(
         phi_p, w1p, w1y, b1[None, :], w2, b2[None, :], w3p, b3p[None, :]
     )
@@ -118,39 +122,8 @@ def fused_joint_regressor(
             f"fused_joint_regressor pads the iterate to P_PAD={P_PAD} lanes "
             f"but out_dim={out_dim} exceeds it (joints_num > {P_PAD // 3}); "
             "use the jnp regressor path for larger joint sets")
-    if interpret:
-        # interpret mode routes through the same pallas program on CPU
-        return _fused_interpret(phi2d, w1, b1, w2, b2, w3, b3, iters, out_dim, tile_n)
-    return _fused_forward(phi2d, w1, b1, w2, b2, w3, b3, iters, out_dim, tile_n)
-
-
-def _fused_interpret(phi2d, w1, b1, w2, b2, w3, b3, iters, out_dim, tile_n):
-    n, d = phi2d.shape
-    hidden = w2.shape[0]
-    n_pad = (n + tile_n - 1) // tile_n * tile_n
-    phi_p = jnp.pad(phi2d, ((0, n_pad - n), (0, 0)))
-    w1p = w1[:d]
-    w1y = jnp.pad(w1[d:], ((0, P_PAD - (w1.shape[0] - d)), (0, 0)))
-    w3p = _pad_cols(w3, P_PAD)
-    b3p = jnp.pad(b3, (0, P_PAD - b3.shape[0]))
-    out = pl.pallas_call(
-        functools.partial(_kernel, iters=iters),
-        out_shape=jax.ShapeDtypeStruct((n_pad, P_PAD), jnp.float32),
-        grid=(n_pad // tile_n,),
-        in_specs=[
-            pl.BlockSpec((tile_n, d), lambda i: (i, 0)),
-            pl.BlockSpec((d, hidden), lambda i: (0, 0)),
-            pl.BlockSpec((P_PAD, hidden), lambda i: (0, 0)),
-            pl.BlockSpec((1, hidden), lambda i: (0, 0)),
-            pl.BlockSpec((hidden, hidden), lambda i: (0, 0)),
-            pl.BlockSpec((1, hidden), lambda i: (0, 0)),
-            pl.BlockSpec((hidden, P_PAD), lambda i: (0, 0)),
-            pl.BlockSpec((1, P_PAD), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((tile_n, P_PAD), lambda i: (i, 0)),
-        interpret=True,
-    )(phi_p, w1p, w1y, b1[None, :], w2, b2[None, :], w3p, b3p[None, :])
-    return out[:n, :out_dim]
+    return _fused_forward(phi2d, w1, b1, w2, b2, w3, b3, iters, out_dim,
+                          tile_n, interpret=interpret)
 
 
 def _bwd_kernel(phi_ref, w1p_ref, w1y_ref, b1_ref, w2_ref, b2_ref, w3_ref,

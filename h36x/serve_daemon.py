@@ -22,6 +22,10 @@ Wire protocol (both directions):
   8-byte big-endian header length | JSON header | raw payload bytes
   request header:  {"shape": [T, F], "dtype": "float32"}
   response header: {"shape": [T, J, 3], "dtype": "float32"} or {"error": m}
+  Rollout artifacts (h36x-export --forecast) return (ctx, future); the
+  daemon concatenates them along time into one payload and adds
+  {"split": T} so the client can separate context rows from forecast
+  rows — request_async returns the (ctx, future) pair in that case.
 
 `serve_forever` / `BatchingServer` are importable for embedding; the CLI
 lives in h36x/cli/serve.py (`h36x-serve`).
@@ -124,17 +128,16 @@ class BatchingServer:
                 self.stats["requests"] += 1
                 await self._queue.put((feats, fut))
                 try:
-                    joints = await fut
+                    joints, split = await fut
                 except Exception as e:  # batch failed; report, keep serving
                     _write_msg(writer, {"error": f"inference failed: {e}"})
                     await writer.drain()
                     continue
                 out = np.ascontiguousarray(joints, dtype=np.float32)
-                _write_msg(
-                    writer,
-                    {"shape": list(out.shape), "dtype": "float32"},
-                    out.tobytes(),
-                )
+                header = {"shape": list(out.shape), "dtype": "float32"}
+                if split is not None:  # rollout: ctx rows | forecast rows
+                    header["split"] = split
+                _write_msg(writer, header, out.tobytes())
                 await writer.drain()
         finally:
             writer.close()
@@ -156,44 +159,64 @@ class BatchingServer:
 
     # -- batcher ------------------------------------------------------------
 
+    def _run_batch(self, feats: np.ndarray):
+        """Device call (worker thread). Normalizes tuple outputs (rollout
+        artifacts return (ctx, future)) into one time-concatenated array
+        plus the context length, so one wire payload carries both."""
+        out = self.predict_fn(feats)
+        if isinstance(out, (tuple, list)):
+            parts = [np.asarray(p) for p in out]
+            return np.concatenate(parts, axis=1), int(parts[0].shape[1])
+        return np.asarray(out), None
+
     async def _batch_loop(self) -> None:
         loop = asyncio.get_running_loop()
         while True:
             items = [await self._queue.get()]
-            deadline = loop.time() + self.max_wait
-            while len(items) < self.max_batch:
-                timeout = deadline - loop.time()
-                if timeout <= 0:
-                    break
-                try:
-                    items.append(
-                        await asyncio.wait_for(self._queue.get(), timeout))
-                except asyncio.TimeoutError:
-                    break
-            feats = np.stack([f for f, _ in items])
-            n = feats.shape[0]
-            # bucket padding clamps at max_batch: a non-power-of-two cap
-            # must not round past itself into an unwarmed, oversized shape
-            target = self.pad_to or (
-                min(bucket_size(n), self.max_batch) if self.bucket_pad else n)
-            if n < target:
-                pad = np.zeros((target - n,) + feats.shape[1:], np.float32)
-                feats = np.concatenate([feats, pad])
             try:
-                # the device wait runs in a worker thread so the event loop
-                # keeps accepting (and queueing) requests for the next batch
-                joints = await loop.run_in_executor(
-                    None, lambda: np.asarray(self.predict_fn(feats)))
-            except Exception as e:
+                deadline = loop.time() + self.max_wait
+                while len(items) < self.max_batch:
+                    timeout = deadline - loop.time()
+                    if timeout <= 0:
+                        break
+                    try:
+                        items.append(
+                            await asyncio.wait_for(self._queue.get(), timeout))
+                    except asyncio.TimeoutError:
+                        break
+                feats = np.stack([f for f, _ in items])
+                n = feats.shape[0]
+                # bucket padding clamps at max_batch: a non-power-of-two cap
+                # must not round past itself into an unwarmed, oversized shape
+                target = self.pad_to or (
+                    min(bucket_size(n), self.max_batch) if self.bucket_pad
+                    else n)
+                if n < target:
+                    pad = np.zeros((target - n,) + feats.shape[1:], np.float32)
+                    feats = np.concatenate([feats, pad])
+                try:
+                    # the device wait runs in a worker thread so the event
+                    # loop keeps accepting (queueing) the next batch
+                    joints, split = await loop.run_in_executor(
+                        None, self._run_batch, feats)
+                except Exception as e:
+                    for _, fut in items:
+                        if not fut.done():
+                            fut.set_exception(RuntimeError(str(e)))
+                    continue
+                self.stats["batches"] += 1
+                self.stats["rows"] += n
+                for i, (_, fut) in enumerate(items):
+                    if not fut.done():
+                        fut.set_result((joints[i], split))
+            except asyncio.CancelledError:
+                # stop() cancelled us mid-batch: these items are already out
+                # of the queue, so stop()'s drain cannot reach them — fail
+                # them here or their clients hang on `await fut` forever
                 for _, fut in items:
                     if not fut.done():
-                        fut.set_exception(RuntimeError(str(e)))
-                continue
-            self.stats["batches"] += 1
-            self.stats["rows"] += n
-            for i, (_, fut) in enumerate(items):
-                if not fut.done():
-                    fut.set_result(joints[i])
+                        fut.set_exception(RuntimeError("server stopped"))
+                raise
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -229,8 +252,10 @@ class BatchingServer:
 
 async def request_async(feats: np.ndarray, host: Optional[str] = None,
                         port: Optional[int] = None,
-                        unix_path: Optional[str] = None) -> np.ndarray:
-    """One (T, F) request -> (T, J, 3) prediction."""
+                        unix_path: Optional[str] = None):
+    """One (T, F) request -> (T, J, 3) prediction, or — against a rollout
+    artifact server — the ((T, J, 3) context, (steps, J, 3) forecast)
+    pair (the response header's "split" marks the boundary)."""
     if unix_path:
         reader, writer = await asyncio.open_unix_connection(unix_path)
     else:
@@ -245,10 +270,14 @@ async def request_async(feats: np.ndarray, host: Optional[str] = None,
         writer.close()
     if "error" in header:
         raise RuntimeError(header["error"])
-    return np.frombuffer(payload, np.float32).reshape(header["shape"])
+    out = np.frombuffer(payload, np.float32).reshape(header["shape"])
+    split = header.get("split")
+    if split is not None:
+        return out[:split], out[split:]
+    return out
 
 
-def request(feats: np.ndarray, **kw) -> np.ndarray:
+def request(feats: np.ndarray, **kw):
     return asyncio.run(request_async(feats, **kw))
 
 

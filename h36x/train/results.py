@@ -122,6 +122,10 @@ def dump_result_batch(
     forward_fn optionally overrides the jitted (params, feats) -> joints
     forward (e.g. h36x.infer.make_fused_forward for the Pallas path)."""
     forward = forward_fn if forward_fn is not None else make_forward(model)
+    if not dataset.test_set:
+        raise ValueError(
+            "dump_result_batch needs clip meta (video lookup) — construct "
+            "the FeatureClipDataset with test_set=True")
     idx = list(range(min(batch_size, len(dataset))))
     feats, j3d, j2d, K, meta = dataset.get_batch(idx)
     pred = np.asarray(forward(params, jnp.asarray(feats)))
@@ -160,6 +164,10 @@ def dump_debug_batch(
     Saved under the reference's field names (video slot holds the features —
     the feature dataset has no pixels, exactly like the reference's dump).
     """
+    if not dataset.test_set:
+        raise ValueError(
+            "dump_debug_batch saves clip meta — construct the "
+            "FeatureClipDataset with test_set=True")
     idx = list(range(min(batch_size, len(dataset))))
     feats, j3d, j2d, K, meta = dataset.get_batch(idx)
     payload = {

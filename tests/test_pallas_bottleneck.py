@@ -112,3 +112,31 @@ class TestFusedBottleneck:
             force_rows=4,
         )).reshape(1, 8, 4, 64)
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_strip_rows_scales_with_itemsize():
+    """The VMEM budget must use the real element width: fused_bottleneck
+    casts weights AND activations to x.dtype, so an f32 call (itemsize 4)
+    may only get a strip height <= the bf16 one, never a taller strip that
+    would overflow VMEM."""
+    from h36x.ops.pallas_bottleneck import _strip_rows
+
+    for (h, w, ci, cm, co) in ((56, 56, 256, 64, 256),
+                               (28, 28, 512, 128, 512),
+                               (14, 14, 1024, 256, 1024)):
+        r2 = _strip_rows(h, w, ci, cm, co, itemsize=2)
+        r4 = _strip_rows(h, w, ci, cm, co, itemsize=4)
+        assert r4 <= r2, (h, r2, r4)
+        assert 1 <= r4 and h % r4 == 0
+
+
+def test_strip_rows_rejects_unfittable_f32_weights():
+    """layer4-scale channels at f32: resident weights alone exceed VMEM —
+    a clear error beats a cryptic halo failure downstream."""
+    import pytest as _pytest
+
+    from h36x.ops.pallas_bottleneck import _strip_rows
+
+    assert _strip_rows(7, 7, 2048, 512, 2048, itemsize=2) >= 1
+    with _pytest.raises(ValueError, match="bfloat16"):
+        _strip_rows(7, 7, 2048, 512, 2048, itemsize=4)

@@ -214,3 +214,63 @@ def test_build_predict_fn_from_checkpoint(model_and_params, tmp_path,
     f = np.random.default_rng(3).normal(size=(2, T, F)).astype(np.float32)
     np.testing.assert_allclose(np.asarray(fn(f)), np.asarray(predict_fn(f)),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_rollout_artifact_served(model_and_params):
+    """A forecast artifact (h36x-export --forecast) is servable: the daemon
+    concatenates (ctx, future) along time with a 'split' header and the
+    client gets the pair back, matching the artifact called directly."""
+    from h36x.export import export_rollout, load_artifact
+
+    _, params = model_and_params
+    steps = 3
+    blob = export_rollout(params, steps=steps, seq_len=T, feature_dim=F,
+                          platforms=("cpu",))
+    fn = load_artifact(blob)
+    server = BatchingServer(lambda feats: fn(feats), seq_len=T,
+                            feature_dim=F, max_batch=4, max_wait_ms=50.0,
+                            bucket_pad=True)
+    rng = np.random.default_rng(5)
+    feats = [rng.normal(size=(T, F)).astype(np.float32) for _ in range(2)]
+
+    async def clients(port):
+        return await asyncio.gather(*[
+            request_async(f, host="127.0.0.1", port=port) for f in feats
+        ])
+
+    results = _serve(server, clients)
+    want_ctx, want_fut = fn(np.stack(feats))
+    for i, (ctx, fut) in enumerate(results):
+        assert ctx.shape == (T, J, 3) and fut.shape == (steps, J, 3)
+        np.testing.assert_allclose(ctx, np.asarray(want_ctx)[i],
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(fut, np.asarray(want_fut)[i],
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_stop_fails_inflight_requests():
+    """stop() during a device call must fail the futures of the batch
+    already dequeued (stop()'s queue drain cannot reach them)."""
+    import threading
+
+    release = threading.Event()
+
+    def slow_predict(feats):
+        release.wait(10.0)
+        return np.zeros((feats.shape[0], T, J, 3), np.float32)
+
+    async def run():
+        server = BatchingServer(slow_predict, seq_len=T, feature_dim=F,
+                                max_batch=1, max_wait_ms=1.0)
+        server._batcher = asyncio.ensure_future(server._batch_loop())
+        fut = asyncio.get_running_loop().create_future()
+        await server._queue.put((np.zeros((T, F), np.float32), fut))
+        while not server._queue.empty():  # batcher took the item
+            await asyncio.sleep(0.01)
+        await asyncio.sleep(0.05)  # and is now inside run_in_executor
+        server.stop()
+        with pytest.raises(RuntimeError, match="server stopped"):
+            await asyncio.wait_for(fut, timeout=5.0)
+        release.set()
+
+    asyncio.run(run())
