@@ -84,13 +84,24 @@ def _ckpt_info(path):
         import json
         from pathlib import Path
 
+        def describe(man: dict) -> str:
+            # training manifests carry epoch/step/best_val; h36x-convert
+            # writes {converted_from, format} only — report what exists
+            # instead of KeyError-failing a perfectly loadable artifact
+            if "epoch" in man:
+                return (f"epoch {man['epoch']}, step {man.get('step', '?')}, "
+                        f"best_val {man.get('best_val', float('nan')):.4f}")
+            if "converted_from" in man:
+                return (f"converted from {man['converted_from']} "
+                        f"({man.get('format', 'unknown format')})")
+            return f"manifest keys: {sorted(man)}"
+
         p = Path(path)
         if p.is_dir():  # orbax directory or a run dir
             for name in ("last", "best"):
                 if (p / f"{name}.json").exists():
                     man = json.loads((p / f"{name}.json").read_text())
-                    return (f"{name}: epoch {man['epoch']}, step "
-                            f"{man['step']}, best_val {man['best_val']:.4f}")
+                    return f"{name}: {describe(man)}"
             raise FileNotFoundError("no last.json/best.json manifest found")
         man_path = p.with_suffix(".json")
         if not p.exists():
@@ -99,8 +110,7 @@ def _ckpt_info(path):
         detail = f"{size_mb:.1f} MB"
         if man_path.exists():
             man = json.loads(man_path.read_text())
-            detail += (f", epoch {man['epoch']}, step {man['step']}, "
-                       f"best_val {man['best_val']:.4f}")
+            detail += f", {describe(man)}"
         return detail
 
     return probe

@@ -101,14 +101,22 @@ def main(argv=None):
                     sp.freeze()
         out["predicted3djoints"] = preds
         mode = "streaming" + (" (frozen-stats O(1) push)" if args.freeze else "")
-    else:
-        steps = max(args.forecast, 1)
-        rollout = make_rollout_fn(steps, JOINTS_NUM, args.groups)
+    elif args.forecast > 0:
+        rollout = make_rollout_fn(args.forecast, JOINTS_NUM, args.groups)
         ctx, fut = rollout(params, jnp.asarray(feats))
         out["predicted3djoints"] = np.asarray(ctx, np.float32)
-        if args.forecast > 0:
-            out["future3djoints"] = np.asarray(fut, np.float32)
+        out["future3djoints"] = np.asarray(fut, np.float32)
         mode = f"batch rollout (+{args.forecast} future frames)"
+    else:
+        # --forecast 0: plain context forward — no point paying the AR
+        # rollout's masked-GN buffer for a future output we would discard
+        from h36x.infer import make_fused_forward
+
+        forward = make_fused_forward(JOINTS_NUM, args.groups,
+                                     use_pallas=False)
+        out["predicted3djoints"] = np.asarray(
+            forward(params, jnp.asarray(feats)), np.float32)
+        mode = "batch forward"
 
     import os
 

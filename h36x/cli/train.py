@@ -28,8 +28,10 @@ def main(argv=None):
         cfg.train_root,
         subjects=cfg.train_subjects,
         augment=True,
-        shard_cache_size=(cfg.data.shard_cache_size
-                          if cfg.data.shard_cache_size > 0 else 64),
+        # -1 is the auto sentinel; 0 is a VALID value (ShardReader's
+        # no-caching mode) and must not be coerced to the default
+        shard_cache_size=(64 if cfg.data.shard_cache_size < 0
+                          else cfg.data.shard_cache_size),
         log_loads_every=cfg.data.log_shard_loads,
     )
     val_set = FeatureClipDataset(val_root, subjects=cfg.val_subjects)

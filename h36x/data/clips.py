@@ -371,6 +371,13 @@ class ClipDataset:
         self.clips, self._gt_cache, self._cam_cache = scan_clips(
             root, subjects, seq_len, stride, frame_skip, cams, max_clips
         )
+        # video_idx -> any clip of that video: the dedup scheduler calls
+        # open_video/video_joints2d once per video, and a linear scan of
+        # the full clip list per call is O(n_videos * n_clips) on a real
+        # extraction (~840 videos x ~100k clips)
+        self._video_clip: Dict[int, ClipIndex] = {}
+        for ci in self.clips:
+            self._video_clip.setdefault(ci.video_idx, ci)
 
     def __len__(self):
         return len(self.clips)
@@ -402,18 +409,17 @@ class ClipDataset:
 
     def video_joints2d(self, video_idx: int) -> np.ndarray:
         """All subsampled-frame 2D joints of a video (crop_scope='video')."""
-        for ci in self.clips:
-            if ci.video_idx == video_idx:
-                j2d_all = self._gt_cache[ci.gt_path][1]
-                return j2d_all[:: self.frame_skip]
-        raise KeyError(f"no clips for video_idx={video_idx}")
+        ci = self._video_clip.get(video_idx)
+        if ci is None:
+            raise KeyError(f"no clips for video_idx={video_idx}")
+        return self._gt_cache[ci.gt_path][1][:: self.frame_skip]
 
     def open_video(self, video_idx: int) -> SequentialVideoCursor:
         """Sequential decode cursor for one video (dedup extraction path)."""
-        for ci in self.clips:
-            if ci.video_idx == video_idx:
-                return SequentialVideoCursor(ci.video_path, self.frame_skip)
-        raise KeyError(f"no clips for video_idx={video_idx}")
+        ci = self._video_clip.get(video_idx)
+        if ci is None:
+            raise KeyError(f"no clips for video_idx={video_idx}")
+        return SequentialVideoCursor(ci.video_path, self.frame_skip)
 
     def __getitem__(self, idx: int):
         ci = self.clips[idx]

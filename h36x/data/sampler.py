@@ -89,30 +89,27 @@ class MixedShardBatchSampler:
             total_left = sum(len(table[s]) - cursor[s] for s in live)
             if not live or (self.drop_last and total_left < self.batch_size):
                 # true drop_last semantics: only a final sub-batch_size
-                # remainder is ever dropped. (The reference stops as soon
-                # as fewer than k shards stay non-empty — samplers.py:48 —
-                # which on unbalanced stores silently drops every item
-                # still in the surviving shards and desynchronizes __len__;
-                # deliberate fix, like the drop_last=False drain.)
+                # remainder is ever dropped (see the top-up note below)
                 return
-            # drop_last=False drains the tail: once fewer than k shards
-            # remain, draw from all of them (smaller partial batches) so
-            # every item is yielded exactly once per epoch
             k_now = min(self.k, len(live))
             picks = rng.sample(live, k_now) if self.shuffle else live[:k_now]
             batch: List[int] = []
             for sid in picks:
                 take(sid, self.per_shard, batch)
-            if self.drop_last:
-                # unbalanced picks can come up short although the epoch has
-                # batch_size items left — top up from the other live shards
-                # so the batch (and __len__'s count) stays exact
-                while len(batch) < self.batch_size:
-                    live = remaining()
-                    if not live:
-                        break
-                    sid = rng.choice(live) if self.shuffle else live[0]
-                    take(sid, self.batch_size - len(batch), batch)
+            # Unbalanced picks can come up short although items remain
+            # live — top up from the other live shards, in BOTH drop_last
+            # modes, so a sub-batch_size batch only ever appears as the
+            # single final tail (drop_last=False) and __len__'s count is
+            # exact: ceil(n/B) without, n//B with. (The reference instead
+            # stops as soon as fewer than k shards stay non-empty —
+            # samplers.py:48 — silently dropping every item left in the
+            # surviving shards; deliberate fix.)
+            while len(batch) < self.batch_size:
+                live = remaining()
+                if not live:
+                    break
+                sid = rng.choice(live) if self.shuffle else live[0]
+                take(sid, self.batch_size - len(batch), batch)
             if len(batch) == self.batch_size or not self.drop_last:
                 yield batch
 

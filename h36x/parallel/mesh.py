@@ -89,16 +89,13 @@ def param_sharding_rules(path: str, leaf, mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def _flatten_paths(tree):
-    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
-    out = []
-    for keypath, leaf in flat:
-        parts = []
-        for k in keypath:
-            name = getattr(k, "key", getattr(k, "idx", None))
-            parts.append(str(name))
-        out.append(("/".join(parts), leaf))
-    return out
+def _key_path_str(keypath) -> str:
+    """jax key path -> the "layer/sub/kernel" string _TP_RULES match on.
+    The single source of truth — shard_params and param_shardings MUST
+    derive paths identically or the TP rules silently stop matching."""
+    return "/".join(
+        str(getattr(k, "key", getattr(k, "idx", ""))) for k in keypath
+    )
 
 
 def shard_params(params, mesh: Mesh):
@@ -106,8 +103,7 @@ def shard_params(params, mesh: Mesh):
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     leaves = []
     for keypath, leaf in flat:
-        path = "/".join(str(getattr(k, "key", getattr(k, "idx", ""))) for k in keypath)
-        sharding = param_sharding_rules(path, leaf, mesh)
+        sharding = param_sharding_rules(_key_path_str(keypath), leaf, mesh)
         leaves.append(jax.device_put(leaf, sharding))
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
@@ -117,6 +113,6 @@ def param_shardings(params, mesh: Mesh):
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     shardings = []
     for keypath, leaf in flat:
-        path = "/".join(str(getattr(k, "key", getattr(k, "idx", ""))) for k in keypath)
-        shardings.append(param_sharding_rules(path, leaf, mesh))
+        shardings.append(
+            param_sharding_rules(_key_path_str(keypath), leaf, mesh))
     return jax.tree_util.tree_unflatten(treedef, shardings)

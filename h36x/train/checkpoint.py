@@ -171,6 +171,27 @@ def _orbax_dir(directory: Path, name: str) -> Optional[Path]:
     return None
 
 
+def _read_manifest(directory: Path, name: str) -> dict:
+    """Manifest for `name`, degrading gracefully when it is absent.
+
+    A checkpoint blob without <name>.json happens legitimately: legacy
+    un-slotted orbax dirs predate manifests, and a crash between the
+    msgpack write and the manifest write leaves exactly this state. The
+    params are intact either way, so restore them with neutral counters
+    (epoch 0, best_val inf — the schedule restarts) instead of crashing
+    after the expensive restore; "manifest_missing" flags the degradation.
+    """
+    manifest_path = directory / f"{name}.json"
+    if manifest_path.exists():
+        with open(manifest_path) as f:
+            return json.load(f)
+    print(f"WARNING: checkpoint '{name}' has no manifest under {directory} "
+          "(legacy layout or a save crashed before committing it); "
+          "resuming params with epoch 0 counters")
+    return {"epoch": 0, "step": 0, "best_val": float("inf"),
+            "manifest_missing": True}
+
+
 def _load_checkpoint_orbax(directory, name: str, template: TrainState):
     import orbax.checkpoint as ocp
 
@@ -184,9 +205,7 @@ def _load_checkpoint_orbax(directory, name: str, template: TrainState):
     )
     with ocp.StandardCheckpointer() as ckptr:
         state = ckptr.restore(ckpt_dir.absolute(), abstract)
-    with open(directory / f"{name}.json") as f:
-        manifest = json.load(f)
-    return state, manifest
+    return state, _read_manifest(directory, name)
 
 
 def load_checkpoint(directory, name: str, template: TrainState):
@@ -221,9 +240,7 @@ def load_checkpoint(directory, name: str, template: TrainState):
         with open(directory / f"{name}.msgpack", "rb") as f:
             blob = f.read()
         state = serialization.from_bytes(template, blob)
-        with open(directory / f"{name}.json") as f:
-            manifest = json.load(f)
-        return state, manifest
+        return state, _read_manifest(directory, name)
     if (directory / name).is_dir():
         return _load_checkpoint_orbax(directory, name, template)
     raise FileNotFoundError(

@@ -170,6 +170,21 @@ class TestDoctorCLI:
         with pytest.raises(SystemExit, match="problems"):
             main(["--ckpt", str(tmp_path / "nope.msgpack")])
 
+    def test_converted_checkpoint_manifest(self, tmp_path, capsys):
+        """h36x-convert manifests carry {converted_from, format} instead of
+        epoch/step/best_val — doctor must describe them, not KeyError-fail
+        a perfectly loadable artifact."""
+        import json
+
+        from h36x.cli.doctor import main
+
+        (tmp_path / "best.msgpack").write_bytes(b"\x00" * 128)
+        (tmp_path / "best.json").write_text(json.dumps(
+            {"converted_from": "ref/last.pt", "format": "torch"}))
+        main(["--ckpt", str(tmp_path / "best.msgpack")])
+        out = capsys.readouterr().out
+        assert "converted from ref/last.pt (torch)" in out
+
     def test_dedup_estimate(self, tmp_path, capsys):
         """--dedup-estimate predicts the unique-frame scheduler's ratio from
         pose pickles alone: constant joints -> every window shares one box

@@ -112,6 +112,31 @@ class TestCheckpointManifest:
         assert manifest["step"] == 0
         assert manifest["config"]["optim"]["lr"] == 1e-3
 
+    def test_missing_manifest_degrades_not_crashes(self, tmp_path, capsys):
+        """A msgpack without <name>.json (crash between blob write and
+        manifest write, or a hand-copied artifact) restores the params
+        with neutral counters instead of FileNotFoundError."""
+        import jax
+        import jax.numpy as jnp
+
+        from h36x.models.phd import PHDFor3DJoints
+        from h36x.train import checkpoint as ckpt
+        from h36x.train.state import create_train_state, make_optimizer
+
+        model = PHDFor3DJoints(latent_dim=64, feature_dim=32, number_blocks=1)
+        optimizer, _ = make_optimizer(lr=1e-3)
+        state = create_train_state(model, optimizer, jax.random.key(0),
+                                   jnp.zeros((1, 4, 32)))
+        ckpt.save_checkpoint(tmp_path, "last", state, epoch=7, best_val=0.5,
+                             config={})
+        (tmp_path / "last.json").unlink()  # simulate the crash window
+        restored, manifest = ckpt.load_checkpoint(tmp_path, "last", state)
+        assert manifest["manifest_missing"] and manifest["epoch"] == 0
+        assert "no manifest" in capsys.readouterr().out
+        a = jax.tree.leaves(state.params)[0]
+        b = jax.tree.leaves(restored.params)[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 class TestFeatureStoreDtypes:
     def test_float16_store_reads_as_f32(self, tmp_path, rng):

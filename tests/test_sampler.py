@@ -66,8 +66,16 @@ class TestMixedShardBatchSampler:
         ds = Unbalanced()
         s = MixedShardBatchSampler(ds, batch_size=8, shards_per_batch=2,
                                    drop_last=False, seed=0)
-        seen = [i for b in s for i in b]
+        batches = list(s)
+        seen = [i for b in batches for i in b]
         assert sorted(seen) == list(range(len(ds)))  # nothing dropped
+        # partial batches only as the single final tail: an unbalanced pick
+        # (small shard nearly empty) is topped up from other live shards,
+        # so __len__ == ceil(n/B) is exact and consumers pairing the
+        # sampler with len() (tqdm, fixed-step schedules) see every batch
+        assert [len(b) for b in batches[:-1]] == [8] * (len(batches) - 1)
+        assert len(batches[-1]) == len(ds) % 8 or len(batches[-1]) == 8
+        assert len(batches) == len(s) == (len(ds) + 7) // 8
 
         s_drop = MixedShardBatchSampler(ds, batch_size=8, shards_per_batch=2,
                                         drop_last=True, seed=0)
