@@ -177,9 +177,6 @@ def color_jitter(
 # re-quantized to u8 for transfer (max error 1/510, below jpeg noise).
 # ---------------------------------------------------------------------------
 
-_GRAY_NP = np.array([0.2989, 0.587, 0.114], dtype=np.float32)
-
-
 def _np_blend(a, b, factor):
     return np.clip(factor * a + (1.0 - factor) * b, 0.0, 1.0)
 
@@ -255,10 +252,10 @@ def apply_jitter_params(video01: np.ndarray, params) -> np.ndarray:
         if op == 0:
             v = np.clip(v * fb, 0.0, 1.0)
         elif op == 1:
-            gray_mean = (v @ _GRAY_NP).mean(axis=(-2, -1), keepdims=True)[..., None]
+            gray_mean = (v @ _GRAY).mean(axis=(-2, -1), keepdims=True)[..., None]
             v = _np_blend(v, gray_mean, fc)
         elif op == 2:
-            v = _np_blend(v, (v @ _GRAY_NP)[..., None], fs)
+            v = _np_blend(v, (v @ _GRAY)[..., None], fs)
         else:
             try:
                 v = _np_hue_cv2(v.reshape((-1,) + v.shape[-3:]), fh).reshape(v.shape)

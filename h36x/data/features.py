@@ -103,6 +103,10 @@ class FeatureClipDataset:
         joints3d are converted mm -> m here, matching __getitem__.
         """
         n = len(indices)
+        if n == 0:
+            # next(iter({})) below would raise a bare StopIteration, which
+            # PEP 479 turns into an opaque RuntimeError inside generator feeds
+            raise ValueError("get_batch() called with no indices")
         by_shard: dict = {}
         for pos, idx in enumerate(indices):
             clip, var = self._items[idx]

@@ -27,6 +27,7 @@ Design choices:
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 from typing import Callable, Sequence
 
@@ -155,8 +156,10 @@ def artifact_info(src) -> dict:
 def save_artifact(blob: bytes, path) -> Path:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    tmp = str(path) + ".tmp"
+    # pid-suffixed so two exporters racing on the same path each publish a
+    # complete blob (a shared ".tmp" lets A rename the file B is mid-write)
+    tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
         f.write(blob)
-    Path(tmp).rename(path)
+    os.replace(tmp, path)
     return path

@@ -51,6 +51,11 @@ class AsyncWriter:
             raise RuntimeError("async writer failed") from self._err
 
     def stop(self) -> None:
-        self.wait()
-        self._q.put(None)
-        self._thread.join()
+        # The sentinel + join must run even when wait() raises a prior task's
+        # failure — otherwise the worker thread leaks blocked on q.get()
+        # forever and error-path cleanup can never shut the writer down.
+        try:
+            self.wait()
+        finally:
+            self._q.put(None)
+            self._thread.join()

@@ -123,7 +123,9 @@ def hflip_clip(frames: np.ndarray, n_threads: int = 4) -> np.ndarray:
     lib = load()
     if lib is None:
         raise RuntimeError("native library unavailable")
-    out = np.ascontiguousarray(frames, dtype=np.uint8).copy()
+    # np.array always copies exactly once; ascontiguousarray(...).copy()
+    # would copy twice for strided/non-u8 input
+    out = np.array(frames, dtype=np.uint8, order="C")
     t, h, w, _ = out.shape
     lib.h36x_hflip_clip_u8(out.ctypes.data, t, h, w, n_threads)
     return out
@@ -136,11 +138,16 @@ def bcs_jitter_clip(
     lib = load()
     if lib is None:
         raise RuntimeError("native library unavailable")
-    out = np.ascontiguousarray(frames, dtype=np.uint8).copy()
+    out = np.array(frames, dtype=np.uint8, order="C")
     t, h, w, _ = out.shape
-    order_arr = np.asarray(order, dtype=np.int32)
-    lib.h36x_bcs_jitter_u8(
+    order_arr = np.ascontiguousarray(order, dtype=np.int32)
+    rc = lib.h36x_bcs_jitter_u8(
         out.ctypes.data, t, h, w, float(fb), float(fc), float(fs),
         order_arr.ctypes.data, len(order_arr), n_threads,
     )
+    if rc != 0:
+        raise ValueError(
+            f"bcs_jitter_clip: unknown op in order={list(order_arr)} "
+            "(only 0=brightness, 1=contrast, 2=saturation; hue is host-side)"
+        )
     return out

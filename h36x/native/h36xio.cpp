@@ -145,6 +145,12 @@ int h36x_hflip_clip_u8(uint8_t* data, int T, int H, int W, int n_threads) {
 // order given by order[0..2] (0=brightness, 1=contrast, 2=saturation).
 int h36x_bcs_jitter_u8(uint8_t* data, int T, int H, int W, float fb, float fc,
                        float fs, const int* order, int n_ops, int n_threads) {
+  // reject unknown ops up front: sample_jitter_params orderings include
+  // hue (op 3), which this b/c/s-only kernel must not silently run as a
+  // second saturation pass
+  for (int oi = 0; oi < n_ops; ++oi) {
+    if (order[oi] < 0 || order[oi] > 2) return 1;
+  }
   const size_t npix = static_cast<size_t>(H) * W;
   const size_t frame = npix * 3;
   parallel_for(T, n_threads, [&](int t) {
@@ -167,7 +173,7 @@ int h36x_bcs_jitter_u8(uint8_t* data, int T, int H, int W, float fb, float fc,
           float v = fc * f[i] + (1.0f - fc) * mean;
           f[i] = static_cast<uint8_t>(std::min(std::max(v, 0.0f), 255.0f) + 0.5f);
         }
-      } else {  // saturation: blend with per-pixel gray
+      } else {  // op == 2 (validated above) — saturation: per-pixel gray blend
         for (size_t i = 0; i < npix; ++i) {
           uint8_t* p = f + i * 3;
           const float gray = 0.2989f * p[0] + 0.587f * p[1] + 0.114f * p[2];

@@ -16,6 +16,7 @@ per cell.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -73,9 +74,16 @@ def _kernel(x_ref, scale_ref, bias_ref, w_ref, cb_ref, res_ref, out_ref,
         if shift == 0:
             xs = xn
         else:
-            # left edge pad: rows [0]*shift + rows [0 : T-shift]
-            head = jnp.broadcast_to(xn[0:1], (shift, d))
-            xs = jnp.concatenate([head, xn[: t_len - shift]], axis=0)
+            # left edge pad: rows [0]*shift + rows [0 : T-shift]. For
+            # clips shorter than the shift (T <= K-2) every row clamps to
+            # row 0 — the unclamped t_len-shift would go negative and
+            # Python-slice to the wrong row count.
+            head_n = min(shift, t_len)
+            head = jnp.broadcast_to(xn[0:1], (head_n, d))
+            if t_len > shift:
+                xs = jnp.concatenate([head, xn[: t_len - shift]], axis=0)
+            else:
+                xs = head
         acc = acc + _dot32(xs, w_ref[k], precise)
     acc = acc + cb_ref[:]
     if has_residual:
@@ -97,7 +105,9 @@ def _fwd_tile_o(d: int, d_out: int, t_len: int, k_taps: int, precise: bool):
         act_bytes = (t_len * d * (3 if precise else 1) + 2 * t_len * tile) * 4
         if w_bytes + act_bytes <= budget:
             return tile
-    return min(32, d_out)
+    # last resort must still DIVIDE d_out (the caller raises otherwise):
+    # largest power-of-two divisor <= 32, degrading to 1 for odd widths
+    return math.gcd(d_out, 32)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))

@@ -34,6 +34,21 @@ class TestAsyncWriter:
         with pytest.raises(RuntimeError):
             w.wait()
 
+    def test_stop_after_error_joins_thread(self):
+        """stop() must enqueue the shutdown sentinel and join even when a
+        prior task failed — otherwise the worker thread leaks blocked on
+        q.get() and error-path cleanup can never shut the writer down."""
+        w = AsyncWriter()
+
+        def boom():
+            raise ValueError("disk full")
+
+        w.submit(boom)
+        with pytest.raises(RuntimeError):
+            w.stop()
+        w._thread.join(timeout=5)
+        assert not w._thread.is_alive()
+
     def test_wait_blocks_until_done(self):
         w = AsyncWriter()
         done = []
@@ -347,6 +362,8 @@ def test_extracted_store_trains(tmp_path):
     run_extract(cfg, dataset=FakeClipDataset(n_clips=6))
 
     ds = FeatureClipDataset(tmp_path / "out")
+    with pytest.raises(ValueError, match="no indices"):
+        ds.get_batch([])  # was a bare StopIteration (opaque inside feeds)
     feats, j3d, j2d, K = ds.get_batch(list(range(4)))
 
     model = PHDFor3DJoints(latent_dim=64, feature_dim=2048, number_blocks=1)

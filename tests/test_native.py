@@ -69,6 +69,14 @@ class TestBcsJitter:
         assert np.abs(got[..., 0].astype(int) - got[..., 1].astype(int)).max() <= 1
         assert np.abs(got[..., 1].astype(int) - got[..., 2].astype(int)).max() <= 1
 
+    def test_unknown_op_rejected(self, lib, rng):
+        """A full sample_jitter_params ordering includes hue (op 3); the
+        b/c/s-only native kernel must reject it, not silently run it as a
+        second saturation pass."""
+        frames = rng.integers(0, 255, size=(1, 4, 4, 3)).astype(np.uint8)
+        with pytest.raises(ValueError, match="unknown op"):
+            native.bcs_jitter_clip(frames, 1.1, 1.1, 1.1, order=[0, 1, 2, 3])
+
     def test_contrast_blends_toward_mean(self, lib):
         frames = np.zeros((1, 4, 4, 3), np.uint8)
         frames[0, :2] = 200  # half bright, half dark

@@ -95,6 +95,33 @@ class TestFusedTemporal:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("t", [1, 2, 3])
+    def test_short_clips_match_reference(self, rng, t):
+        """Clips with T <= K-1 clamp every causal tap to row 0 (replicate
+        padding); the unclamped tap view built a wrong row count for
+        T <= K-2 and crashed where the XLA path worked."""
+        b, d = 2, 64
+        x = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+        scale = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+        w = jnp.asarray((rng.normal(size=(3, d, d)) * 0.1).astype(np.float32))
+        cb = jnp.asarray((rng.normal(size=(d,)) * 0.1).astype(np.float32))
+        got = fused_gn_relu_cconv(x, scale, bias, w, cb, groups=8,
+                                  tile_o=32, interpret=True)
+        want = reference_gn_relu_cconv(x, scale, bias, w, cb, groups=8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_tile_fallback_divides_d_out(self):
+        """When no candidate tile fits the VMEM budget, the fallback must
+        still divide d_out (the entry point raises otherwise)."""
+        from h36x.ops.pallas_temporal import _fwd_tile_o
+
+        for d_out in (40, 17, 24, 96):
+            tile = _fwd_tile_o(d=4096, d_out=d_out, t_len=4096, k_taps=3,
+                               precise=True)
+            assert d_out % tile == 0, (d_out, tile)
+
     def test_residual_add(self, inputs, rng):
         x, scale, bias, w, cb = (jnp.asarray(v) for v in inputs)
         res = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
