@@ -279,14 +279,34 @@ def color_jitter_host(
     )
 
 
+def jitter_u8(crops_u8: np.ndarray, params, n_threads: int = 4) -> np.ndarray:
+    """(T, H, W, 3) u8 -> jittered u8, one quantize at the end.
+
+    The single entry point both extraction schedulers use for the jittered
+    variant, so a run's store is internally byte-consistent whichever
+    backend is picked: the fused native kernel (h36x/native, no clip-sized
+    f32 temporaries, GIL-free threading — the numpy chain below is the
+    dominant host cost of the default --jitter-key clip schedule), or the
+    numpy/cv2 chain when the library is unavailable (same math within u8
+    rounding; the two backends may differ by +-1 on rint-boundary pixels,
+    which is why call sites must not mix them within one store).
+    """
+    from h36x import native
+
+    if native.jitter_available():
+        return native.jitter_clip_u8(crops_u8, params, n_threads=n_threads)
+    video01 = crops_u8.astype(np.float32) * (1.0 / 255.0)
+    out = apply_jitter_params(video01, params)
+    return np.clip(np.rint(out * 255.0), 0, 255).astype(np.uint8)
+
+
 def make_clip_variants_u8(crops_u8: np.ndarray, rng: np.random.Generator):
     """(T, o, o, 3) u8 person crops -> (orig, cjitter, hflip) u8 stack.
 
     Pixel-side half of the 4-variant suite (temporal-reverse needs no pixel
     work — its features are orig's reversed). Returns (3, T, o, o, 3) u8.
     """
-    video01 = crops_u8.astype(np.float32) * (1.0 / 255.0)
-    cj = np.clip(np.rint(color_jitter_host(video01, rng) * 255.0), 0, 255).astype(np.uint8)
+    cj = jitter_u8(crops_u8, sample_jitter_params(rng))
     hf = crops_u8[:, :, ::-1, :]
     return np.stack([crops_u8, cj, hf])
 

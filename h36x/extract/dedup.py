@@ -55,8 +55,8 @@ import numpy as np
 from h36x.config import ExtractConfig
 from h36x.data.augment import (
     AUG_NAMES,
-    apply_jitter_params,
     hflip_joints,
+    jitter_u8,
     reverse_joints,
     sample_jitter_params,
 )
@@ -104,10 +104,6 @@ def _frame_jitter_rng(seed: int, video_idx: int, frame_idx: int):
 
 def _video_jitter_rng(seed: int, video_idx: int):
     return np.random.default_rng(seed * 2_000_003 + video_idx)
-
-
-def _quantize_u8(video01: np.ndarray) -> np.ndarray:
-    return np.clip(np.rint(video01 * 255.0), 0, 255).astype(np.uint8)
 
 
 def _video_worker(
@@ -206,12 +202,7 @@ def _video_worker(
                     rng = np.random.default_rng(
                         cfg.shuffle_seed * 1_000_003 + i
                     )
-                    job.cj_window = _quantize_u8(
-                        apply_jitter_params(
-                            window.astype(np.float32) * (1.0 / 255.0),
-                            sample_jitter_params(rng),
-                        )
-                    )
+                    job.cj_window = jitter_u8(window, sample_jitter_params(rng))
                 else:
                     for t, k in enumerate(keys):
                         if k in seen_cj:
@@ -226,12 +217,7 @@ def _video_worker(
                                 )
                             )
                         )
-                        cj = _quantize_u8(
-                            apply_jitter_params(
-                                window[t].astype(np.float32) * (1.0 / 255.0),
-                                params,
-                            )
-                        )
+                        cj = jitter_u8(window[t : t + 1], params)[0]
                         job.cj_miss.append((k, cj))
             put(("job", job))
         put(("done", None))

@@ -85,6 +85,16 @@ def _load_locked() -> Optional[ctypes.CDLL]:
         ctypes.c_float, ctypes.c_float, ctypes.c_float,
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
     ]
+    try:  # ABI >= 2; a stale .so (failed rebuild) degrades to numpy jitter
+        lib.h36x_jitter_clip_u8.restype = ctypes.c_int
+        lib.h36x_jitter_clip_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ]
+    except AttributeError:
+        lib._h36x_no_full_jitter = True
     _lib = lib
     _tried = True  # after _lib: the unlocked fast path keys on _tried
     return _lib
@@ -149,5 +159,42 @@ def bcs_jitter_clip(
         raise ValueError(
             f"bcs_jitter_clip: unknown op in order={list(order_arr)} "
             "(only 0=brightness, 1=contrast, 2=saturation; hue is host-side)"
+        )
+    return out
+
+
+def jitter_available() -> bool:
+    """True when the full-jitter kernel (ABI >= 2) is loadable."""
+    lib = load()
+    return lib is not None and not getattr(lib, "_h36x_no_full_jitter", False)
+
+
+def jitter_clip_u8(frames: np.ndarray, params, n_threads: int = 4) -> np.ndarray:
+    """Full 4-op photometric jitter on (T,H,W,3) u8 frames.
+
+    Native mirror of `augment.apply_jitter_params` on `frames/255` followed
+    by one round-half-even quantize: the f32 chain (brightness, contrast,
+    saturation, HSV hue in the sampled order) runs fused per frame with no
+    clip-sized temporaries and releases the GIL across worker threads.
+    `params` is a `sample_jitter_params` tuple (order, fb, fc, fs, fh).
+    """
+    lib = load()
+    if lib is None or getattr(lib, "_h36x_no_full_jitter", False):
+        raise RuntimeError("native full-jitter kernel unavailable")
+    order, fb, fc, fs, fh = params
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    t, h, w, c = frames.shape
+    assert c == 3
+    out = np.empty_like(frames)
+    order_arr = np.ascontiguousarray(order, dtype=np.int32)
+    rc = lib.h36x_jitter_clip_u8(
+        frames.ctypes.data, out.ctypes.data, t, h, w,
+        float(fb), float(fc), float(fs), float(fh),
+        order_arr.ctypes.data, len(order_arr), n_threads,
+    )
+    if rc != 0:
+        raise ValueError(
+            f"jitter_clip_u8: unknown op in order={list(order_arr)} "
+            "(valid: 0=brightness, 1=contrast, 2=saturation, 3=hue)"
         )
     return out

@@ -82,6 +82,120 @@ void resize_frame(const uint8_t* src, int H, int W, const Grid& gy,
   }
 }
 
+// HSV hue shift over deinterleaved channel planes, mirroring
+// augment._np_hue op-for-op (see h36x_jitter_clip_u8). A free function with
+// __restrict planes so the vectorizer sees independent unit-stride streams;
+// `#pragma omp simd` if-converts the select chains.
+void hue_shift_planar(float* __restrict R, float* __restrict G,
+                      float* __restrict B, size_t npix, float fh) {
+#pragma omp simd
+  for (size_t i = 0; i < npix; ++i) {
+    const float r = R[i], g = G[i], b = B[i];
+    const float maxc = std::max(r, std::max(g, b));
+    const float minc = std::min(r, std::min(g, b));
+    const float rng = maxc - minc;
+    const float sat = maxc > 0.0f ? rng / std::max(maxc, 1e-12f) : 0.0f;
+    const float safe = std::max(rng, 1e-12f);
+    const float rc = (maxc - r) / safe;
+    const float gc = (maxc - g) / safe;
+    const float bc = (maxc - b) / safe;
+    float h = (maxc == r)   ? bc - gc
+              : (maxc == g) ? 2.0f + rc - bc
+                            : 4.0f + gc - rc;
+    h = rng > 0.0f ? (h / 6.0f) - std::floor(h / 6.0f) : 0.0f;
+    h = (h + fh) - std::floor(h + fh);
+    const float h6 = h * 6.0f;
+    const float fi = std::floor(h6);
+    const float f = h6 - fi;
+    const float pp = maxc * (1.0f - sat);
+    const float q = maxc * (1.0f - f * sat);
+    const float tt = maxc * (1.0f - (1.0f - f) * sat);
+    const float k = fi >= 6.0f ? 0.0f : fi;  // h==1 edge, as (int)%6
+    // choose tables: r=[v,q,p,p,t,v] g=[t,v,v,q,p,p] b=[p,p,t,v,v,q].
+    // Flat single-condition select chains: GCC 12 if-converts these into
+    // vector blends, but gives up on nested/compound-condition ternaries
+    // ("no vectype" — verified with -fopt-info-vec-all).
+    float r_o = maxc;
+    r_o = (k == 1.0f) ? q : r_o;
+    r_o = (k == 2.0f) ? pp : r_o;
+    r_o = (k == 3.0f) ? pp : r_o;
+    r_o = (k == 4.0f) ? tt : r_o;
+    float g_o = maxc;
+    g_o = (k == 0.0f) ? tt : g_o;
+    g_o = (k == 3.0f) ? q : g_o;
+    g_o = (k == 4.0f) ? pp : g_o;
+    g_o = (k == 5.0f) ? pp : g_o;
+    float b_o = maxc;
+    b_o = (k == 0.0f) ? pp : b_o;
+    b_o = (k == 1.0f) ? pp : b_o;
+    b_o = (k == 2.0f) ? tt : b_o;
+    b_o = (k == 5.0f) ? q : b_o;
+    R[i] = r_o;
+    G[i] = g_o;
+    B[i] = b_o;
+  }
+}
+
+// One frame of the full jitter chain on planar scratch (R/G/B are npix
+// floats each). A free function (not the parallel_for lambda body): GCC 12
+// does not vectorize loops inside lambdas with captured state ("no
+// vectype" — verified with -fopt-info-vec-all), and the planar unit-stride
+// form is what makes every op loop vectorizable at all.
+void jitter_frame_planar(const uint8_t* __restrict in, uint8_t* __restrict out,
+                         float* __restrict R, float* __restrict G,
+                         float* __restrict B, size_t npix, const int* order,
+                         int n_ops, float fb, float fc, float fs, float fh) {
+  for (size_t i = 0; i < npix; ++i) {
+    R[i] = in[i * 3] * (1.0f / 255.0f);
+    G[i] = in[i * 3 + 1] * (1.0f / 255.0f);
+    B[i] = in[i * 3 + 2] * (1.0f / 255.0f);
+  }
+  for (int oi = 0; oi < n_ops; ++oi) {
+    const int op = order[oi];
+    if (op == 0) {  // brightness: clip(v*fb)
+#pragma omp simd
+      for (size_t i = 0; i < npix; ++i) {
+        R[i] = std::min(std::max(R[i] * fb, 0.0f), 1.0f);
+        G[i] = std::min(std::max(G[i] * fb, 0.0f), 1.0f);
+        B[i] = std::min(std::max(B[i] * fb, 0.0f), 1.0f);
+      }
+    } else if (op == 1) {  // contrast: blend with the frame's mean gray
+      double acc = 0.0;
+      for (size_t i = 0; i < npix; ++i) {
+        acc += 0.2989f * R[i] + 0.587f * G[i] + 0.114f * B[i];
+      }
+      const float mean = static_cast<float>(acc / static_cast<double>(npix));
+      const float w0 = 1.0f - fc;
+#pragma omp simd
+      for (size_t i = 0; i < npix; ++i) {
+        R[i] = std::min(std::max(fc * R[i] + w0 * mean, 0.0f), 1.0f);
+        G[i] = std::min(std::max(fc * G[i] + w0 * mean, 0.0f), 1.0f);
+        B[i] = std::min(std::max(fc * B[i] + w0 * mean, 0.0f), 1.0f);
+      }
+    } else if (op == 2) {  // saturation: blend with per-pixel gray
+      const float w0 = 1.0f - fs;
+#pragma omp simd
+      for (size_t i = 0; i < npix; ++i) {
+        const float gray = 0.2989f * R[i] + 0.587f * G[i] + 0.114f * B[i];
+        R[i] = std::min(std::max(fs * R[i] + w0 * gray, 0.0f), 1.0f);
+        G[i] = std::min(std::max(fs * G[i] + w0 * gray, 0.0f), 1.0f);
+        B[i] = std::min(std::max(fs * B[i] + w0 * gray, 0.0f), 1.0f);
+      }
+    } else {  // hue: HSV shift, mirroring augment._np_hue exactly
+      hue_shift_planar(R, G, B, npix, fh);
+    }
+  }
+  for (size_t i = 0; i < npix; ++i) {
+    // round-half-even == np.rint; quantize once, like the numpy chain
+    out[i * 3] = static_cast<uint8_t>(
+        std::min(std::max(std::nearbyintf(R[i] * 255.0f), 0.0f), 255.0f));
+    out[i * 3 + 1] = static_cast<uint8_t>(
+        std::min(std::max(std::nearbyintf(G[i] * 255.0f), 0.0f), 255.0f));
+    out[i * 3 + 2] = static_cast<uint8_t>(
+        std::min(std::max(std::nearbyintf(B[i] * 255.0f), 0.0f), 255.0f));
+  }
+}
+
 void parallel_for(int n, int n_threads, const std::function<void(int)>& fn) {
   if (n_threads <= 1 || n <= 1) {
     for (int i = 0; i < n; ++i) fn(i);
@@ -188,6 +302,36 @@ int h36x_bcs_jitter_u8(uint8_t* data, int T, int H, int W, float fb, float fc,
   return 0;
 }
 
-int h36x_native_abi_version() { return 1; }
+// Full photometric jitter: brightness/contrast/saturation/hue applied in
+// the order given by order[0..n_ops-1] (0=b, 1=c, 2=s, 3=hue), chained in
+// f32 like the numpy reference path (augment.apply_jitter_params) and
+// quantized ONCE at the end with round-half-even (numpy rint semantics).
+// This is the hot host op of the default (--jitter-key clip) extraction
+// schedule: the clip-keyed factor set means every clip jitters all seq_len
+// frames, and the numpy chain pays ~6 full-clip f32 temporaries per op.
+// src/dst: (T,H,W,3) u8 contiguous (may alias). Returns 0 on success.
+int h36x_jitter_clip_u8(const uint8_t* src, uint8_t* dst, int T, int H, int W,
+                        float fb, float fc, float fs, float fh,
+                        const int* order, int n_ops, int n_threads) {
+  for (int oi = 0; oi < n_ops; ++oi) {
+    if (order[oi] < 0 || order[oi] > 3) return 1;
+  }
+  const size_t npix = static_cast<size_t>(H) * W;
+  const size_t frame = npix * 3;
+  // Whole-kernel planar form: deinterleave once per frame, run every op on
+  // unit-stride channel planes (the stride-3 interleaved loops defeat the
+  // vectorizer), reinterleave in the final quantize. Per-pixel f32 math is
+  // identical to the interleaved form (-ffp-contract=off, same op order),
+  // so the layout change is byte-invisible — verified 20/20 param draws.
+  parallel_for(T, n_threads, [&](int t) {
+    std::vector<float> plan(npix * 3);
+    jitter_frame_planar(src + t * frame, dst + t * frame, plan.data(),
+                        plan.data() + npix, plan.data() + 2 * npix, npix,
+                        order, n_ops, fb, fc, fs, fh);
+  });
+  return 0;
+}
+
+int h36x_native_abi_version() { return 2; }
 
 }  // extern "C"
