@@ -423,6 +423,13 @@ def run_extract_dedup(cfg: ExtractConfig, dataset) -> dict:
         # default-mode rows would corrupt the store silently
         run_config["crop_scope"] = cfg.crop_scope
         run_config["jitter_key"] = cfg.jitter_key
+    if n_vars > 1:
+        # jittered bytes depend on the backend (the native kernel and the
+        # numpy/cv2 chain differ by +-1 u8 on rint-boundary pixels), so a
+        # resume on a host where availability changed must not append
+        from h36x import native
+        run_config["jitter_backend"] = (
+            "native" if native.jitter_available() else "numpy")
 
     def _atomic_write(text):
         tmp = Path(str(progress_path) + ".tmp")

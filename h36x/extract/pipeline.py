@@ -379,6 +379,13 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
         "shuffle_seed": cfg.shuffle_seed,
         "partition": getattr(cfg, "partition", ""),
     }
+    if n_vars > 1:
+        # jittered bytes depend on the backend (the native kernel and the
+        # numpy/cv2 chain differ by +-1 u8 on rint-boundary pixels), so a
+        # resume on a host where availability changed must not append
+        from h36x import native
+        run_config["jitter_backend"] = (
+            "native" if native.jitter_available() else "numpy")
 
     def _atomic_write(text):
         # same tmp+rename discipline as write_shard/write_index: a crash

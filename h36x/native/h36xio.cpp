@@ -324,7 +324,12 @@ int h36x_jitter_clip_u8(const uint8_t* src, uint8_t* dst, int T, int H, int W,
   // identical to the interleaved form (-ffp-contract=off, same op order),
   // so the layout change is byte-invisible — verified 20/20 param draws.
   parallel_for(T, n_threads, [&](int t) {
-    std::vector<float> plan(npix * 3);
+    // one scratch per worker thread, reused across its frames: a per-frame
+    // vector would malloc + zero ~600 KB (224px) for every frame of the hot
+    // path. parallel_for joins its threads per call, so nothing outlives
+    // the kernel (the serial path's buffer lives on the caller's thread).
+    static thread_local std::vector<float> plan;
+    if (plan.size() < npix * 3) plan.resize(npix * 3);
     jitter_frame_planar(src + t * frame, dst + t * frame, plan.data(),
                         plan.data() + npix, plan.data() + 2 * npix, npix,
                         order, n_ops, fb, fc, fs, fh);

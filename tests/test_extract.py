@@ -319,7 +319,7 @@ def test_merge_stores_rejects_duplicates_and_keeps_parts(tmp_path):
         merge_stores([tmp_path / "p0"], tmp_path / "m2", move=False)
 
 
-def test_resume_config_mismatch_raises(tmp_path):
+def test_resume_config_mismatch_raises(tmp_path, monkeypatch):
     """Resuming with different store-shaping flags (e.g. --augment toggled)
     must refuse instead of mixing incompatible rows into one store."""
     import time as _time
@@ -341,7 +341,21 @@ def test_resume_config_mismatch_raises(tmp_path):
     with pytest.raises(ValueError, match="resume config mismatch"):
         run_extract(cfg, dataset=FlakyClipDataset(fail_at=None, n_clips=6))
 
-    cfg.augment = True  # matching config resumes fine
+    # a jitter-backend flip (native lib availability changed between crash
+    # and resume) is a byte-provenance mismatch too: the two backends differ
+    # by +-1 u8 on rint-boundary pixels and must not share a store
+    cfg.augment = True
+    from h36x import native as _native
+
+    _real_avail = _native.jitter_available
+    monkeypatch.setattr(
+        _native, "jitter_available", lambda: not _real_avail()
+    )
+    with pytest.raises(ValueError, match="resume config mismatch"):
+        run_extract(cfg, dataset=FlakyClipDataset(fail_at=None, n_clips=6))
+    monkeypatch.setattr(_native, "jitter_available", _real_avail)
+
+    # matching config resumes fine
     summary = run_extract(cfg, dataset=FlakyClipDataset(fail_at=None, n_clips=6))
     assert summary["n_clips"] == 6
 

@@ -89,6 +89,13 @@ class TestFullJitter:
     """h36x_jitter_clip_u8: the fused 4-op kernel both extraction schedulers
     route the jittered variant through (augment.jitter_u8)."""
 
+    @pytest.fixture(autouse=True)
+    def _needs_full_jitter(self, lib):
+        # a stale ABI-1 .so is a supported degraded state (numpy fallback),
+        # not a failure: skip rather than error on RuntimeError
+        if not native.jitter_available():
+            pytest.skip("native lib lacks the full-jitter kernel (ABI < 2)")
+
     def _numpy_oracle(self, u8, params):
         from h36x.data.augment import apply_jitter_params
 
