@@ -36,6 +36,9 @@ lower bound on dedicated hardware.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 from functools import partial
 
@@ -144,10 +147,58 @@ def bench_train_step(iters=50):
     return best
 
 
+def wait_for_tpu(max_wait_s=None):
+    """Block (bounded) until the tunneled TPU backend initializes.
+
+    The shared pool behind the tunnel has transient outages where backend
+    init hangs for minutes and then fails UNAVAILABLE; jax caches backend
+    state per process, so health is probed in a fresh subprocess (killed on
+    hang) and the bench process itself only touches jax once a probe
+    succeeds. Returns True when the backend is up, False on deadline.
+    """
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("H36X_BENCH_TPU_WAIT_S", "600"))
+    deadline = time.time() + max_wait_s
+    first = True
+    while True:
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=240,
+            )
+            ok = probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            return True
+        if time.time() >= deadline:
+            return False
+        if first:
+            print("bench: TPU backend unavailable, retrying...",
+                  file=sys.stderr)
+            first = False
+        time.sleep(min(30.0, max(5.0, deadline - time.time())))
+
+
 def main():
     from h36x.utils.runtime import setup_jax_cache
 
     setup_jax_cache()
+    if not wait_for_tpu():
+        # emit an honest line rather than crashing with none: the driver
+        # records exactly one JSON line per round, and a transient pool
+        # outage at round end must not read as a silent regression
+        print(json.dumps({
+            "metric": "h36m_feature_extract_clip_frames_per_sec_per_chip",
+            "value": 0.0, "unit": "frames/s/chip", "vs_baseline": 0.0,
+            "error": "tpu_unavailable",
+            "note": ("TPU backend init failed UNAVAILABLE for the whole "
+                     "bench wait window (shared-pool outage) — this is a "
+                     "measurement failure, not a throughput result; see "
+                     "the previous round's BENCH json for the last "
+                     "successful measurement"),
+        }))
+        return
     extra = {}
     try:
         backbone_fps = bench_backbone_frames_per_sec()
