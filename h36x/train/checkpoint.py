@@ -187,8 +187,11 @@ def _read_manifest(directory: Path, name: str) -> dict:
             return json.load(f)
     print(f"WARNING: checkpoint '{name}' has no manifest under {directory} "
           "(legacy layout or a save crashed before committing it); "
-          "resuming params with epoch 0 counters")
-    return {"epoch": 0, "step": 0, "best_val": float("inf"),
+          "restarting the schedule at epoch 0")
+    # epoch is "last epoch COMPLETED" (fit resumes at epoch+1), so the
+    # neutral restart value is -1: epoch 0's sampler plan and full-LR
+    # cosine step must run, not be skipped.
+    return {"epoch": -1, "step": 0, "best_val": float("inf"),
             "manifest_missing": True}
 
 
@@ -199,10 +202,22 @@ def _load_checkpoint_orbax(directory, name: str, template: TrainState):
     ckpt_dir = _orbax_dir(directory, name)
     if ckpt_dir is None:
         raise FileNotFoundError(f"no orbax checkpoint '{name}' under {directory}")
-    abstract = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
-        jax.device_get(template),
-    )
+
+    # Abstract restore template from metadata only — device_get(template)
+    # would (a) fetch the whole state to host just to read shapes and (b)
+    # raise outright when an array spans non-addressable devices (multi-host
+    # model sharding, exactly the case orbax is mandated for). Propagating
+    # each leaf's sharding lets orbax restore shard-aware: every host reads
+    # only its own shards.
+    def _abstract(x):
+        dtype = getattr(x, "dtype", None)
+        if dtype is None:
+            dtype = np.asarray(x).dtype
+        return jax.ShapeDtypeStruct(
+            np.shape(x), dtype, sharding=getattr(x, "sharding", None)
+        )
+
+    abstract = jax.tree.map(_abstract, template)
     with ocp.StandardCheckpointer() as ckptr:
         state = ckptr.restore(ckpt_dir.absolute(), abstract)
     return state, _read_manifest(directory, name)
@@ -236,6 +251,16 @@ def load_checkpoint(directory, name: str, template: TrainState):
                     "to fall back to a stale msgpack file"
                 )
             return _load_checkpoint_orbax(directory, name, template)
+        # Symmetric refusal: the manifest records a msgpack save, so a
+        # sibling legacy orbax <name>/ dir is from an OLDER run — falling
+        # through to it would pair old params with this newer manifest.
+        if not (directory / f"{name}.msgpack").exists():
+            raise FileNotFoundError(
+                f"manifest {manifest_path} records backend=msgpack but "
+                f"{name}.msgpack is missing under {directory} (deleted or "
+                "partial sync?); refusing to fall back to a stale orbax "
+                "directory"
+            )
     if (directory / f"{name}.msgpack").exists():
         with open(directory / f"{name}.msgpack", "rb") as f:
             blob = f.read()

@@ -267,7 +267,17 @@ def evaluate(eval_step, params, dataset, sampler, sharding):
     timers.stop("drain")
     if is_main_process():
         print("[Val timing]\n" + timers.summary(n), flush=True)
-    return {k: v / max(rows, 1.0) for k, v in totals.items()}
+    if rows == 0.0:
+        # zero-row averages would read as val MPJPE 0.000 — a fake new
+        # best that freezes `best` at the first epoch's params forever
+        print(
+            "WARNING: the val sampler yielded ZERO rows — check val "
+            "subjects / batch size against the store; val metrics are inf "
+            "this epoch and no 'best' checkpoint will be saved.",
+            flush=True,
+        )
+        return {k: float("inf") for k in totals}
+    return {k: v / rows for k, v in totals.items()}
 
 
 def _append_metrics(outdir, record: dict) -> None:
@@ -462,8 +472,13 @@ def fit(
         t0 = time.perf_counter()
 
         with maybe_trace(cfg.profile_dir if epoch == start_epoch else None):
-            state, tr, rng = train_epoch(
-                step_fn, state, train_set, train_sampler, data_sharding, rng,
+            # per-epoch key derived from the base seed, NOT a stream carried
+            # across epochs: a resume at epoch e then gets exactly the
+            # dropout keys the uninterrupted run would have used (the
+            # carried stream restarts from the seed on resume and diverges)
+            state, tr, _ = train_epoch(
+                step_fn, state, train_set, train_sampler, data_sharding,
+                jax.random.fold_in(rng, epoch),
                 log_every=cfg.optim.log_every, scan_steps=group,
             )
         va = evaluate(eval_step, state.params, val_set, val_sampler, data_sharding)
@@ -486,9 +501,18 @@ def fit(
         improved = (best_val - va["mpjpe"]) > cfg.optim.early_stop_min_delta
         if improved:
             best_val = va["mpjpe"]
+            no_improve = 0
+            # `best` commits BEFORE `last`: if the process dies between the
+            # two saves, a resume sees the old last-manifest (old best_val)
+            # and simply re-improves onto the already-good best; the other
+            # order would pair the new best_val with stale best params.
+            if write_ckpt:
+                save_ckpt(cfg.outdir, "best", state, epoch, best_val, cfg_json)
+        else:
+            no_improve += 1
         if write_ckpt:
             save_ckpt(cfg.outdir, "last", state, epoch, best_val, cfg_json,
-                      extra={"no_improve": 0 if improved else no_improve + 1})
+                      extra={"no_improve": no_improve})
         if main:
             _append_metrics(
                 cfg.outdir,
@@ -505,12 +529,8 @@ def fit(
             )
 
         if improved:
-            no_improve = 0
-            if write_ckpt:
-                save_ckpt(cfg.outdir, "best", state, epoch, best_val, cfg_json)
             log(f"New best val MPJPE: {best_val:.3f} (saved best)")
         else:
-            no_improve += 1
             log(
                 f"No improvement for {no_improve}/{cfg.optim.early_stop_patience} "
                 f"epochs (best {best_val:.3f}, current {va['mpjpe']:.3f})"

@@ -42,6 +42,15 @@ def _freeze_labels(params, frozen_prefixes):
     if not frozen_prefixes:
         return label_subtree(params, "trainable")
     frozen = set(frozen_prefixes)
+    missing = frozen - set(params.keys())
+    if missing:
+        # an unmatched prefix (module renamed, or a typo in PHASE_FROZEN)
+        # would silently train the supposedly frozen weights — a quiet
+        # parity break with the reference's requires_grad=False freeze
+        raise ValueError(
+            f"frozen module(s) {sorted(missing)} not found in params "
+            f"(top-level modules: {sorted(params.keys())})"
+        )
     out = {}
     for key, sub in params.items():
         out[key] = label_subtree(sub, "frozen" if key in frozen else "trainable")

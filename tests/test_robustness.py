@@ -131,11 +131,47 @@ class TestCheckpointManifest:
                              config={})
         (tmp_path / "last.json").unlink()  # simulate the crash window
         restored, manifest = ckpt.load_checkpoint(tmp_path, "last", state)
-        assert manifest["manifest_missing"] and manifest["epoch"] == 0
+        # epoch records "last epoch COMPLETED" (fit resumes at epoch+1), so
+        # the neutral restart value is -1: epoch 0 must run, not be skipped
+        assert manifest["manifest_missing"] and manifest["epoch"] == -1
         assert "no manifest" in capsys.readouterr().out
         a = jax.tree.leaves(state.params)[0]
         b = jax.tree.leaves(restored.params)[0]
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_msgpack_manifest_refuses_stale_orbax_dir(self, tmp_path):
+        """A manifest recording backend=msgpack whose .msgpack is missing
+        must raise, not fall through to a legacy orbax <name>/ dir from an
+        older run (old params would pair with the newer manifest)."""
+        import jax
+        import jax.numpy as jnp
+        import pytest
+
+        from h36x.models.phd import PHDFor3DJoints
+        from h36x.train import checkpoint as ckpt
+        from h36x.train.state import create_train_state, make_optimizer
+
+        model = PHDFor3DJoints(latent_dim=64, feature_dim=32, number_blocks=1)
+        optimizer, _ = make_optimizer(lr=1e-3)
+        state = create_train_state(model, optimizer, jax.random.key(0),
+                                   jnp.zeros((1, 4, 32)))
+        ckpt.save_checkpoint(tmp_path, "last", state, epoch=3, best_val=0.5,
+                             config={})
+        (tmp_path / "last.msgpack").unlink()  # deleted / partial sync
+        (tmp_path / "last").mkdir()  # stale legacy orbax layout
+        with pytest.raises(FileNotFoundError, match="backend=msgpack"):
+            ckpt.load_checkpoint(tmp_path, "last", state)
+
+    def test_unknown_frozen_module_raises(self):
+        """A typo'd/renamed PHASE_FROZEN prefix must fail loudly, not train
+        the supposedly frozen weights."""
+        import pytest
+
+        from h36x.train.state import _freeze_labels
+
+        params = {"f_AR": {"w": 0}, "f_movie": {"w": 0}}
+        with pytest.raises(ValueError, match="f_ar"):
+            _freeze_labels(params, ("f_ar",))
 
 
 class TestFeatureStoreDtypes:
