@@ -115,15 +115,18 @@ class FeatureClipDataset:
             )
 
         # Row shapes come from the first shard we gather from anyway — no
-        # separate priming fetch.
-        first_shard = self._shard(next(iter(by_shard)))
+        # separate priming fetch. Keep the loaded shard and reuse it in the
+        # loop: with shard caching off (shard_cache_size=0, a valid mode)
+        # a second self._shard(first_sid) would re-read the file per batch.
+        first_sid = next(iter(by_shard))
+        first_shard = self._shard(first_sid)
         feats = np.empty((n,) + first_shard["feats"].shape[1:], dtype=np.float32)
         joints3d = np.empty((n,) + first_shard["joints3d"].shape[1:], dtype=np.float32)
         joints2d = np.empty((n,) + first_shard["joints2d"].shape[1:], dtype=np.float32)
         K = np.empty((n, 3, 3), dtype=np.float32)
         meta: list = [None] * n
         for sid, rows in by_shard.items():
-            shard = self._shard(sid)
+            shard = first_shard if sid == first_sid else self._shard(sid)
             pos_arr = np.array([p for p, _ in rows])
             row_arr = np.array([r for _, r in rows])
             feats[pos_arr] = np.asarray(shard["feats"][row_arr], dtype=np.float32)

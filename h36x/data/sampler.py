@@ -28,6 +28,7 @@ class MixedShardBatchSampler:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.base_seed = seed
         self.seed = seed
 
         buckets: dict = {}
@@ -51,7 +52,10 @@ class MixedShardBatchSampler:
         self.per_shard = batch_size // k
 
     def set_epoch(self, epoch: int) -> None:
-        self.seed = epoch
+        # offset from the CONFIGURED seed: the reference's bare
+        # `seed = epoch` (samplers.py) makes every seed-sweep run iterate
+        # byte-identical data orders, silently ignoring the seed flag
+        self.seed = self.base_seed + epoch
 
     def _epoch_plan(self, rng: random.Random):
         """Per-epoch immutable item orders + a cursor per shard.

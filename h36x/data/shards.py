@@ -40,8 +40,11 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+import sys
+
 MAGIC = b"H36XSHRD"
 _ALIGN = 64
+_HOST_LE = sys.byteorder == "little"
 
 ARRAY_KEYS = ("feats", "joints3d", "joints2d", "K")
 
@@ -55,7 +58,9 @@ def _np_dtype(name: str):
         return np.dtype(ml_dtypes.bfloat16)
     if name not in _DTYPE_NAMES:
         raise ValueError(f"unsupported shard dtype {name!r}")
-    return np.dtype(name)
+    # explicit little-endian: shard payloads are LE on disk by contract
+    # (a no-op on LE hosts, where '<f4' == the native dtype)
+    return np.dtype(name).newbyteorder("<")
 
 
 def _dtype_name(dt: np.dtype) -> str:
@@ -83,7 +88,13 @@ def write_shard(path, arrays: Dict[str, np.ndarray], meta: List[dict], n_vars: i
     # pass then recompute once the header length is fixed.
     entries = {}
     for name, arr in arrays.items():
+        # force little-endian on disk so the documented format contract is
+        # real (no-op copy-wise on LE hosts, where '<' == native)
         arr = np.ascontiguousarray(arr)
+        if arr.dtype.byteorder not in ("<", "|") and (
+            arr.dtype.byteorder == ">" or not _HOST_LE
+        ):
+            arr = arr.astype(arr.dtype.newbyteorder("<"))
         entries[name] = arr
         header["arrays"][name] = {
             "dtype": _dtype_name(arr.dtype),
@@ -112,11 +123,18 @@ def write_shard(path, arrays: Dict[str, np.ndarray], meta: List[dict], n_vars: i
     tmp = str(path) + ".tmp"
     with open(tmp, "wb") as f:
         f.write(MAGIC)
-        f.write(np.uint32(len(blob2)).tobytes())
+        f.write(np.array(len(blob2), dtype="<u4").tobytes())
         f.write(blob2)
         for name, arr in entries.items():
             f.seek(header["arrays"][name]["offset"])
-            f.write(arr.tobytes())
+            # buffer-protocol write: arr.tobytes() would transiently copy
+            # the whole (often ~100 MB) array inside the writer thread.
+            # Custom dtypes (ml_dtypes bfloat16) refuse the buffer
+            # protocol — reinterpret the contiguous bytes as u8 instead.
+            try:
+                f.write(arr.data)
+            except (ValueError, BufferError):
+                f.write(arr.view(np.uint8).data)
     os.replace(tmp, path)
 
 
@@ -129,7 +147,7 @@ def read_shard(path, mmap: bool = True) -> dict:
     with open(path, "rb") as f:
         if f.read(len(MAGIC)) != MAGIC:
             raise ValueError(f"{path}: not an h36x shard")
-        (hlen,) = np.frombuffer(f.read(4), dtype=np.uint32)
+        (hlen,) = np.frombuffer(f.read(4), dtype="<u4")
         header = json.loads(f.read(int(hlen)).decode())
 
     out: dict = {"meta": header["meta"], "n_vars": header["n_vars"]}
@@ -322,11 +340,14 @@ def merge_stores(parts, out_root, move: bool = True) -> dict:
     seen = set()
     offset = 0
     for part, idx in zip(parts, indexes):
-        if idx.get("n_shards") is None:
+        if idx.get("torch_format") or idx.get("n_shards") is None:
+            # key on the format flag, not just a missing count: a torch
+            # index WITH n_shards would otherwise die later on a misleading
+            # "missing shard_00000.h36x" for a store that only has .pt files
             raise ValueError(
-                f"part {part} has a torch-format index without an n_shards "
-                "count — convert it first (h36x-convert --torch-shards) or "
-                "merge only native h36x part stores")
+                f"part {part} has a torch-format (or countless) index — "
+                "convert it first (h36x-convert --torch-shards) or merge "
+                "only native h36x part stores")
         for sid in range(idx["n_shards"]):
             src, dst = shard_path(part, sid), shard_path(out_root, offset + sid)
             if not src.exists():

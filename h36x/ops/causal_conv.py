@@ -36,8 +36,12 @@ def causal_conv1d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None 
     t = x.shape[1]
     # K shifted views stacked on a new tap axis: (B, T, K, D).
     taps = jnp.stack([x_pad[:, i : i + t, :] for i in range(k)], axis=2)
+    # promote, don't pin: a bare float32 preference would silently round an
+    # f64 contraction down to f32 (the f64 trajectory-parity oracle runs
+    # this exact path); bf16 inputs still accumulate in f32 on the MXU
     y = jnp.einsum(
-        "btkd,kdo->bto", taps, kernel, preferred_element_type=jnp.float32
+        "btkd,kdo->bto", taps, kernel,
+        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
     ).astype(x.dtype)
     if bias is not None:
         y = y + bias
