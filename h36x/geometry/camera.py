@@ -46,6 +46,13 @@ def project_with_K(P_cam: jnp.ndarray, K: jnp.ndarray, eps: float = 1e-6) -> jnp
     """
     P = jnp.asarray(P_cam)
     K = jnp.asarray(K)
+    # documented layouts only, like the reference's ValueError guard
+    # (src/train.py:84-110): an unexpected K would otherwise broadcast
+    # plausibly-but-wrongly against P's leading dims with no error
+    if K.ndim not in (2, 3, 4) or K.shape[-2:] != (3, 3):
+        raise ValueError(
+            f"unexpected K shape {K.shape}; expected (3,3), (B,3,3) or "
+            "(B,T,3,3)")
     # Align K's batch dims with P's: K gains singleton dims until K.ndim-2 ==
     # P.ndim-1 would over-broadcast, so expand to match P's leading dims.
     while K.ndim < P.ndim + 1:

@@ -130,6 +130,14 @@ def dump_result_batch(
     feats, j3d, j2d, K, meta = dataset.get_batch(idx)
     pred = np.asarray(forward(params, jnp.asarray(feats)))
 
+    if seq_len != feats.shape[1]:
+        # videos must be cut to the STORE's T, or frame t in the NPZ stops
+        # corresponding to joints[t]/pred[t] (and the viewers walk off the
+        # end) whenever the --seq-len flag disagrees with the store
+        print(f"WARNING: requested seq_len {seq_len} != store rows' T "
+              f"{feats.shape[1]}; using the store's")
+        seq_len = int(feats.shape[1])
+
     b = min(len(idx), save_n)
     videos = []
     metas = []

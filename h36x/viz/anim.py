@@ -36,6 +36,10 @@ def to_uint8_rgb(frame_chw: np.ndarray) -> np.ndarray:
 def _frame_to_hwc_uint8(frame: np.ndarray) -> np.ndarray:
     """Accept CHW or HWC, float or uint8."""
     if frame.ndim == 3 and frame.shape[0] in (1, 3) and frame.shape[-1] not in (1, 3):
+        if frame.dtype == np.uint8:
+            # u8 can never be ImageNet-normalized: transpose only — the
+            # denormalize heuristic in to_uint8_rgb would saturate it white
+            return np.transpose(frame, (1, 2, 0))
         return to_uint8_rgb(frame)
     if frame.dtype == np.uint8:
         return frame
@@ -186,17 +190,25 @@ def plot_batch_sample_2d_2dproj_3d_no_video(
     joints3d, joints2d, K,
     sample_idx: int = 0, fps: int = 10, point_size: int = 18, line_width: int = 2,
     invert_y: bool = True, equal_aspect: bool = True, show: bool = True,
+    joints3d_display=None,
 ):
     """Feature-space variant without frames (reference visualize_features.py).
 
     K=None skips the reprojection math (no intrinsics available — e.g. raw
     pickles without a camera file): the middle panel shows the GT 2D again
-    rather than a degenerate projection through a fake K."""
+    rather than a degenerate projection through a fake K.
+
+    joints3d_display optionally decouples the 3D PANEL's joints from the
+    reprojection source: only raw camera-frame coordinates project through
+    K, but the panel usually wants them pelvis-centered (read_pkl.py)."""
     import matplotlib.pyplot as plt
     from matplotlib.animation import FuncAnimation
 
     from h36x.geometry.camera import project_with_K
 
+    js3_panel = np.asarray(
+        joints3d if joints3d_display is None else joints3d_display
+    )[sample_idx]
     js3 = np.asarray(joints3d)[sample_idx]
     js2 = np.asarray(joints2d)[sample_idx]
     t_len = js3.shape[0]
@@ -226,12 +238,12 @@ def plot_batch_sample_2d_2dproj_3d_no_video(
 
     scat_gt, lines_gt = _setup_2d_overlay(ax_gt, js2, point_size, line_width)
     scat_prj, lines_prj = _setup_2d_overlay(ax_prj, proj2, point_size, line_width)
-    scat3, lines3 = _setup_3d_axis(ax_3d, js3, point_size, line_width)
+    scat3, lines3 = _setup_3d_axis(ax_3d, js3_panel, point_size, line_width)
 
     def update(t):
         _update_2d(scat_gt, lines_gt, js2, t)
         _update_2d(scat_prj, lines_prj, proj2, t)
-        _update_3d(scat3, lines3, js3, t)
+        _update_3d(scat3, lines3, js3_panel, t)
         return [scat_gt, scat_prj, scat3] + lines_gt + lines_prj + lines3
 
     anim = FuncAnimation(fig, update, frames=t_len, interval=1000 // fps, blit=False)
@@ -280,4 +292,7 @@ def plot_raw_sequence(
         js3_for_proj[None],
         np.asarray(data["2d"], np.float32)[::frame_skip][:max_frames][None],
         K, 0, fps=fps, show=show,
+        # the 3D panel keeps the pelvis-centered skeleton (read_pkl.py);
+        # js3_for_proj stays raw camera-frame because that is what K projects
+        joints3d_display=js3[None],
     )
