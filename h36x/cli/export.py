@@ -45,6 +45,9 @@ def main(argv=None):
     p.add_argument("--latent-dim", type=int, default=1024)
     p.add_argument("--num-blocks", type=int, default=2)
     p.add_argument("--groups", type=int, default=32)
+    p.add_argument("--regressor-iters", type=int, default=3,
+                   help="joint-regressor refinement rounds; must match the "
+                        "checkpoint's training config")
     p.add_argument("--check", action="store_true",
                    help="reload the artifact and compare against the flax "
                         "forward on random features")
@@ -70,7 +73,8 @@ def main(argv=None):
 
     model = PHDFor3DJoints(latent_dim=args.latent_dim, joints_num=JOINTS_NUM,
                            feature_dim=args.feature_dim,
-                           number_blocks=args.num_blocks, groups=args.groups)
+                           number_blocks=args.num_blocks, groups=args.groups,
+                           regressor_iters=args.regressor_iters)
     template = model.init(
         jax.random.key(0), jnp.zeros((1, args.seq_len, args.feature_dim))
     )["params"]
@@ -80,6 +84,7 @@ def main(argv=None):
     common = dict(
         seq_len=args.seq_len, feature_dim=args.feature_dim,
         joints_num=JOINTS_NUM, groups=args.groups, batch=args.batch,
+        regressor_iters=args.regressor_iters,
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None,
         platforms=platforms,
     )

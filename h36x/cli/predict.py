@@ -50,6 +50,9 @@ def main(argv=None):
     p.add_argument("--latent-dim", type=int, default=1024)
     p.add_argument("--num-blocks", type=int, default=2)
     p.add_argument("--groups", type=int, default=32)
+    p.add_argument("--regressor-iters", type=int, default=3,
+                   help="joint-regressor refinement rounds; must match the "
+                        "checkpoint's training config")
     args = p.parse_args(argv)
 
     from h36x.utils.runtime import setup_jax_cache
@@ -74,7 +77,8 @@ def main(argv=None):
     seq_len = feats.shape[1]
 
     model = PHDFor3DJoints(latent_dim=args.latent_dim, joints_num=JOINTS_NUM,
-                           number_blocks=args.num_blocks, groups=args.groups)
+                           number_blocks=args.num_blocks, groups=args.groups,
+                           regressor_iters=args.regressor_iters)
     template = model.init(
         jax.random.key(0), jnp.zeros((1, seq_len, feature_dim))
     )["params"]
@@ -94,7 +98,8 @@ def main(argv=None):
         for b in range(n):
             sp = StreamingPredictor(params, window=window,
                                     feature_dim=feature_dim,
-                                    joints_num=JOINTS_NUM, groups=args.groups)
+                                    joints_num=JOINTS_NUM, groups=args.groups,
+                                    regressor_iters=args.regressor_iters)
             for t in range(seq_len):
                 preds[b, t] = sp.push(feats[b, t])
                 if args.freeze and sp.warm and not sp.frozen:
@@ -102,7 +107,8 @@ def main(argv=None):
         out["predicted3djoints"] = preds
         mode = "streaming" + (" (frozen-stats O(1) push)" if args.freeze else "")
     elif args.forecast > 0:
-        rollout = make_rollout_fn(args.forecast, JOINTS_NUM, args.groups)
+        rollout = make_rollout_fn(args.forecast, JOINTS_NUM, args.groups,
+                                  regressor_iters=args.regressor_iters)
         ctx, fut = rollout(params, jnp.asarray(feats))
         out["predicted3djoints"] = np.asarray(ctx, np.float32)
         out["future3djoints"] = np.asarray(fut, np.float32)
@@ -113,7 +119,8 @@ def main(argv=None):
         from h36x.infer import make_fused_forward
 
         forward = make_fused_forward(JOINTS_NUM, args.groups,
-                                     use_pallas=False)
+                                     use_pallas=False,
+                                     regressor_iters=args.regressor_iters)
         out["predicted3djoints"] = np.asarray(
             forward(params, jnp.asarray(feats)), np.float32)
         mode = "batch forward"

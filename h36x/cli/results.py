@@ -72,7 +72,7 @@ def main(argv=None):
     if args.fused:
         from h36x.infer import make_fused_forward
 
-        forward_fn = make_fused_forward()
+        forward_fn = make_fused_forward(regressor_iters=model.regressor_iters)
     dump_result_batch(
         model, params, test_set, args.preprocessed_root, args.out,
         seq_len=args.seq_len, batch_size=args.batch_size, save_n=args.save_n,

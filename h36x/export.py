@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax import export as jex
 
 from h36x.infer import phd_forward_fused
-from h36x.serve import _rollout
+from h36x.serve import make_rollout_fn
 
 
 def _feats_spec(batch, seq_len: int, feature_dim: int, dtype):
@@ -70,12 +70,14 @@ def export_forward(
     dtype=jnp.float32,
     compute_dtype=None,
     platforms: Sequence[str] = ("cpu", "tpu"),
+    regressor_iters: int = 3,
 ) -> bytes:
     """Serialize `feats (B, seq_len, feature_dim) -> joints (B, T, J, 3)`
     with `params` baked in. batch=None exports a symbolic batch dimension.
     compute_dtype=jnp.bfloat16 bakes bf16 weights and runs the artifact's
     compute in bf16 (half the file, half the serve-time weight traffic,
-    ~mm-level joint deviation); the interface stays f32 in, f32 out."""
+    ~mm-level joint deviation); the interface stays f32 in, f32 out.
+    regressor_iters must match the checkpoint's training config."""
     cparams = _cast_params(params, compute_dtype)
 
     def forward(feats):
@@ -83,7 +85,7 @@ def export_forward(
             feats = feats.astype(compute_dtype)
         joints = phd_forward_fused(
             cparams, feats, joints_num=joints_num, groups=groups,
-            use_pallas=False,
+            use_pallas=False, regressor_iters=regressor_iters,
         )[2]
         return joints.astype(jnp.float32)
 
@@ -105,6 +107,7 @@ def export_rollout(
     dtype=jnp.float32,
     compute_dtype=None,
     platforms: Sequence[str] = ("cpu", "tpu"),
+    regressor_iters: int = 3,
 ) -> bytes:
     """Serialize the AR rollout: `feats (B, seq_len, feature_dim) ->
     (joints_ctx (B, T, J, 3), joints_future (B, steps, J, 3))`.
@@ -112,14 +115,17 @@ def export_rollout(
     `steps` future frames are baked into the artifact (the rollout runs a
     fixed-shape masked-GroupNorm buffer — h36x/serve.py); export one
     artifact per forecast horizon you deploy. compute_dtype as in
-    :func:`export_forward`."""
+    :func:`export_forward`; regressor_iters must match the checkpoint's
+    training config."""
     cparams = _cast_params(params, compute_dtype)
+    rollout_fn = make_rollout_fn(steps, joints_num, groups,
+                                 use_pallas=False,
+                                 regressor_iters=regressor_iters)
 
     def rollout(feats):
         if compute_dtype is not None:
             feats = feats.astype(compute_dtype)
-        ctx, fut, _ = _rollout(cparams, feats, steps, joints_num, groups,
-                               use_pallas=False)
+        ctx, fut = rollout_fn(cparams, feats)
         return ctx.astype(jnp.float32), fut.astype(jnp.float32)
 
     exp = jex.export(jax.jit(rollout), platforms=tuple(platforms))(

@@ -37,7 +37,6 @@ import jax.numpy as jnp
 
 from h36x.ops.pallas_regressor import _reference_forward, fused_joint_regressor
 from h36x.ops.pallas_temporal import (
-    fused_gn_relu_cconv,
     fused_residual_block,
     reference_gn_relu_cconv,
 )
@@ -120,11 +119,15 @@ def phd_forward_fused(
     use_pallas: bool = True,
     interpret: bool = False,
     tile_o: int | None = None,
+    regressor_iters: int = 3,
 ):
     """Eval-mode PHD forward over precomputed features.
 
     params: the flax param tree of PHDFor3DJoints. Returns
     (phi, phi_hat, joints_phi, joints_hat|None) like the model.
+    regressor_iters must match the checkpoint's training config
+    (ModelConfig.regressor_iters) — a mismatch runs silently with
+    systematically wrong joints.
     """
     x = feats @ params["input_proj"]["kernel"] + params["input_proj"]["bias"]
     phi = _temporal_net(x, params["f_movie"], groups, use_pallas, interpret, tile_o)
@@ -132,11 +135,13 @@ def phd_forward_fused(
     phi_hat = jnp.concatenate(
         [jnp.zeros_like(ar_out[:, :1]), ar_out[:, :-1]], axis=1
     )
-    joints_phi = _regressor(phi, params["f_3D"], joints_num, use_pallas, interpret)
+    joints_phi = _regressor(phi, params["f_3D"], joints_num, use_pallas,
+                            interpret, iters=regressor_iters)
     joints_hat: Optional[jnp.ndarray] = None
     if predict_future:
         joints_hat = _regressor(
-            phi_hat, params["f_3D"], joints_num, use_pallas, interpret
+            phi_hat, params["f_3D"], joints_num, use_pallas, interpret,
+            iters=regressor_iters,
         )
     return phi, phi_hat, joints_phi, joints_hat
 
@@ -192,23 +197,17 @@ def phd_forward_train_fused(
     Returns (phi, joints)."""
     x = feats @ params["input_proj"]["kernel"] + params["input_proj"]["bias"]
     keep = 1.0 - dropout
-    blocks = sorted(
-        params["f_movie"].keys(), key=lambda n: int(n.removeprefix("block"))
-    )
-    for name in blocks:
+    for name in sorted_blocks(params["f_movie"]):
         p = params["f_movie"][name]
-        h = fused_gn_relu_cconv(
-            x, p["gn1"]["scale"], p["gn1"]["bias"],
-            p["conv1"]["kernel"], p["conv1"]["bias"], groups=groups,
-            tile_o=tile_o, interpret=interpret, precise=precise,
-        )
+        mask = None
         if dropout > 0.0:
             rng, sub = jax.random.split(rng)
-            h = h * jax.random.bernoulli(sub, keep, h.shape).astype(h.dtype) / keep
-        x = fused_gn_relu_cconv(
-            h, p["gn2"]["scale"], p["gn2"]["bias"],
-            p["conv2"]["kernel"], p["conv2"]["bias"], residual=x,
-            groups=groups, tile_o=tile_o, interpret=interpret, precise=precise,
+            shape = x.shape[:2] + (p["conv1"]["kernel"].shape[-1],)
+            mask = (jax.random.bernoulli(sub, keep, shape).astype(x.dtype)
+                    / keep)
+        x = fused_residual_block(
+            x, p, groups=groups, dropout_mask=mask, tile_o=tile_o,
+            interpret=interpret, precise=precise,
         )
     joints = _regressor_train(
         x, params["f_3D"], rng, dropout, regressor_iters, joints_num
@@ -217,7 +216,8 @@ def phd_forward_train_fused(
 
 
 def make_fused_forward(joints_num: int = 17, groups: int = 32,
-                       use_pallas: bool = True, interpret: bool = False):
+                       use_pallas: bool = True, interpret: bool = False,
+                       regressor_iters: int = 3):
     """jit-compiled (params, feats) -> joints (B,T,J,3) via the fused path."""
 
     @jax.jit
@@ -225,6 +225,7 @@ def make_fused_forward(joints_num: int = 17, groups: int = 32,
         return phd_forward_fused(
             params, feats, joints_num=joints_num, groups=groups,
             use_pallas=use_pallas, interpret=interpret,
+            regressor_iters=regressor_iters,
         )[2]
 
     return forward

@@ -29,9 +29,10 @@ import numpy as np
 from h36x.infer import _regressor, _temporal_net, _temporal_net_masked
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def _rollout_from_x(params, x, steps: int, joints_num: int, groups: int,
-                    use_pallas: bool, with_ctx: bool = True):
+                    use_pallas: bool, with_ctx: bool = True,
+                    regressor_iters: int = 3):
     """Rollout over already-projected inputs x (B,T,latent) -> (joints_ctx,
     joints_future, phi_ext). The streaming predictor keeps its ring buffer
     in projected space, so it feeds this entry directly; with_ctx=False
@@ -54,32 +55,38 @@ def _rollout_from_x(params, x, steps: int, joints_num: int, groups: int,
     buf = jax.lax.fori_loop(0, steps, body, buf)
 
     joints_ctx = (_regressor(phi, params["f_3D"], joints_num, use_pallas,
-                             False) if with_ctx else None)
+                             False, iters=regressor_iters)
+                  if with_ctx else None)
     future_phi = jax.lax.dynamic_slice(buf, (0, t, 0), (b, steps, d))
     joints_future = _regressor(
-        future_phi, params["f_3D"], joints_num, use_pallas, False
+        future_phi, params["f_3D"], joints_num, use_pallas, False,
+        iters=regressor_iters,
     )
     return joints_ctx, joints_future, buf
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def _rollout(params, feats, steps: int, joints_num: int, groups: int,
-             use_pallas: bool):
+             use_pallas: bool, regressor_iters: int = 3):
     """(params, feats (B,T,D_feat)) -> (joints_ctx (B,T,J,3),
     joints_future (B,steps,J,3), phi_ext (B,T+steps,D)). Jitted so the
     input projection fuses into the same program as the rollout (one
     dispatch, which matters on high-latency dispatch paths)."""
     x = feats @ params["input_proj"]["kernel"] + params["input_proj"]["bias"]
-    return _rollout_from_x(params, x, steps, joints_num, groups, use_pallas)
+    return _rollout_from_x(params, x, steps, joints_num, groups, use_pallas,
+                           True, regressor_iters)
 
 
 def make_rollout_fn(steps: int, joints_num: int = 17, groups: int = 32,
-                    use_pallas: bool = False):
+                    use_pallas: bool = False, regressor_iters: int = 3):
     """(params, feats (B,T,feature_dim)) ->
-    (joints_ctx (B,T,J,3), joints_future (B,steps,J,3))."""
+    (joints_ctx (B,T,J,3), joints_future (B,steps,J,3)).
+
+    regressor_iters must match the checkpoint's training config."""
 
     def fn(params, feats):
-        ctx, fut, _ = _rollout(params, feats, steps, joints_num, groups, use_pallas)
+        ctx, fut, _ = _rollout(params, feats, steps, joints_num, groups,
+                               use_pallas, regressor_iters)
         return ctx, fut
 
     return fn
@@ -199,14 +206,16 @@ def _warm_start(params, feat, *, window: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("groups", "joints_num", "use_pallas"))
-def _step_jit(params, xbuf, feat, *, groups, joints_num, use_pallas):
+                   static_argnames=("groups", "joints_num", "use_pallas",
+                                    "regressor_iters"))
+def _step_jit(params, xbuf, feat, *, groups, joints_num, use_pallas,
+              regressor_iters=3):
     xnew = _project(params, feat)
     xbuf = jnp.concatenate([xbuf[:, 1:], xnew[None, None, :]], axis=1)
     phi = _temporal_net(xbuf, params["f_movie"], groups, use_pallas,
                         False, None)
     joints = _regressor(phi[:, -1:], params["f_3D"], joints_num,
-                        use_pallas, False)
+                        use_pallas, False, iters=regressor_iters)
     return xbuf, joints[0, -1]
 
 
@@ -217,9 +226,10 @@ def _capture_jit(params, xbuf, *, groups, eps):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("groups", "joints_num", "use_pallas"))
+                   static_argnames=("groups", "joints_num", "use_pallas",
+                                    "regressor_iters"))
 def _frozen_step_jit(params, xbuf, stats, state, feat, *, groups,
-                     joints_num, use_pallas):
+                     joints_num, use_pallas, regressor_iters=3):
     xnew = _project(params, feat)
     xbuf = jnp.concatenate([xbuf[:, 1:], xnew[None, None, :]], axis=1)
     u = xnew[None, :]
@@ -229,7 +239,7 @@ def _frozen_step_jit(params, xbuf, stats, state, feat, *, groups,
             u, params["f_movie"][name], state[name], stats[name], groups
         )
     joints = _regressor(u[:, None, :], params["f_3D"], joints_num,
-                        use_pallas, False)
+                        use_pallas, False, iters=regressor_iters)
     return xbuf, new_state, joints[0, 0]
 
 
@@ -251,7 +261,8 @@ class StreamingPredictor:
 
     def __init__(self, params, window: int = 40, feature_dim: int = 2048,
                  joints_num: int = 17, groups: int = 32,
-                 use_pallas: bool = False, eps: float = 1e-5):
+                 use_pallas: bool = False, eps: float = 1e-5,
+                 regressor_iters: int = 3):
         self.params = params
         self.window = window
         self.feature_dim = int(params["input_proj"]["kernel"].shape[0])
@@ -263,6 +274,7 @@ class StreamingPredictor:
         self.groups = groups
         self.use_pallas = use_pallas
         self.eps = eps
+        self.regressor_iters = regressor_iters
         self._xbuf = None  # (1, window, latent) projected, device-resident
         self._seen = 0
         self._frozen = None  # (stats, state) pytrees when frozen
@@ -291,12 +303,14 @@ class StreamingPredictor:
                 self.params, self._xbuf, stats, state, feat,
                 groups=self.groups, joints_num=self.joints_num,
                 use_pallas=self.use_pallas,
+                regressor_iters=self.regressor_iters,
             )
             self._frozen = (stats, state)
         else:
             self._xbuf, joints = _step_jit(
                 self.params, self._xbuf, feat, groups=self.groups,
                 joints_num=self.joints_num, use_pallas=self.use_pallas,
+                regressor_iters=self.regressor_iters,
             )
         return np.asarray(joints)
 
@@ -326,7 +340,7 @@ class StreamingPredictor:
         # no per-instance memo is needed
         _, future, _ = _rollout_from_x(
             self.params, self._xbuf, steps, self.joints_num, self.groups,
-            self.use_pallas, False,
+            self.use_pallas, False, self.regressor_iters,
         )
         return np.asarray(future[0])
 

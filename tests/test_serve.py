@@ -277,3 +277,55 @@ class TestFrozenStreaming:
         f = sp.forecast(3)
         assert f.shape == (3, 17, 3)
         assert np.all(np.isfinite(f))
+
+
+class TestRegressorIters:
+    """A non-default regressor_iters must flow through every serving
+    entry point — the refinement count is a model hyperparameter, and a
+    silent fallback to 3 would produce systematically wrong joints."""
+
+    def test_threads_through_fused_forward_and_rollout(self):
+        from h36x.infer import make_fused_forward
+
+        model4 = PHDFor3DJoints(latent_dim=64, feature_dim=32,
+                                number_blocks=1, groups=8, regressor_iters=4)
+        rng = np.random.default_rng(1)
+        feats = rng.normal(size=(2, 10, 32)).astype(np.float32)
+        params = jax.device_get(
+            model4.init(jax.random.key(0), jnp.asarray(feats))["params"]
+        )
+        want = np.asarray(model4.apply({"params": params},
+                                       jnp.asarray(feats))[2])
+
+        got = np.asarray(make_fused_forward(
+            groups=8, use_pallas=False, regressor_iters=4
+        )(params, jnp.asarray(feats)))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+        # negative control: the (previously hard-wired) default of 3
+        # rounds must NOT reproduce a 4-round model
+        got3 = np.asarray(make_fused_forward(
+            groups=8, use_pallas=False
+        )(params, jnp.asarray(feats)))
+        assert np.abs(got3 - want).max() > 1e-4
+
+        ctx, _ = make_rollout_fn(steps=2, groups=8, regressor_iters=4)(
+            params, jnp.asarray(feats))
+        np.testing.assert_allclose(np.asarray(ctx), want,
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_threads_through_streaming(self):
+        model4 = PHDFor3DJoints(latent_dim=64, feature_dim=32,
+                                number_blocks=1, groups=8, regressor_iters=4)
+        rng = np.random.default_rng(2)
+        feats = rng.normal(size=(1, 6, 32)).astype(np.float32)
+        params = jax.device_get(
+            model4.init(jax.random.key(0), jnp.asarray(feats))["params"]
+        )
+        want = np.asarray(model4.apply({"params": params},
+                                       jnp.asarray(feats))[2])
+        sp = StreamingPredictor(params, window=6, feature_dim=32, groups=8,
+                                regressor_iters=4)
+        for t in range(6):
+            last = sp.push(feats[0, t])
+        np.testing.assert_allclose(last, want[0, -1], rtol=1e-4, atol=1e-5)
