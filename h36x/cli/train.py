@@ -27,7 +27,8 @@ def main(argv=None):
     train_set = FeatureClipDataset(
         cfg.train_root,
         subjects=cfg.train_subjects,
-        augment=True,
+        augment=cfg.data.augment,
+        max_clips=cfg.data.max_clips,
         # -1 is the auto sentinel; 0 is a VALID value (ShardReader's
         # no-caching mode) and must not be coerced to the default
         shard_cache_size=(64 if cfg.data.shard_cache_size < 0

@@ -43,22 +43,23 @@ ALL_SUBJECTS = (1, 5, 6, 7, 8, 9, 11)
 
 @dataclass
 class DataConfig:
-    """Clip windowing + shard-store configuration."""
+    """Feature-store read configuration for training.
 
-    root: str = ""
+    Only knobs the training stack actually consumes live here (extraction
+    windowing — stride/resize/crop — belongs to ExtractConfig): dead
+    fields would parse as CLI flags and then be silently ignored.
+    """
+
     seq_len: int = SEQ_LEN
-    frame_skip: int = FRAME_SKIP
-    stride: int = 10
-    resize: int = 224
-    crop_scale: float = 1.6
     shard_cache_size: int = -1  # -1: auto (64 for the training set; other
     #   consumers use FeatureClipDataset's own default of 2)
     # >0: print shard-cache load/hit counts every N disk loads (the
     # reference's cache-thrash observability, dataset_features.py:101-105)
     log_shard_loads: int = 0
-    subjects: List[int] = field(default_factory=lambda: list(TRAIN_SUBJECTS))
-    max_clips: Optional[int] = None
-    augment: bool = False
+    max_clips: Optional[int] = None  # truncate the train set (smoke runs)
+    # train on all stored variants (the reference's behavior); false reads
+    # only the 'orig' rows
+    augment: bool = True
 
 
 @dataclass

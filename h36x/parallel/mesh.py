@@ -72,6 +72,9 @@ _TP_RULES: Tuple[Tuple[str, P], ...] = (
 )
 
 
+_warned_indivisible: set = set()
+
+
 def param_sharding_rules(path: str, leaf, mesh: Mesh) -> NamedSharding:
     """Sharding for one parameter; replicated unless a TP rule matches and
     the dimension divides the model-axis size."""
@@ -86,6 +89,18 @@ def param_sharding_rules(path: str, leaf, mesh: Mesh) -> NamedSharding:
                         ok = False
                 if ok:
                     return NamedSharding(mesh, spec)
+                # an explicitly requested model axis that ends up fully
+                # replicated is all-cost-no-benefit (every device redoes
+                # the full GEMM) — say so instead of silently degrading
+                key = (path, model_size)
+                if key not in _warned_indivisible:
+                    _warned_indivisible.add(key)
+                    print(
+                        f"WARNING: TP rule for {path} skipped — shape "
+                        f"{tuple(leaf.shape)} not divisible by "
+                        f"mesh.model={model_size}; this param stays "
+                        "replicated (pick a model-axis size dividing the "
+                        "layer widths)")
     return NamedSharding(mesh, P())
 
 
@@ -99,13 +114,9 @@ def _key_path_str(keypath) -> str:
 
 
 def shard_params(params, mesh: Mesh):
-    """Device_put every param with its rule-derived sharding."""
-    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
-    leaves = []
-    for keypath, leaf in flat:
-        sharding = param_sharding_rules(_key_path_str(keypath), leaf, mesh)
-        leaves.append(jax.device_put(leaf, sharding))
-    return jax.tree_util.tree_unflatten(treedef, leaves)
+    """Device_put every param with its rule-derived sharding (composed on
+    param_shardings so the path->rule traversal exists exactly once)."""
+    return jax.device_put(params, param_shardings(params, mesh))
 
 
 def param_shardings(params, mesh: Mesh):

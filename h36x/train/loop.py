@@ -407,6 +407,14 @@ def fit(
         )
         train_step = None  # bound per-epoch with the curriculum horizon
     else:
+        if (getattr(cfg.optim, "fused", False)
+                and mesh.shape.get("model", 1) > 1):
+            # the fused Pallas kernels consume raw param arrays with no
+            # tensor-parallel sharding rules; letting the SPMD partitioner
+            # hit them fails deep in Mosaic instead of here
+            raise ValueError(
+                "--optim.fused does not support --mesh.model > 1; use the "
+                "default XLA step for tensor parallelism")
         train_step = make_train_step(
             model, optimizer, fused=getattr(cfg.optim, "fused", False),
             lambda_2d=getattr(cfg.optim, "lambda_2d", 0.0),

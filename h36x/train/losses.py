@@ -67,13 +67,18 @@ def mpjpe_per_row(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.linalg.norm(pred - gt, axis=-1), axis=(1, 2))
 
 
-def bone_length_per_row(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+def bone_lengths(joints: jnp.ndarray) -> jnp.ndarray:
+    """(..., J, 3) -> (..., E) H36M bone lengths. The single skeleton-edge
+    implementation — the phase-1 row metric and the phase-2 AR-window
+    metric (h36x/train/step.py) both build on it, so an edge change cannot
+    silently diverge the two."""
     src = jnp.asarray(_EDGE_SRC)
     dst = jnp.asarray(_EDGE_DST)
-    pred_len = jnp.linalg.norm(
-        jnp.take(pred, dst, axis=-2) - jnp.take(pred, src, axis=-2), axis=-1
+    return jnp.linalg.norm(
+        jnp.take(joints, dst, axis=-2) - jnp.take(joints, src, axis=-2),
+        axis=-1,
     )
-    gt_len = jnp.linalg.norm(
-        jnp.take(gt, dst, axis=-2) - jnp.take(gt, src, axis=-2), axis=-1
-    )
-    return jnp.mean((pred_len - gt_len) ** 2, axis=(1, 2))
+
+
+def bone_length_per_row(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean((bone_lengths(pred) - bone_lengths(gt)) ** 2, axis=(1, 2))

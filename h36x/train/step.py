@@ -21,6 +21,7 @@ from h36x.infer import phd_forward_train_fused
 from h36x.train.losses import (
     bone_length_loss,
     bone_length_per_row,
+    bone_lengths,
     mpjpe,
     mpjpe_per_row,
     mse2d_reproj,
@@ -202,6 +203,14 @@ def make_future_train_step(
             train=True, rngs={"dropout": rng},
         )
         t_len = phi.shape[1]
+        if input_len >= t_len:
+            # static at trace time: an empty AR window would mask the whole
+            # loss to exactly 0 — zero gradients, val "mpjpe" 0.0 recorded
+            # as a perfect new best — with nothing visibly wrong
+            raise ValueError(
+                f"optim.input_len={input_len} >= clip length {t_len}: the "
+                "phase-2 AR window is empty; lower --optim.input-len or "
+                "extract longer clips")
         t_idx = jnp.arange(t_len)
         mask = (t_idx >= input_len) & (t_idx < input_len + horizon)
         mask_f = mask.astype(phi.dtype)
@@ -362,6 +371,11 @@ def make_weighted_future_eval_step(model, input_len: int = 15,
         phi, phi_hat, _, joints_hat = model.apply(
             {"params": params}, feats, predict_future=True
         )
+        if input_len >= phi.shape[1]:
+            raise ValueError(
+                f"optim.input_len={input_len} >= clip length {phi.shape[1]}: "
+                "the phase-2 AR window is empty; eval metrics would be a "
+                "fake 0.0")
         t_idx = jnp.arange(phi.shape[1])
         mask = ((t_idx >= input_len) & (t_idx < input_len + pred_len))
         mask_f = mask.astype(jnp.float32)
@@ -379,7 +393,7 @@ def make_weighted_future_eval_step(model, input_len: int = 15,
         mpjpe_row = window_mean(
             jnp.mean(jnp.linalg.norm(jh - j3, axis=-1), axis=2))
         bone_row = window_mean(
-            jnp.mean((_bone_lengths(jh) - _bone_lengths(j3)) ** 2, axis=2))
+            jnp.mean((bone_lengths(jh) - bone_lengths(j3)) ** 2, axis=2))
         return {
             "loss": jnp.vdot(w, l_ar_row + lambda_joints * l3d_row),
             "l3d": jnp.vdot(w, l3d_row),
@@ -389,16 +403,6 @@ def make_weighted_future_eval_step(model, input_len: int = 15,
         }
 
     return jax.jit(step)
-
-
-def _bone_lengths(joints):
-    """(B,T,J,3) -> (B,T,E) H36M bone lengths."""
-    from h36x.geometry.skeleton import edge_index_arrays
-
-    src, dst = edge_index_arrays()
-    return jnp.linalg.norm(
-        jnp.take(joints, jnp.asarray(dst), axis=-2)
-        - jnp.take(joints, jnp.asarray(src), axis=-2), axis=-1)
 
 
 def make_forward(model) -> Callable:
