@@ -155,6 +155,17 @@ def _decode_seek(video_path: str, start: int, end: int, frame_skip: int) -> np.n
             # doubles the latency and masks the real error
             raise FileNotFoundError(f"cannot open video {video_path}")
         cap.set(cv2.CAP_PROP_POS_FRAMES, start * frame_skip)
+        # cv2 seeks are not always frame-accurate (B-frame/open-GOP H.264):
+        # some builds land a few frames off and then deliver the right
+        # NUMBER of frames from the wrong offset, which the count check
+        # below cannot catch. The readback detects the gross failures;
+        # RuntimeError routes decode_clip to the exact sequential scan.
+        pos = cap.get(cv2.CAP_PROP_POS_FRAMES)
+        if pos >= 0 and int(pos) != start * frame_skip:
+            raise RuntimeError(
+                f"inaccurate seek in {video_path}: asked for frame "
+                f"{start * frame_skip}, positioned at {int(pos)}"
+            )
         frames = []
         frame_idx = 0
         while len(frames) < target:

@@ -43,6 +43,13 @@ N_SUBJECTS = 11
 N_CAMS = 4
 SUBJECTS_ORDER = (1, 6, 7, 8, 5, 9, 11)  # processing order used by the lab
 
+# The official H36M capture rig's four camera serials, in the order the
+# metadata.xml w0 calibration block indexes them (cam_id 1..4). Filenames
+# embed these ({seq}.{serial}.{ext}); matching on them absolutely (rather
+# than positionally over whatever files exist) keeps pose files paired
+# with the right calibration even when a camera's files are missing.
+H36M_CAMERA_SERIALS = ("54138969", "55011271", "58860488", "60457274")
+
 
 @functools.lru_cache(maxsize=4)
 def _parse_metadata(xml_path: str):
@@ -176,8 +183,16 @@ def ingest(
     actions = list(actions) if actions is not None else list(range(1, 16))
     n_done = 0
 
-    for sbj_id, action_id, trial_id, cam_id in itertools.product(
-        subjects, actions, trials, cams
+    def _by_ident(pattern):
+        out = {}
+        for p in glob(pattern):
+            parts = os.path.basename(p).rsplit(".", 2)
+            if len(parts) == 3:
+                out[parts[1]] = p
+        return out
+
+    for sbj_id, action_id, trial_id in itertools.product(
+        subjects, actions, trials
     ):
         seq_name = read_action_name(xml_path, sbj_id, action_id, trial_id)
         if seq_name is None:
@@ -189,32 +204,11 @@ def ingest(
 
         save_seq = f"{ACTION_NAMES[action_id - 1]}_{trial_id - 1}"
         output_base = join(out_dir, f"S{sbj_id}", save_seq)
-        output_dir = join(output_base, f"cam_{cam_id - 1}")
-        os.makedirs(output_dir, exist_ok=True)
-        if verbose:
-            print(f"S{sbj_id} {seq_name!r} -> {output_dir}")
 
-        name_path = join(output_base, "orig_seq_name.txt")
-        if not exists(name_path):
-            with open(name_path, "w") as f:
-                f.write(seq_name)
-
-        # Files are keyed by the camera identifier embedded in the name
-        # ({seq_name}.{camera_serial}.{ext}); cam_id 1..4 selects the
-        # cam_id-th identifier in sorted order — the same assignment as
-        # the reference's positional pose2d_paths[cam_id-1]
-        # (read_human_36m.py:366-392) when all files exist, but immune to
-        # the silent off-by-one the positional form gets when an EARLIER
-        # camera's file is missing (every later camera would then read its
-        # neighbor's poses/video with no error).
-        def _by_ident(pattern):
-            out = {}
-            for p in glob(pattern):
-                parts = os.path.basename(p).rsplit(".", 2)
-                if len(parts) == 3:
-                    out[parts[1]] = p
-            return out
-
+        # Per-sequence source scan, hoisted out of the camera loop (none of
+        # it depends on cam_id; re-globbing three big directories 4x per
+        # sequence is pure waste). Files are keyed by the camera identifier
+        # embedded in the name ({seq_name}.{camera_serial}.{ext}).
         videos = _by_ident(
             join(source_dir, f"S{sbj_id}", "Videos", f"{seq_name}.*mp4"))
         pose2d = _by_ident(
@@ -224,33 +218,75 @@ def ingest(
             join(source_dir, f"S{sbj_id}", "MyPoseFeatures/D3_Positions_mono",
                  f"{seq_name}.*cdf"))
         idents = sorted(set(videos) | set(pose2d) | set(pose3d))
-        ident = idents[cam_id - 1] if cam_id <= len(idents) else None
-        if ident is None or ident not in pose2d or ident not in pose3d:
+        # cam_id -> identifier. The official serials give an absolute
+        # mapping, immune even to a camera whose files are ALL absent (the
+        # sorted-union positional form would silently shift every later
+        # camera onto its neighbor's poses + the wrong XML calibration).
+        # Non-official identifiers (converted/synthetic trees) fall back to
+        # positional order, loudly when cameras are missing and the
+        # pairing is therefore ambiguous.
+        canonical = set(idents) <= set(H36M_CAMERA_SERIALS)
+        if not canonical and idents and len(idents) < len(cams) and verbose:
+            print(f"WARNING: S{sbj_id} {seq_name!r}: only {len(idents)} "
+                  f"camera identifiers found ({idents}) and they are not "
+                  "official H36M serials — positional cam assignment may "
+                  "pair poses with the wrong calibration")
+
+        for cam_id in cams:
+            if canonical:
+                ident = H36M_CAMERA_SERIALS[cam_id - 1]
+                if ident not in idents:
+                    ident = None
+            else:
+                ident = idents[cam_id - 1] if cam_id <= len(idents) else None
+            if ident is None or ident not in pose2d or ident not in pose3d:
+                if verbose:
+                    print(f"  missing pose files for cam {cam_id}"
+                          f"{f' (camera {ident})' if ident else ''}, skipping")
+                continue
+
+            # create output dirs only for cells that will actually be
+            # written — earlier placement littered empty cam_*/ dirs (and a
+            # stray orig_seq_name.txt) for every skipped cell
+            output_dir = join(output_base, f"cam_{cam_id - 1}")
+            os.makedirs(output_dir, exist_ok=True)
             if verbose:
-                print(f"  missing pose files for cam {cam_id}"
-                      f"{f' (camera {ident})' if ident else ''}, skipping")
-            continue
+                print(f"S{sbj_id} {seq_name!r} -> {output_dir}")
+            name_path = join(output_base, "orig_seq_name.txt")
+            if not exists(name_path):
+                with open(name_path, "w") as f:
+                    f.write(seq_name)
 
-        cam_path = join(output_dir, "camera_wext.pkl")
-        if not exists(cam_path):
-            rt, t, f, c, k = read_cam_parameters(xml_path, sbj_id, cam_id)
-            with open(cam_path, "wb") as fw:
-                pickle.dump({"f": f, "c": c, "k": k, "rt": rt, "t": t}, fw)
+            cam_path = join(output_dir, "camera_wext.pkl")
+            if not exists(cam_path):
+                rt, t, f, c, k = read_cam_parameters(xml_path, sbj_id, cam_id)
+                with open(cam_path, "wb") as fw:
+                    pickle.dump({"f": f, "c": c, "k": k, "rt": rt, "t": t}, fw)
 
-        gt_path = join(output_dir, "gt_poses.pkl")
-        if not exists(gt_path):
-            poses2d = read_poses(pose2d[ident])
-            poses3d = read_poses(pose3d[ident], is_3d=True)
-            with open(gt_path, "wb") as fgt:
-                pickle.dump({"2d": poses2d, "3d": poses3d}, fgt)
+            gt_path = join(output_dir, "gt_poses.pkl")
+            if not exists(gt_path):
+                poses2d = read_poses(pose2d[ident])
+                poses3d = read_poses(pose3d[ident], is_3d=True)
+                with open(gt_path, "wb") as fgt:
+                    pickle.dump({"2d": poses2d, "3d": poses3d}, fgt)
 
-        if ident in videos:
-            out_video = join(
-                output_dir,
-                f"S{sbj_id}_{ACTION_NAMES[action_id - 1]}_{trial_id - 1}_cam_{cam_id - 1}.mp4",
-            )
-            if not exists(out_video):
-                os.symlink(os.path.abspath(videos[ident]), out_video)
-        n_done += 1
+            if ident in videos:
+                out_video = join(
+                    output_dir,
+                    f"S{sbj_id}_{ACTION_NAMES[action_id - 1]}_{trial_id - 1}_cam_{cam_id - 1}.mp4",
+                )
+                # lexists, not exists: exists() follows symlinks, so a
+                # dangling link (raw tree moved) reads as absent and the
+                # re-link raises FileExistsError; repair it instead
+                if os.path.lexists(out_video) and not exists(out_video):
+                    os.unlink(out_video)
+                if not os.path.lexists(out_video):
+                    os.symlink(os.path.abspath(videos[ident]), out_video)
+                n_done += 1
+            else:
+                if verbose:
+                    print(f"  no video for cam {cam_id} (camera {ident}) — "
+                          "poses written, but clip scans skip video-less "
+                          "cells (not counted)")
 
     return n_done

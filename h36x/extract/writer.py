@@ -48,7 +48,9 @@ class AsyncWriter:
         """Block until every submitted task has finished; raise on failure."""
         self._q.join()
         if self._err is not None:
-            raise RuntimeError("async writer failed") from self._err
+            raise RuntimeError(
+                f"async writer failed ({self.submitted} tasks submitted)"
+            ) from self._err
 
     def stop(self) -> None:
         # The sentinel + join must run even when wait() raises a prior task's

@@ -3,8 +3,9 @@
 The reference's observability is wall-clock phase timers and a backgrounded
 nvidia-smi (SURVEY.md §5). Here the same phase timers exist
 (:class:`h36x.utils.timers.PhaseTimers`) plus real device traces: pass
---profile-dir to the train CLI and epochs 1..profile_epochs are captured as
-TensorBoard-loadable traces.
+--profile-dir to the train CLI and the run's FIRST epoch (first resumed
+epoch on --resume) is captured as a TensorBoard-loadable trace — one epoch
+bounds the trace size; every epoch executes the same compiled step.
 """
 
 from __future__ import annotations

@@ -62,12 +62,19 @@ def _forced_cpu_platform() -> bool:
     here, or a TPU process with that flag exported in the shell would
     silently lose the cache. Callers that force CPU *after* import
     (dryrun_multichip) must call disable_jax_cache() themselves."""
-    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
-        return True
+    # both the current (JAX_PLATFORMS/jax_platforms) and the legacy
+    # (JAX_PLATFORM_NAME/jax_platform_name) pins are honored by jax; a
+    # process forced to CPU through either must skip the persistent cache
+    for var in ("JAX_PLATFORMS", "JAX_PLATFORM_NAME"):
+        if os.environ.get(var, "").strip().lower() == "cpu":
+            return True
     try:
         import jax
 
-        return str(jax.config.jax_platforms).strip().lower() == "cpu"
+        if str(jax.config.jax_platforms).strip().lower() == "cpu":
+            return True
+        return (str(getattr(jax.config, "jax_platform_name", "") or "")
+                .strip().lower() == "cpu")
     except Exception:
         return False
 

@@ -168,6 +168,50 @@ class TestIngest:
             np.testing.assert_allclose(np.asarray(got["2d"]), want2d,
                                        rtol=1e-6)
 
+    def test_fully_absent_camera_does_not_shift_serials(self, tmp_path, rng):
+        """With official H36M serials, a camera whose files are ALL absent
+        must not shift later cameras onto its slot: serial->cam_id is
+        absolute, so cam_3/cam_4 keep their own poses + calibration."""
+        from h36x.data.ingest import H36M_CAMERA_SERIALS
+
+        _write_metadata_xml(tmp_path / "metadata.xml", rng)
+        seq = "Seq_2_1_S1"
+        vids = tmp_path / "S1" / "Videos"
+        p2 = tmp_path / "S1" / "MyPoseFeatures" / "D2_Positions"
+        p3 = tmp_path / "S1" / "MyPoseFeatures" / "D3_Positions_mono"
+        for d in (vids, p2, p3):
+            d.mkdir(parents=True)
+        sources = {}
+        for i, serial in enumerate(H36M_CAMERA_SERIALS):
+            if i == 1:
+                continue  # camera 2: video AND both pose files absent
+            (vids / f"{seq}.{serial}.mp4").write_bytes(b"fakemp4")
+            pose = rng.normal(size=(1, 10, 64)).astype(np.float32)
+            np.savez_compressed(p2 / f"{seq}.{serial}.npz", Pose=pose)
+            (p2 / f"{seq}.{serial}.cdf").write_bytes(b"")
+            sources[serial] = pose
+            np.savez_compressed(
+                p3 / f"{seq}.{serial}.npz",
+                Pose=rng.normal(size=(1, 10, 96)).astype(np.float32),
+            )
+            (p3 / f"{seq}.{serial}.cdf").write_bytes(b"")
+
+        out = tmp_path / "out"
+        n = ingest(str(tmp_path), str(out), subjects=[1], actions=[1],
+                   trials=(1,), verbose=False)
+        assert n == 3
+        base = out / "S1" / f"{ACTION_NAMES[0]}_0"
+        assert not (base / "cam_1").exists()  # skipped, no littered dir
+        for cam0, serial in ((0, H36M_CAMERA_SERIALS[0]),
+                             (2, H36M_CAMERA_SERIALS[2]),
+                             (3, H36M_CAMERA_SERIALS[3])):
+            with open(base / f"cam_{cam0}" / "gt_poses.pkl", "rb") as f:
+                got = pickle.load(f)
+            want2d = sources[serial][0].reshape(-1, 32, 2)[
+                :, np.asarray(H36M_RAW_JOINT_IDS)]
+            np.testing.assert_allclose(np.asarray(got["2d"]), want2d,
+                                       rtol=1e-6)
+
     def test_empty_subjects_means_nothing(self, raw_tree, tmp_path):
         """subjects=[] ingests NOTHING (only None means 'all') — a filtered
         empty list must not silently kick off a full-dataset ingest."""
