@@ -203,19 +203,26 @@ def _video_worker(
                         cfg.shuffle_seed * 1_000_003 + i
                     )
                     job.cj_window = jitter_u8(window, sample_jitter_params(rng))
-                else:
+                elif cfg.jitter_key == "video":
+                    # one params set for the whole video: jitter every
+                    # first-seen frame in ONE kernel call (per-frame calls
+                    # pay a thread spawn/join each — pure waste in the mode
+                    # built for maximum dedup throughput)
+                    new_ts = [t for t, k in enumerate(keys)
+                              if k not in seen_cj]
+                    if new_ts:
+                        cjs = jitter_u8(window[new_ts], video_params)
+                        for j, t in enumerate(new_ts):
+                            seen_cj.add(keys[t])
+                            job.cj_miss.append((keys[t], cjs[j]))
+                else:  # jitter_key == "frame": distinct params per frame
                     for t, k in enumerate(keys):
                         if k in seen_cj:
                             continue
                         seen_cj.add(k)
-                        params = (
-                            video_params
-                            if cfg.jitter_key == "video"
-                            else sample_jitter_params(
-                                _frame_jitter_rng(
-                                    cfg.shuffle_seed, video_idx, k[0]
-                                )
-                            )
+                        params = sample_jitter_params(
+                            _frame_jitter_rng(cfg.shuffle_seed, video_idx,
+                                              k[0])
                         )
                         cj = jitter_u8(window[t : t + 1], params)[0]
                         job.cj_miss.append((k, cj))
@@ -423,11 +430,16 @@ def run_extract_dedup(cfg: ExtractConfig, dataset) -> dict:
         # default-mode rows would corrupt the store silently
         run_config["crop_scope"] = cfg.crop_scope
         run_config["jitter_key"] = cfg.jitter_key
+    from h36x import native
+
+    # crop/resize bytes differ +-1 u8 between the native kernel and the cv2
+    # fallback, so EVERY store (augmented or not) must refuse a resume where
+    # the backend flipped
+    run_config["crop_backend"] = "native" if native.available() else "cv2"
     if n_vars > 1:
         # jittered bytes depend on the backend (the native kernel and the
         # numpy/cv2 chain differ by +-1 u8 on rint-boundary pixels), so a
         # resume on a host where availability changed must not append
-        from h36x import native
         run_config["jitter_backend"] = (
             "native" if native.jitter_available() else "numpy")
 
@@ -505,6 +517,12 @@ def run_extract_dedup(cfg: ExtractConfig, dataset) -> dict:
     frames_per_dispatch = getattr(cfg, "frames_per_dispatch", 0) or (
         cfg.batch_size * cfg.seq_len * (3 if cfg.augment else 1)
     )
+    if frames_per_dispatch < 1:
+        # validate with the other dedup flags: a negative value would only
+        # blow up as an opaque numpy negative-dimension error deep in the
+        # hot loop, after the backbone load and worker startup
+        raise ValueError(
+            f"--frames-per-dispatch must be positive, got {frames_per_dispatch}")
     pending: List[tuple] = []  # (tag, crop u8 (o,o,3))
     inflight = None
 
@@ -546,6 +564,11 @@ def run_extract_dedup(cfg: ExtractConfig, dataset) -> dict:
             for t in range(t_len):
                 pending.append((("job", job, t), job.cj_window[t]))
             job.cj_window = None  # crops live in `pending` now; free the ref
+        # same for the miss lists: their views pin the worker's whole
+        # (T,o,o,3) window buffer, and jobs can sit in the fifo for many
+        # dispatches awaiting rows — `pending` holds the frames from here
+        job.miss = []
+        job.cj_miss = []
         assembler.fifo.append(job)
         while len(pending) >= frames_per_dispatch:
             dispatch(pending[:frames_per_dispatch])

@@ -373,17 +373,27 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
     # The store-shaping knobs: resuming with ANY of these changed would mix
     # incompatible rows into one store (e.g. n_vars=1 shards described by an
     # n_variants=4 index), so they are recorded per flush and validated.
+    from h36x import native
+
     run_config = {
         "n_vars": n_vars, "seq_len": cfg.seq_len, "resize": cfg.resize,
         "frame_skip": cfg.frame_skip, "save_fp16": bool(cfg.save_fp16),
         "shuffle_seed": cfg.shuffle_seed,
         "partition": getattr(cfg, "partition", ""),
+        # crop/resize bytes differ +-1 u8 between the native kernel and the
+        # cv2 fallback, so EVERY store (augmented or not) must refuse a
+        # resume where the backend flipped
+        "crop_backend": "native" if native.available() else "cv2",
     }
+    if part_n > 1:
+        # this scheduler's only partition scheme; recorded so a partitioned
+        # store can resume under the dedup scheduler's partition_by='clip'
+        # (identical owned set) without a spurious mismatch
+        run_config["partition_by"] = "clip"
     if n_vars > 1:
         # jittered bytes depend on the backend (the native kernel and the
         # numpy/cv2 chain differ by +-1 u8 on rint-boundary pixels), so a
         # resume on a host where availability changed must not append
-        from h36x import native
         run_config["jitter_backend"] = (
             "native" if native.jitter_available() else "numpy")
 
@@ -414,6 +424,10 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
         if prev is not None and prev != run_config:
             diffs = {k: (prev.get(k), run_config[k]) for k in run_config
                      if prev.get(k) != run_config[k]}
+            # keys only the interrupted run recorded (e.g. a dedup-scheduler
+            # deviation flag) must show up too, not print an empty dict
+            diffs.update({k: (prev[k], None) for k in prev
+                          if k not in run_config})
             raise ValueError(
                 f"resume config mismatch vs the interrupted run: {diffs} — "
                 "resuming would mix incompatible rows into one store; rerun "
