@@ -55,25 +55,39 @@ def _optional(mod):
 
 def _store_info(root):
     def probe():
+        from pathlib import Path
+
         from h36x.data.shards import load_index, read_shard, shard_path
 
         idx = load_index(root)
         n = idx["n_shards"]
         if n is None:  # reference index.pt may omit it; recompute from clips
             n = 1 + max(c["shard_id"] for c in idx["clips"])
-        missing = [s for s in range(n)
-                   if not shard_path(root, s).exists()]
-        if missing and not idx.get("torch_format"):
+        torch_fmt = bool(idx.get("torch_format"))
+        # torch stores ship shard_XXXXX.pt — check THOSE, not the .h36x
+        # names (gating the checks off entirely would print [ok] for a
+        # reference store with absent/corrupt shards, exactly the failure
+        # the doctor exists to preempt)
+        def _spath(s):
+            return (Path(root) / f"shard_{s:05d}.pt") if torch_fmt \
+                else shard_path(root, s)
+
+        missing = [s for s in range(n) if not _spath(s).exists()]
+        if missing:
             raise FileNotFoundError(
                 f"{len(missing)}/{n} shard files missing (first: "
-                f"shard_{missing[0]:05d}.h36x)")
+                f"{_spath(missing[0]).name})")
         detail = (f"{idx['n_clips']} clips x {idx['n_variants']} variants, "
                   f"{n} shards, seq_len={idx['seq_len']}, "
                   f"dtype={idx['feat_dtype']}")
-        if not idx.get("torch_format"):
+        if torch_fmt:
+            from h36x.data.shards import load_torch_shard
+
+            shard = load_torch_shard(root, 0)
+        else:
             shard = read_shard(shard_path(root, 0))
-            rows = shard["feats"].shape[0]
-            detail += f"; shard 0 reads ok ({rows} rows)"
+        rows = shard["feats"].shape[0]
+        detail += f"; shard 0 reads ok ({rows} rows)"
         return detail
 
     return probe
@@ -120,10 +134,11 @@ def dedup_stats(root, seq_len, stride, frame_skip):
     """Unique-frame-scheduler dedup counts from pose pickles alone (no
     video decode): the crop box of every window is a pure function of its
     2D-joint slice plus the frame dims (h36x/extract/dedup.py keys the
-    feature cache on (frame, box)), and the dims follow from the camera's
-    principal point (c sits at ~the image center, so dims = 2c — exact for
-    the H36M cameras, and matching the real scheduler's edge clamping,
-    unlike any bound derived from the joint coordinates themselves).
+    feature cache on (frame, box)). Dims come from the video header when
+    the mp4 is present (one container open per video, no frame decode —
+    the real H36M cameras are 1000x1002 while 2c would give ~1025x1031,
+    which clamps edge boxes differently than the real scheduler); with no
+    video the principal-point estimate dims = 2c is the fallback.
 
     Returns the counts; the derived ratios equal run_extract_dedup's
     reported `dedup_ratio` exactly when the whole tree is extracted with
@@ -147,11 +162,24 @@ def dedup_stats(root, seq_len, stride, frame_skip):
     uniq_frames = 0  # distinct subsampled frames covered (video scope)
     for cis in by_video.values():
         j2d_all = gt_cache[cis[0].gt_path][1]
-        c = np.asarray(cis[0].cam_params.get("c", ()), np.float64).reshape(-1)
-        if c.size == 2 and np.all(c > 0):
-            img_w, img_h = int(round(2 * c[0])), int(round(2 * c[1]))
-        else:  # no principal point: generous bound, clamp only at edges
-            img_h = img_w = int(np.ceil(j2d_all.max() * 1.6)) + 8
+        img_w = img_h = 0
+        try:  # header-only open; the scheduler clamps on the DECODED dims
+            import cv2
+
+            cap = cv2.VideoCapture(cis[0].video_path)
+            if cap.isOpened():
+                img_w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+                img_h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+            cap.release()
+        except ImportError:
+            pass
+        if img_w <= 0 or img_h <= 0:
+            c = np.asarray(cis[0].cam_params.get("c", ()),
+                           np.float64).reshape(-1)
+            if c.size == 2 and np.all(c > 0):
+                img_w, img_h = int(round(2 * c[0])), int(round(2 * c[1]))
+            else:  # no principal point: generous bound, clamp only at edges
+                img_h = img_w = int(np.ceil(j2d_all.max() * 1.6)) + 8
         seen = set()
         frames = set()
         prev = None

@@ -23,8 +23,18 @@ def initialize(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """jax.distributed.initialize wrapper (no-op when single-process)."""
-    if num_processes is None or num_processes <= 1:
+    """jax.distributed.initialize wrapper.
+
+    num_processes=None (the documented TPU-pod call pattern) delegates to
+    jax's own cluster auto-detection — a silent no-op here would leave
+    jax.devices() host-local and every host training an INDEPENDENT model
+    with nothing visibly wrong. num_processes<=1 is the explicit
+    single-process no-op.
+    """
+    if num_processes is None:
+        jax.distributed.initialize()  # raises if no cluster is detectable
+        return
+    if num_processes <= 1:
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -35,6 +35,11 @@ def prefetch_to_device(
         device_put (used multi-process, where global arrays must be built
         from process-local shards); `sharding` is ignored when given.
     """
+    if buffer_size <= 0:
+        # queue.Queue(maxsize=0) is UNBOUNDED: the producer would race the
+        # whole epoch onto the device and OOM HBM — the opposite of what a
+        # caller passing 0 ("no prefetch") means
+        raise ValueError(f"buffer_size must be >= 1, got {buffer_size}")
     q: queue.Queue = queue.Queue(maxsize=buffer_size)
     sentinel = object()
     err_box = []
