@@ -34,6 +34,9 @@ def main(argv=None):
     p.add_argument("--feature-dim", type=int, default=FEATURE_DIM)
     p.add_argument("--latent-dim", type=int, default=1024)
     p.add_argument("--num-blocks", type=int, default=2)
+    p.add_argument("--regressor-iters", type=int, default=3,
+                   help="joint-regressor refinement rounds; must match the "
+                        "checkpoint's training config (checkpoint mode)")
     p.add_argument("--max-batch", type=int, default=16)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
     args = p.parse_args(argv)
@@ -48,7 +51,11 @@ def main(argv=None):
         artifact=args.artifact, model_path=args.model_path,
         seq_len=args.seq_len, feature_dim=args.feature_dim,
         latent_dim=args.latent_dim, num_blocks=args.num_blocks,
-        max_batch=args.max_batch, warm=bool(args.artifact),
+        regressor_iters=args.regressor_iters,
+        # warm both modes: artifact mode pre-compiles every bucket size,
+        # checkpoint mode its single padded shape — either way the first
+        # request must not eat the XLA compile in its latency
+        max_batch=args.max_batch, warm=True,
     )
     server = BatchingServer(
         predict_fn, seq_len=args.seq_len, feature_dim=args.feature_dim,

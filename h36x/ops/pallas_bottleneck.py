@@ -168,14 +168,27 @@ def _kernel(*refs, rows: int, w_img: int, n_strips: int, has_proj: bool):
     out_ref[0] = jnp.maximum(c + res, 0.0).astype(out_ref.dtype)
 
 
+def _halo_granularity(w: int) -> int:
+    """Smallest power-of-two g with (g*W) % 8 == 0 (Mosaic sublane rule for
+    the halo blocks); g <= 8 always exists."""
+    g = 1
+    while (g * w) % 8 != 0:
+        g *= 2
+    return g
+
+
 def _strip_rows(h: int, w: int, c_in: int, c_mid: int, c_out: int,
                 itemsize: int = 2) -> int:
-    """Largest divisor R of H whose per-cell working set fits VMEM.
+    """Largest HALO-LEGAL divisor R of H whose working set fits VMEM.
 
     Weights are resident regardless of the strip height, so they come off
     the budget first; striping only shrinks the activation tensors.
     `itemsize` is x.dtype's byte width — weights and activations are cast
-    to x.dtype (fused_bottleneck), so an f32 call doubles both vs bf16."""
+    to x.dtype (fused_bottleneck), so an f32 call doubles both vs bf16.
+    Candidates that Mosaic cannot tile (rows not a multiple of the halo
+    granularity, unless single-strip) are skipped — picking purely by VMEM
+    fit used to select e.g. rows=7 for 28x28 f32 and then fail the halo
+    check downstream even though rows=4 is legal and fits."""
     budget = 14 * 1024 * 1024
     weights = (9 * c_mid * c_mid + c_in * c_mid + c_mid * c_out
                + (c_in * c_out if c_in != c_out else 0)) * itemsize
@@ -185,8 +198,11 @@ def _strip_rows(h: int, w: int, c_in: int, c_mid: int, c_out: int,
             f"fused_bottleneck weights alone need {weights / 1e6:.1f} MB of "
             f"VMEM at itemsize={itemsize} (C_in={c_in}, C_mid={c_mid}, "
             f"C_out={c_out}) — cast x to bfloat16 or use the XLA path")
+    halo_g = _halo_granularity(w)
     for rows in sorted({d for d in range(1, h + 1) if h % d == 0},
                        reverse=True):
+        if rows != h and rows % halo_g != 0:
+            continue  # multi-strip needs halo blocks of g rows
         rw = rows * w
         tensors = (
             (rw + 2 * w) * c_in * itemsize   # xa strip (x.dtype)
@@ -201,7 +217,10 @@ def _strip_rows(h: int, w: int, c_in: int, c_mid: int, c_out: int,
         # is the safety factor. Weight blocks are exact.
         if weights + 2.5 * tensors <= budget:
             return rows
-    return 1
+    raise ValueError(
+        f"fused_bottleneck: no halo-legal strip height of H={h} (W={w}, "
+        f"halo granularity {halo_g}) fits the VMEM budget at "
+        f"itemsize={itemsize} — cast x to bfloat16 or use the XLA path")
 
 
 def fused_bottleneck(x, folded, *, h: int, w: int, interpret: bool = False,
@@ -209,6 +228,8 @@ def fused_bottleneck(x, folded, *, h: int, w: int, interpret: bool = False,
     """x (B, H*W, C_in) bf16/f32 -> (B, H*W, C_out); stride-1 blocks only.
 
     folded: dict from :func:`fold_bottleneck` (numpy/jnp f32 leaves).
+    bf16 is the production path; the deep f32 layers (14x14 C_mid>=256,
+    7x7) exceed VMEM / halo-legal striping and raise with that advice.
     """
     b, hw, c_in = x.shape
     assert hw == h * w, (hw, h, w)

@@ -48,7 +48,12 @@ def _kernel(x_ref, scale_ref, bias_ref, w_ref, cb_ref, res_ref, out_ref,
     # Group statistics over (T, D/G) per group. Mosaic rejects lane-splitting
     # reshapes, so the group reduce/broadcast runs as two matmuls against a
     # one-hot channel->group selector built from iota (D, G).
-    ch_group = jax.lax.broadcasted_iota(jnp.int32, (d, groups), 0) // (d // groups)
+    # lax.div, NOT jnp //: traced-operand // emits a jit-wrapped closed_call
+    # that breaks Mosaic lowering when many pallas_calls share one jit
+    # (CLAUDE.md gotcha; iota >= 0 so trunc == floor)
+    ch_group = jax.lax.div(
+        jax.lax.broadcasted_iota(jnp.int32, (d, groups), 0),
+        jnp.int32(d // groups))
     grp_ids = jax.lax.broadcasted_iota(jnp.int32, (d, groups), 1)
     sel = (ch_group == grp_ids).astype(jnp.float32)  # (D, G)
     cnt = float(t_len * (d // groups))
@@ -187,7 +192,9 @@ def _bwd_kernel(x_ref, scale_ref, bias_ref, w_ref, g_ref,
     gsize = ti // groups_tile
 
     # -- recompute GN + ReLU (selector-matmul group reduce, as forward) ----
-    ch_group = jax.lax.broadcasted_iota(jnp.int32, (ti, groups_tile), 0) // gsize
+    ch_group = jax.lax.div(  # lax.div, not //: see the forward kernel note
+        jax.lax.broadcasted_iota(jnp.int32, (ti, groups_tile), 0),
+        jnp.int32(gsize))
     grp_ids = jax.lax.broadcasted_iota(jnp.int32, (ti, groups_tile), 1)
     sel = (ch_group == grp_ids).astype(jnp.float32)  # (TI, G)
     cnt = float(t_len * gsize)

@@ -57,10 +57,12 @@ async def _read_msg(reader: asyncio.StreamReader):
         raise ValueError(f"header too large: {hlen}")
     header = json.loads(await reader.readexactly(hlen))
     payload = b""
+    if not isinstance(header, dict):
+        raise ValueError(f"header must be a JSON object, got {type(header).__name__}")
     nbytes = int(header.get("nbytes", 0))
     if nbytes:
-        if nbytes > _MAX_PAYLOAD:
-            raise ValueError(f"payload too large: {nbytes}")
+        if nbytes < 0 or nbytes > _MAX_PAYLOAD:
+            raise ValueError(f"bad payload size: {nbytes}")
         payload = await reader.readexactly(nbytes)
     return header, payload
 
@@ -106,6 +108,7 @@ class BatchingServer:
         self.bucket_pad = bool(bucket_pad)
         self._queue: asyncio.Queue = asyncio.Queue()
         self._batcher: Optional[asyncio.Task] = None
+        self._closed = False
         self.stats = {"requests": 0, "batches": 0, "rows": 0}
 
     # -- connection handler -------------------------------------------------
@@ -118,14 +121,28 @@ class BatchingServer:
                     header, payload = await _read_msg(reader)
                 except asyncio.IncompleteReadError:
                     break
+                except Exception as e:
+                    # malformed framing/header (bad JSON, non-dict, negative
+                    # nbytes): the stream may be desynced, so reply with the
+                    # protocol's error envelope and close — never drop the
+                    # connection with a bare reset + unretrieved-task warning
+                    _write_msg(writer, {"error": f"bad request: {e}"})
+                    await writer.drain()
+                    break
                 try:
                     feats = self._parse(header, payload)
-                except ValueError as e:
+                except (ValueError, TypeError) as e:
                     _write_msg(writer, {"error": str(e)})
                     await writer.drain()
                     continue
+                if self._closed:
+                    _write_msg(writer, {"error": "server stopped"})
+                    await writer.drain()
+                    break
                 fut: asyncio.Future = asyncio.get_running_loop().create_future()
                 self.stats["requests"] += 1
+                # note: put on the unbounded queue never yields, so the
+                # _closed check above cannot race stop()'s drain
                 await self._queue.put((feats, fut))
                 try:
                     joints, split = await fut
@@ -184,21 +201,32 @@ class BatchingServer:
                             await asyncio.wait_for(self._queue.get(), timeout))
                     except asyncio.TimeoutError:
                         break
-                feats = np.stack([f for f, _ in items])
-                n = feats.shape[0]
-                # bucket padding clamps at max_batch: a non-power-of-two cap
-                # must not round past itself into an unwarmed, oversized shape
-                target = self.pad_to or (
-                    min(bucket_size(n), self.max_batch) if self.bucket_pad
-                    else n)
-                if n < target:
-                    pad = np.zeros((target - n,) + feats.shape[1:], np.float32)
-                    feats = np.concatenate([feats, pad])
+                # ANY failure in pad/predict/fan-out must fail this batch's
+                # futures and keep the loop alive: an escaped exception kills
+                # the batcher task silently (nothing awaits it) and every
+                # later request would queue into a consumer-less queue
                 try:
+                    feats = np.stack([f for f, _ in items])
+                    n = feats.shape[0]
+                    # bucket padding clamps at max_batch: a non-power-of-two
+                    # cap must not round past itself into an unwarmed,
+                    # oversized shape
+                    target = self.pad_to or (
+                        min(bucket_size(n), self.max_batch) if self.bucket_pad
+                        else n)
+                    if n < target:
+                        pad = np.zeros((target - n,) + feats.shape[1:],
+                                       np.float32)
+                        feats = np.concatenate([feats, pad])
                     # the device wait runs in a worker thread so the event
                     # loop keeps accepting (queueing) the next batch
                     joints, split = await loop.run_in_executor(
                         None, self._run_batch, feats)
+                    if joints.shape[0] < n:
+                        raise RuntimeError(
+                            f"predict_fn returned {joints.shape[0]} rows "
+                            f"for a batch of {n}")
+                    results = [(joints[i], split) for i in range(n)]
                 except Exception as e:
                     for _, fut in items:
                         if not fut.done():
@@ -206,9 +234,9 @@ class BatchingServer:
                     continue
                 self.stats["batches"] += 1
                 self.stats["rows"] += n
-                for i, (_, fut) in enumerate(items):
+                for (_, fut), res in zip(items, results):
                     if not fut.done():
-                        fut.set_result((joints[i], split))
+                        fut.set_result(res)
             except asyncio.CancelledError:
                 # stop() cancelled us mid-batch: these items are already out
                 # of the queue, so stop()'s drain cannot reach them — fail
@@ -235,6 +263,9 @@ class BatchingServer:
         return await asyncio.start_server(self.handle, host=host, port=port)
 
     def stop(self) -> None:
+        # flag first: handle() checks it before enqueuing, so no request
+        # can slip into the queue after the drain below
+        self._closed = True
         if self._batcher is not None:
             self._batcher.cancel()
             self._batcher = None
@@ -289,7 +320,8 @@ def request(feats: np.ndarray, **kw):
 def build_predict_fn(artifact: str = "", model_path: str = "",
                      seq_len: int = 40, feature_dim: int = 2048,
                      latent_dim: int = 1024, num_blocks: int = 2,
-                     max_batch: int = 16, warm: bool = False):
+                     max_batch: int = 16, warm: bool = False,
+                     regressor_iters: int = 3):
     """Returns (predict_fn, pad_to) from an AOT artifact or a checkpoint.
 
     Artifact mode returns pad_to=0 (pair it with bucket_pad=True): the
@@ -320,13 +352,18 @@ def build_predict_fn(artifact: str = "", model_path: str = "",
     from h36x.train.step import make_forward
 
     model = PHDFor3DJoints(latent_dim=latent_dim, feature_dim=feature_dim,
-                           number_blocks=num_blocks)
+                           number_blocks=num_blocks,
+                           regressor_iters=regressor_iters)
     template = model.init(
         jax.random.key(0), jnp.zeros((1, seq_len, feature_dim))
     )["params"]
     params = ckpt.load_params_only(model_path, jax.device_get(template))
     params = jax.tree.map(jnp.asarray, params)
     forward = make_forward(model)
+    if warm:
+        # one shape is ever compiled (the server pads to max_batch) — pay
+        # the jit trace+compile at startup, not in the first request
+        forward(params, jnp.zeros((max_batch, seq_len, feature_dim)))
     return (lambda feats: forward(params, feats)), max_batch
 
 

@@ -118,16 +118,24 @@ def test_strip_rows_scales_with_itemsize():
     """The VMEM budget must use the real element width: fused_bottleneck
     casts weights AND activations to x.dtype, so an f32 call (itemsize 4)
     may only get a strip height <= the bf16 one, never a taller strip that
-    would overflow VMEM."""
-    from h36x.ops.pallas_bottleneck import _strip_rows
+    would overflow VMEM. Every returned height must also be halo-legal
+    (single strip, or a multiple of the halo granularity) — picking purely
+    by fit used to return rows=7 for 28x28 f32 and fail downstream."""
+    from h36x.ops.pallas_bottleneck import _halo_granularity, _strip_rows
 
     for (h, w, ci, cm, co) in ((56, 56, 256, 64, 256),
-                               (28, 28, 512, 128, 512),
-                               (14, 14, 1024, 256, 1024)):
+                               (28, 28, 512, 128, 512)):
         r2 = _strip_rows(h, w, ci, cm, co, itemsize=2)
         r4 = _strip_rows(h, w, ci, cm, co, itemsize=4)
         assert r4 <= r2, (h, r2, r4)
         assert 1 <= r4 and h % r4 == 0
+        for r in (r2, r4):
+            assert r == h or r % _halo_granularity(w) == 0, (h, w, r)
+    # 14x14 f32: the only halo-legal height (the full image) exceeds the
+    # budget — the actionable error must fire, not a cryptic halo failure
+    assert _strip_rows(14, 14, 1024, 256, 1024, itemsize=2) == 14
+    with pytest.raises(ValueError, match="bfloat16"):
+        _strip_rows(14, 14, 1024, 256, 1024, itemsize=4)
 
 
 def test_strip_rows_rejects_unfittable_f32_weights():
