@@ -23,6 +23,7 @@ import numpy as np
 
 def convert_shard_store(src: str, dst: str) -> int:
     from h36x.data.shards import (
+        ARRAY_KEYS,
         load_torch_index,
         load_torch_shard,
         write_index,
@@ -38,7 +39,9 @@ def convert_shard_store(src: str, dst: str) -> int:
         n_shards = 1 + max(c["shard_id"] for c in index["clips"])
     for sid in range(n_shards):
         shard = load_torch_shard(src_p, sid)
-        arrays = {k: np.asarray(shard[k]) for k in ("feats", "joints3d", "joints2d", "K")}
+        # the format's single source of truth — a key added to ARRAY_KEYS
+        # must not silently go missing from converted stores
+        arrays = {k: np.asarray(shard[k]) for k in ARRAY_KEYS}
         write_shard(shard_path(dst_p, sid), arrays, shard["meta"], shard["n_vars"])
         print(f"shard {sid + 1}/{n_shards} converted", flush=True)
     write_index(

@@ -65,12 +65,14 @@ def main(argv=None):
     from h36x.serve import StreamingPredictor, make_rollout_fn
     from h36x.train import checkpoint as ckpt
 
+    import os
+
+    if not os.path.exists(args.model_path):
+        # fail before model init (which costs minutes on a remote backend)
+        raise FileNotFoundError(f"checkpoint not found: {args.model_path}")
+
     ds = FeatureClipDataset(args.features_root, subjects=args.subjects,
-                            test_set=True)
-    if len(ds) == 0:
-        raise RuntimeError(
-            f"no clips under {args.features_root} for subjects={args.subjects}"
-        )
+                            test_set=True)  # raises on an empty clip list
     n = min(args.clips, len(ds))
     feats, joints3d, _, _, meta = ds.get_batch(list(range(n)))
     feature_dim = feats.shape[-1]
@@ -95,6 +97,10 @@ def main(argv=None):
         window = args.window or (seq_len // 2 if args.freeze else seq_len)
         window = max(1, min(window, seq_len))
         preds = np.zeros((n, seq_len, JOINTS_NUM, 3), np.float32)
+        # --forecast applies in streaming mode too: roll each clip's AR
+        # predictor past its last pushed frame (was silently ignored)
+        futures = np.zeros((n, max(args.forecast, 0), JOINTS_NUM, 3),
+                           np.float32)
         for b in range(n):
             sp = StreamingPredictor(params, window=window,
                                     feature_dim=feature_dim,
@@ -104,8 +110,15 @@ def main(argv=None):
                 preds[b, t] = sp.push(feats[b, t])
                 if args.freeze and sp.warm and not sp.frozen:
                     sp.freeze()
+            if args.forecast > 0:
+                futures[b] = sp.forecast(args.forecast)
         out["predicted3djoints"] = preds
-        mode = "streaming" + (" (frozen-stats O(1) push)" if args.freeze else "")
+        if args.forecast > 0:
+            out["future3djoints"] = futures
+        mode = ("streaming" + (" (frozen-stats O(1) push)" if args.freeze
+                               else "")
+                + (f" +{args.forecast} forecast frames" if args.forecast > 0
+                   else ""))
     elif args.forecast > 0:
         rollout = make_rollout_fn(args.forecast, JOINTS_NUM, args.groups,
                                   regressor_iters=args.regressor_iters)

@@ -26,6 +26,13 @@ def main(argv=None):
     p.add_argument("--subjects", type=int, nargs="+", default=list(TEST_SUBJECTS))
     p.add_argument("--latent-dim", type=int, default=1024)
     p.add_argument("--num-blocks", type=int, default=2)
+    p.add_argument("--groups", type=int, default=32,
+                   help="GroupNorm groups; must match the training config "
+                        "(shape-invisible: a mismatch evaluates silently "
+                        "wrong)")
+    p.add_argument("--regressor-iters", type=int, default=3,
+                   help="joint-regressor refinement rounds; must match the "
+                        "training config (shape-invisible too)")
     p.add_argument("--fused", action="store_true",
                    help="use the Pallas fused serving path (h36x.infer) for "
                         "the one-batch prediction dump")
@@ -48,7 +55,8 @@ def main(argv=None):
     # produced by a different backbone
     feature_dim = test_set[0][0].shape[-1]
     model = PHDFor3DJoints(latent_dim=args.latent_dim, joints_num=JOINTS_NUM,
-                           number_blocks=args.num_blocks)
+                           number_blocks=args.num_blocks, groups=args.groups,
+                           regressor_iters=args.regressor_iters)
     template = model.init(
         jax.random.key(0), jnp.zeros((1, args.seq_len, feature_dim))
     )["params"]
@@ -64,7 +72,8 @@ def main(argv=None):
                                        args.batch_size, mesh=mesh)
     print(
         f"Test metrics | loss: {loss:.6f} | mpjpe (m): {mp:.6f} "
-        f"| mpjpe (mm): {mp*1000.0:.2f} | l3d: {l3d:.6f} | l2d: {l2d:.6f}"
+        f"| mpjpe (mm): {mp*1000.0:.2f} | l3d: {l3d:.6f} "
+        "| l2d: n/a (not computed; NPZ stores 0.0 for field parity)"
     )
 
     out_hw = None if args.video_size == 0 else args.video_size
@@ -72,7 +81,8 @@ def main(argv=None):
     if args.fused:
         from h36x.infer import make_fused_forward
 
-        forward_fn = make_fused_forward(regressor_iters=model.regressor_iters)
+        forward_fn = make_fused_forward(groups=model.groups,
+                                        regressor_iters=model.regressor_iters)
     dump_result_batch(
         model, params, test_set, args.preprocessed_root, args.out,
         seq_len=args.seq_len, batch_size=args.batch_size, save_n=args.save_n,

@@ -12,6 +12,10 @@ def main(argv=None):
     p.add_argument("--sample", type=int, default=0)
     p.add_argument("--mode", choices=["video3d", "reproject", "features"],
                    default="reproject")
+    p.add_argument("--joints", choices=["auto", "gt", "pred"], default="auto",
+                   help="which 3D skeleton to animate: auto prefers the "
+                        "model's predicted3djoints when the NPZ carries "
+                        "them (h36x-results/h36x-predict output), else GT")
     args = p.parse_args(argv)
 
     from h36x.viz import (
@@ -21,14 +25,36 @@ def main(argv=None):
     )
 
     data = np.load(args.npz, allow_pickle=True)
-    j3d = data["joints3d"]
-    j2d = data["joints2d"]
-    K = data["cam_K"] if "cam_K" in data else data["K"]
+    which = args.joints
+    if which == "auto":
+        which = "pred" if "predicted3djoints" in data else "gt"
+    if which == "pred":
+        if "predicted3djoints" not in data:
+            raise SystemExit(f"{args.npz} carries no predicted3djoints "
+                             "(use --joints gt)")
+        j3d = data["predicted3djoints"]
+    else:
+        j3d = data["joints3d"]
+    print(f"3D skeleton: {'model prediction' if which == 'pred' else 'GT'} "
+          f"(--joints {args.joints})")
+    # h36x-predict NPZs carry no joints2d; only the reprojection panels
+    # need it, so video3d must not crash on its absence
+    j2d = data["joints2d"] if "joints2d" in data else None
+    K = data["cam_K"] if "cam_K" in data else (
+        data["K"] if "K" in data else None)
 
+    if args.mode == "video3d":
+        if "video" not in data or data["video"].ndim < 5:
+            raise SystemExit(f"{args.npz} carries no video frames; "
+                             "use --mode features")
+        plot_batch_sample(data["video"], j3d, args.sample)
+        return
+    if j2d is None:
+        raise SystemExit(
+            f"{args.npz} carries no joints2d — the {args.mode!r} mode's "
+            "reprojection panels need them; use --mode video3d")
     if args.mode == "features" or "video" not in data or data["video"].ndim < 5:
         plot_batch_sample_2d_2dproj_3d_no_video(j3d, j2d, K, args.sample)
-    elif args.mode == "video3d":
-        plot_batch_sample(data["video"], j3d, args.sample)
     else:
         plot_batch_sample_2d_2dproj_3d(data["video"], j3d, j2d, K, args.sample)
 
