@@ -209,3 +209,21 @@ def test_np_hue_cv2_matches_numpy(rng):
         np.testing.assert_allclose(
             _np_hue_cv2(v, shift), _np_hue(v, shift), rtol=1e-4, atol=1e-5
         )
+
+
+class TestJitterBatchingEquivalence:
+    def test_batched_equals_per_frame(self, rng):
+        """The dedup scheduler's video-keyed mode jitters all first-seen
+        frames in ONE jitter_u8 call; every op's statistics are per-frame,
+        so the batched call must be byte-identical to per-frame calls
+        (both backends — the native kernel treats frames as independent
+        work items, the numpy chain reduces over (H, W) only)."""
+        from h36x.data.augment import jitter_u8, sample_jitter_params
+
+        frames = rng.integers(0, 256, size=(5, 16, 16, 3)).astype(np.uint8)
+        params = sample_jitter_params(np.random.default_rng(11))
+        batched = jitter_u8(frames, params)
+        for t in range(frames.shape[0]):
+            np.testing.assert_array_equal(
+                batched[t], jitter_u8(frames[t : t + 1], params)[0], str(t)
+            )
