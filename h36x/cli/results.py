@@ -42,10 +42,12 @@ def main(argv=None):
 
     setup_jax_cache()
 
-    import os
+    from h36x.train.checkpoint import checkpoint_ref_exists
 
-    if not os.path.exists(args.model_path):
-        # fail before model init (which costs minutes on a remote backend)
+    if not checkpoint_ref_exists(args.model_path):
+        # fail before model init (which costs minutes on a remote backend);
+        # orbax-aware: `outdir/last` resolves to a slot dir, so a bare
+        # os.path.exists would wrongly reject orbax-backend checkpoints
         raise FileNotFoundError(f"checkpoint not found: {args.model_path}")
 
     test_set = FeatureClipDataset(args.features_root, subjects=args.subjects,

@@ -22,6 +22,7 @@ def main(argv=None):
         plot_batch_sample,
         plot_batch_sample_2d_2dproj_3d,
         plot_batch_sample_2d_2dproj_3d_no_video,
+        plot_sequence_3d,
     )
 
     data = np.load(args.npz, allow_pickle=True)
@@ -43,17 +44,25 @@ def main(argv=None):
     K = data["cam_K"] if "cam_K" in data else (
         data["K"] if "K" in data else None)
 
+    has_video = "video" in data and data["video"].ndim >= 5
     if args.mode == "video3d":
-        if "video" not in data or data["video"].ndim < 5:
-            raise SystemExit(f"{args.npz} carries no video frames; "
-                             "use --mode features")
+        if not has_video:
+            # h36x-predict NPZs carry neither video nor joints2d: the 3D
+            # animation must still be viewable, not a circular "use the
+            # other mode" dead-end
+            print(f"note: {args.npz} carries no video frames; showing the "
+                  "3D skeleton alone")
+            plot_sequence_3d(j3d, args.sample)
+            return
         plot_batch_sample(data["video"], j3d, args.sample)
         return
     if j2d is None:
-        raise SystemExit(
-            f"{args.npz} carries no joints2d — the {args.mode!r} mode's "
-            "reprojection panels need them; use --mode video3d")
-    if args.mode == "features" or "video" not in data or data["video"].ndim < 5:
+        print(f"note: {args.npz} carries no joints2d (the {args.mode!r} "
+              "mode's reprojection panels need them); showing the 3D "
+              "skeleton alone")
+        plot_sequence_3d(j3d, args.sample)
+        return
+    if args.mode == "features" or not has_video:
         plot_batch_sample_2d_2dproj_3d_no_video(j3d, j2d, K, args.sample)
     else:
         plot_batch_sample_2d_2dproj_3d(data["video"], j3d, j2d, K, args.sample)

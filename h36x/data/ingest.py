@@ -234,7 +234,8 @@ def ingest(
 
         for cam_id in cams:
             if canonical:
-                ident = H36M_CAMERA_SERIALS[cam_id - 1]
+                ident = (H36M_CAMERA_SERIALS[cam_id - 1]
+                         if cam_id <= len(H36M_CAMERA_SERIALS) else None)
                 if ident not in idents:
                     ident = None
             else:

@@ -466,6 +466,16 @@ def run_extract_dedup(cfg: ExtractConfig, dataset) -> dict:
     if getattr(cfg, "resume", False) and progress_path.exists():
         prog = _json.loads(progress_path.read_text())
         prev = prog.get("config")
+        if prev is not None:
+            # pre-upgrade progress files predate some provenance keys; a
+            # missing key means "unknown", not "different" — refusing would
+            # strand a near-done extraction behind an unfixable mismatch
+            for k in ("crop_backend", "jitter_backend", "partition_by"):
+                if k in run_config and k not in prev:
+                    print(f"WARNING: the interrupted run predates the {k!r} "
+                          f"provenance record — cannot verify it matched "
+                          f"{run_config[k]!r}; resuming anyway")
+                    prev[k] = run_config[k]
         if prev is not None and prev != run_config:
             diffs = {k: (prev.get(k), run_config[k]) for k in run_config
                      if prev.get(k) != run_config[k]}

@@ -309,7 +309,9 @@ int h36x_bcs_jitter_u8(uint8_t* data, int T, int H, int W, float fb, float fc,
 // This is the hot host op of the default (--jitter-key clip) extraction
 // schedule: the clip-keyed factor set means every clip jitters all seq_len
 // frames, and the numpy chain pays ~6 full-clip f32 temporaries per op.
-// src/dst: (T,H,W,3) u8 contiguous (may alias). Returns 0 on success.
+// src/dst: (T,H,W,3) u8 contiguous, must NOT alias (the per-frame body
+// declares both __restrict; callers allocate a fresh dst). Returns 0 on
+// success.
 int h36x_jitter_clip_u8(const uint8_t* src, uint8_t* dst, int T, int H, int W,
                         float fb, float fc, float fs, float fh,
                         const int* order, int n_ops, int n_threads) {

@@ -274,6 +274,16 @@ def load_checkpoint(directory, name: str, template: TrainState):
     )
 
 
+def checkpoint_ref_exists(path) -> bool:
+    """True when `path` names something load_params_only can open: a real
+    file/dir, or an `outdir/last`-style reference to a slotted orbax save
+    (resolved via the manifest next to it). CLIs use this to fail fast on
+    typos WITHOUT rejecting orbax references whose literal path never
+    exists on disk."""
+    path = Path(path)
+    return path.exists() or _orbax_dir(path.parent, path.name) is not None
+
+
 def load_params_only(path, params_template) -> Any:
     """Restore just the model params from a full-state checkpoint.
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import math
 import os
 import time
 from typing import Optional
@@ -281,6 +282,12 @@ def evaluate(eval_step, params, dataset, sampler, sharding):
 
 
 def _append_metrics(outdir, record: dict) -> None:
+    # json.dumps(inf/nan) emits non-RFC 'Infinity'/'NaN' tokens that break
+    # strict consumers (jq, pandas) — the zero-row val epoch writes inf
+    record = {
+        k: (None if isinstance(v, float) and not math.isfinite(v) else v)
+        for k, v in record.items()
+    }
     os.makedirs(outdir, exist_ok=True)
     with open(os.path.join(outdir, "metrics.jsonl"), "a") as f:
         f.write(json.dumps(record) + "\n")

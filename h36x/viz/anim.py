@@ -128,6 +128,32 @@ def plot_batch_sample(video, joints, sample_idx: int = 0, fps: int = 10, show: b
     return anim
 
 
+def plot_sequence_3d(joints3d, sample_idx: int = 0, fps: int = 10,
+                     point_size: int = 18, line_width: int = 2,
+                     show: bool = True):
+    """3D-skeleton-only animation: the viewer of last resort for NPZs that
+    carry neither video frames nor 2D joints (h36x-predict output)."""
+    import matplotlib.pyplot as plt
+    from matplotlib.animation import FuncAnimation
+
+    js3 = np.asarray(joints3d)[sample_idx]
+    fig = plt.figure(figsize=(5, 5))
+    ax = fig.add_subplot(1, 1, 1, projection="3d")
+    ax.set_title("Skeleton 3D")
+    scat, lines = _setup_3d_axis(ax, js3, point_size, line_width)
+
+    def update(t):
+        _update_3d(scat, lines, js3, t)
+        return [scat] + lines
+
+    anim = FuncAnimation(fig, update, frames=js3.shape[0],
+                         interval=1000 // fps, blit=False)
+    if show:
+        plt.tight_layout()
+        plt.show()
+    return anim
+
+
 def plot_batch_sample_2d_2dproj_3d(
     video, joints3d, joints2d, K,
     sample_idx: int = 0, fps: int = 10, point_size: int = 18, line_width: int = 2,
