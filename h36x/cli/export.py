@@ -32,7 +32,9 @@ def main(argv=None):
     p.add_argument("--forecast", type=int, default=25,
                    help="rollout only: future frames baked into the artifact")
     p.add_argument("--seq-len", type=int, default=40)
-    p.add_argument("--feature-dim", type=int, default=2048)
+    p.add_argument("--feature-dim", type=int, default=None,
+                   help="input feature width; default: the value recorded "
+                        "in the checkpoint manifest (falls back to 2048)")
     p.add_argument("--batch", type=int, default=None,
                    help="fix the batch dimension (default: symbolic)")
     p.add_argument("--platforms", default="cpu,tpu",
@@ -42,12 +44,9 @@ def main(argv=None):
                    help="compute/weight dtype baked into the artifact "
                         "(bfloat16: half the file and serve-time weight "
                         "traffic; interface stays f32)")
-    p.add_argument("--latent-dim", type=int, default=1024)
-    p.add_argument("--num-blocks", type=int, default=2)
-    p.add_argument("--groups", type=int, default=32)
-    p.add_argument("--regressor-iters", type=int, default=3,
-                   help="joint-regressor refinement rounds; must match the "
-                        "checkpoint's training config")
+    from h36x.cli.common import add_model_config_flags
+
+    add_model_config_flags(p)
     p.add_argument("--check", action="store_true",
                    help="reload the artifact and compare against the flax "
                         "forward on random features")
@@ -57,7 +56,6 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from h36x.config import JOINTS_NUM
     from h36x.export import (
         artifact_info,
         export_forward,
@@ -71,20 +69,34 @@ def main(argv=None):
 
     setup_jax_cache()
 
-    model = PHDFor3DJoints(latent_dim=args.latent_dim, joints_num=JOINTS_NUM,
-                           feature_dim=args.feature_dim,
-                           number_blocks=args.num_blocks, groups=args.groups,
-                           regressor_iters=args.regressor_iters)
+    from h36x.cli.common import resolve_model_config
+
+    mc = resolve_model_config(
+        args.model_path,
+        {"latent_dim": args.latent_dim, "num_blocks": args.num_blocks,
+         "groups": args.groups, "regressor_iters": args.regressor_iters,
+         "feature_dim": args.feature_dim},
+        ignore_recorded=args.ignore_model_config)
+    feature_dim = mc["feature_dim"]
+    model = PHDFor3DJoints(latent_dim=mc["latent_dim"],
+                           joints_num=mc["joints_num"],
+                           feature_dim=feature_dim,
+                           number_blocks=mc["num_blocks"],
+                           ar_blocks=mc["ar_num_blocks"],
+                           groups=mc["groups"],
+                           kernel_size=mc["kernel_size"],
+                           regressor_iters=mc["regressor_iters"],
+                           regressor_hidden=mc["regressor_hidden"])
     template = model.init(
-        jax.random.key(0), jnp.zeros((1, args.seq_len, args.feature_dim))
+        jax.random.key(0), jnp.zeros((1, args.seq_len, feature_dim))
     )["params"]
     params = ckpt.load_params_only(args.model_path, jax.device_get(template))
 
     platforms = tuple(s.strip() for s in args.platforms.split(",") if s.strip())
     common = dict(
-        seq_len=args.seq_len, feature_dim=args.feature_dim,
-        joints_num=JOINTS_NUM, groups=args.groups, batch=args.batch,
-        regressor_iters=args.regressor_iters,
+        seq_len=args.seq_len, feature_dim=feature_dim,
+        joints_num=mc["joints_num"], groups=mc["groups"], batch=args.batch,
+        regressor_iters=mc["regressor_iters"],
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None,
         platforms=platforms,
     )
@@ -108,7 +120,7 @@ def main(argv=None):
     if args.check:
         fn = load_artifact(blob)
         feats = np.random.default_rng(0).standard_normal(
-            (2, args.seq_len, args.feature_dim), dtype=np.float32
+            (2, args.seq_len, feature_dim), dtype=np.float32
         )
         got = fn(feats)
         joints_got = got[0] if args.kind == "rollout" else got

@@ -47,19 +47,15 @@ def main(argv=None):
     p.add_argument("--freeze", action="store_true",
                    help="with --streaming: pin GN statistics once the "
                         "window is full and push in O(1) per frame")
-    p.add_argument("--latent-dim", type=int, default=1024)
-    p.add_argument("--num-blocks", type=int, default=2)
-    p.add_argument("--groups", type=int, default=32)
-    p.add_argument("--regressor-iters", type=int, default=3,
-                   help="joint-regressor refinement rounds; must match the "
-                        "checkpoint's training config")
+    from h36x.cli.common import add_model_config_flags, resolve_model_config
+
+    add_model_config_flags(p)
     args = p.parse_args(argv)
 
     from h36x.utils.runtime import setup_jax_cache
 
     setup_jax_cache()
 
-    from h36x.config import JOINTS_NUM
     from h36x.data.features import FeatureClipDataset
     from h36x.models.phd import PHDFor3DJoints
     from h36x.serve import StreamingPredictor, make_rollout_fn
@@ -80,9 +76,19 @@ def main(argv=None):
     feature_dim = feats.shape[-1]
     seq_len = feats.shape[1]
 
-    model = PHDFor3DJoints(latent_dim=args.latent_dim, joints_num=JOINTS_NUM,
-                           number_blocks=args.num_blocks, groups=args.groups,
-                           regressor_iters=args.regressor_iters)
+    mc = resolve_model_config(
+        args.model_path,
+        {"latent_dim": args.latent_dim, "num_blocks": args.num_blocks,
+         "groups": args.groups, "regressor_iters": args.regressor_iters},
+        ignore_recorded=args.ignore_model_config)
+    model = PHDFor3DJoints(latent_dim=mc["latent_dim"],
+                           joints_num=mc["joints_num"],
+                           number_blocks=mc["num_blocks"],
+                           ar_blocks=mc["ar_num_blocks"],
+                           groups=mc["groups"],
+                           kernel_size=mc["kernel_size"],
+                           regressor_iters=mc["regressor_iters"],
+                           regressor_hidden=mc["regressor_hidden"])
     template = model.init(
         jax.random.key(0), jnp.zeros((1, seq_len, feature_dim))
     )["params"]
@@ -98,16 +104,17 @@ def main(argv=None):
         # pushes on the second.
         window = args.window or (seq_len // 2 if args.freeze else seq_len)
         window = max(1, min(window, seq_len))
-        preds = np.zeros((n, seq_len, JOINTS_NUM, 3), np.float32)
+        preds = np.zeros((n, seq_len, mc["joints_num"], 3), np.float32)
         # --forecast applies in streaming mode too: roll each clip's AR
         # predictor past its last pushed frame (was silently ignored)
-        futures = np.zeros((n, max(args.forecast, 0), JOINTS_NUM, 3),
+        futures = np.zeros((n, max(args.forecast, 0), mc["joints_num"], 3),
                            np.float32)
         for b in range(n):
             sp = StreamingPredictor(params, window=window,
                                     feature_dim=feature_dim,
-                                    joints_num=JOINTS_NUM, groups=args.groups,
-                                    regressor_iters=args.regressor_iters)
+                                    joints_num=mc["joints_num"],
+                                    groups=mc["groups"],
+                                    regressor_iters=mc["regressor_iters"])
             for t in range(seq_len):
                 preds[b, t] = sp.push(feats[b, t])
                 if args.freeze and sp.warm and not sp.frozen:
@@ -122,8 +129,9 @@ def main(argv=None):
                 + (f" +{args.forecast} forecast frames" if args.forecast > 0
                    else ""))
     elif args.forecast > 0:
-        rollout = make_rollout_fn(args.forecast, JOINTS_NUM, args.groups,
-                                  regressor_iters=args.regressor_iters)
+        rollout = make_rollout_fn(args.forecast, mc["joints_num"],
+                                  mc["groups"],
+                                  regressor_iters=mc["regressor_iters"])
         ctx, fut = rollout(params, jnp.asarray(feats))
         out["predicted3djoints"] = np.asarray(ctx, np.float32)
         out["future3djoints"] = np.asarray(fut, np.float32)
@@ -133,9 +141,9 @@ def main(argv=None):
         # rollout's masked-GN buffer for a future output we would discard
         from h36x.infer import make_fused_forward
 
-        forward = make_fused_forward(JOINTS_NUM, args.groups,
+        forward = make_fused_forward(mc["joints_num"], mc["groups"],
                                      use_pallas=False,
-                                     regressor_iters=args.regressor_iters)
+                                     regressor_iters=mc["regressor_iters"])
         out["predicted3djoints"] = np.asarray(
             forward(params, jnp.asarray(feats)), np.float32)
         mode = "batch forward"

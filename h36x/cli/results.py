@@ -6,7 +6,7 @@ import argparse
 import jax
 import jax.numpy as jnp
 
-from h36x.config import JOINTS_NUM, SEQ_LEN, TEST_SUBJECTS
+from h36x.config import SEQ_LEN, TEST_SUBJECTS
 from h36x.data.features import FeatureClipDataset
 from h36x.models.phd import PHDFor3DJoints
 from h36x.train import checkpoint as ckpt
@@ -24,15 +24,9 @@ def main(argv=None):
     p.add_argument("--save-n", type=int, default=16)
     p.add_argument("--video-size", type=int, default=224, help="0 disables resize")
     p.add_argument("--subjects", type=int, nargs="+", default=list(TEST_SUBJECTS))
-    p.add_argument("--latent-dim", type=int, default=1024)
-    p.add_argument("--num-blocks", type=int, default=2)
-    p.add_argument("--groups", type=int, default=32,
-                   help="GroupNorm groups; must match the training config "
-                        "(shape-invisible: a mismatch evaluates silently "
-                        "wrong)")
-    p.add_argument("--regressor-iters", type=int, default=3,
-                   help="joint-regressor refinement rounds; must match the "
-                        "training config (shape-invisible too)")
+    from h36x.cli.common import add_model_config_flags, resolve_model_config
+
+    add_model_config_flags(p)
     p.add_argument("--fused", action="store_true",
                    help="use the Pallas fused serving path (h36x.infer) for "
                         "the one-batch prediction dump")
@@ -56,9 +50,19 @@ def main(argv=None):
     # hardcoding 2048 would mis-shape the restore template for stores
     # produced by a different backbone
     feature_dim = test_set[0][0].shape[-1]
-    model = PHDFor3DJoints(latent_dim=args.latent_dim, joints_num=JOINTS_NUM,
-                           number_blocks=args.num_blocks, groups=args.groups,
-                           regressor_iters=args.regressor_iters)
+    mc = resolve_model_config(
+        args.model_path,
+        {"latent_dim": args.latent_dim, "num_blocks": args.num_blocks,
+         "groups": args.groups, "regressor_iters": args.regressor_iters},
+        ignore_recorded=args.ignore_model_config)
+    model = PHDFor3DJoints(latent_dim=mc["latent_dim"],
+                           joints_num=mc["joints_num"],
+                           number_blocks=mc["num_blocks"],
+                           ar_blocks=mc["ar_num_blocks"],
+                           groups=mc["groups"],
+                           kernel_size=mc["kernel_size"],
+                           regressor_iters=mc["regressor_iters"],
+                           regressor_hidden=mc["regressor_hidden"])
     template = model.init(
         jax.random.key(0), jnp.zeros((1, args.seq_len, feature_dim))
     )["params"]

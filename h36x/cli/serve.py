@@ -32,11 +32,9 @@ def main(argv=None):
                                               "host/port)")
     p.add_argument("--seq-len", type=int, default=SEQ_LEN)
     p.add_argument("--feature-dim", type=int, default=FEATURE_DIM)
-    p.add_argument("--latent-dim", type=int, default=1024)
-    p.add_argument("--num-blocks", type=int, default=2)
-    p.add_argument("--regressor-iters", type=int, default=3,
-                   help="joint-regressor refinement rounds; must match the "
-                        "checkpoint's training config (checkpoint mode)")
+    from h36x.cli.common import add_model_config_flags, resolve_model_config
+
+    add_model_config_flags(p)
     p.add_argument("--max-batch", type=int, default=16)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
     args = p.parse_args(argv)
@@ -47,11 +45,22 @@ def main(argv=None):
 
     from h36x.serve_daemon import BatchingServer, build_predict_fn, serve_forever
 
+    # artifact mode has the weights (and architecture) baked in; the model
+    # flags only matter in checkpoint mode, where the manifest next to the
+    # checkpoint records the trained architecture
+    mc = resolve_model_config(
+        args.model_path or "",
+        {"latent_dim": args.latent_dim, "num_blocks": args.num_blocks,
+         "groups": args.groups, "regressor_iters": args.regressor_iters},
+        ignore_recorded=args.ignore_model_config or bool(args.artifact))
     predict_fn, pad_to = build_predict_fn(
         artifact=args.artifact, model_path=args.model_path,
         seq_len=args.seq_len, feature_dim=args.feature_dim,
-        latent_dim=args.latent_dim, num_blocks=args.num_blocks,
-        regressor_iters=args.regressor_iters,
+        latent_dim=mc["latent_dim"], num_blocks=mc["num_blocks"],
+        groups=mc["groups"], ar_blocks=mc["ar_num_blocks"],
+        kernel_size=mc["kernel_size"],
+        regressor_hidden=mc["regressor_hidden"],
+        regressor_iters=mc["regressor_iters"],
         # warm both modes: artifact mode pre-compiles every bucket size,
         # checkpoint mode its single padded shape — either way the first
         # request must not eat the XLA compile in its latency

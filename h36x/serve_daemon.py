@@ -321,7 +321,9 @@ def build_predict_fn(artifact: str = "", model_path: str = "",
                      seq_len: int = 40, feature_dim: int = 2048,
                      latent_dim: int = 1024, num_blocks: int = 2,
                      max_batch: int = 16, warm: bool = False,
-                     regressor_iters: int = 3):
+                     regressor_iters: int = 3, groups: int = 32,
+                     ar_blocks: int = 3, kernel_size: int = 3,
+                     regressor_hidden: int = 1024):
     """Returns (predict_fn, pad_to) from an AOT artifact or a checkpoint.
 
     Artifact mode returns pad_to=0 (pair it with bucket_pad=True): the
@@ -352,8 +354,10 @@ def build_predict_fn(artifact: str = "", model_path: str = "",
     from h36x.train.step import make_forward
 
     model = PHDFor3DJoints(latent_dim=latent_dim, feature_dim=feature_dim,
-                           number_blocks=num_blocks,
-                           regressor_iters=regressor_iters)
+                           number_blocks=num_blocks, groups=groups,
+                           ar_blocks=ar_blocks, kernel_size=kernel_size,
+                           regressor_iters=regressor_iters,
+                           regressor_hidden=regressor_hidden)
     template = model.init(
         jax.random.key(0), jnp.zeros((1, seq_len, feature_dim))
     )["params"]

@@ -195,6 +195,43 @@ def _read_manifest(directory: Path, name: str) -> dict:
             "manifest_missing": True}
 
 
+def load_recorded_model_config(model_path) -> dict:
+    """Model hyper-parameters recorded in the manifest next to `model_path`.
+
+    Every h36x-train save embeds the full TrainConfig in `<name>.json`
+    (save_checkpoint / save_checkpoint_orbax `config=` field); this reads
+    back its `model` section so downstream CLIs (results/predict/export/
+    serve/parity) can reconstruct the exact architecture the checkpoint was
+    trained with instead of trusting hand-typed flags — `groups` and
+    `regressor_iters` mismatches are shape-invisible and evaluate silently
+    wrong. Returns {} when no manifest or no recorded model config exists
+    (bare msgpacks, torch conversions, legacy layouts): callers fall back
+    to their defaults exactly as before.
+
+    Accepts every path shape load_params_only does: `outdir/best.msgpack`
+    (manifest `outdir/best.json`), an orbax reference `outdir/last`
+    (manifest `outdir/last.json`), or a direct slot dir `outdir/last.0`
+    (manifest `outdir/last.json` after stripping the slot suffix).
+    """
+    p = Path(model_path)
+    candidates = [p.with_suffix(".json") if p.suffix == ".msgpack"
+                  else p.parent / f"{p.name}.json"]
+    stem, dot, slot = p.name.rpartition(".")
+    if dot and slot.isdigit():  # orbax slot dir last.0 / last.1
+        candidates.append(p.parent / f"{stem}.json")
+    for mpath in candidates:
+        if mpath.exists():
+            try:
+                with open(mpath) as f:
+                    manifest = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                continue
+            model_cfg = manifest.get("config", {}).get("model", {})
+            if isinstance(model_cfg, dict):
+                return dict(model_cfg)
+    return {}
+
+
 def _load_checkpoint_orbax(directory, name: str, template: TrainState):
     import orbax.checkpoint as ocp
 

@@ -142,6 +142,97 @@ class TestPredictCLI:
         assert np.isfinite(data["predicted3djoints"]).all()
 
 
+class TestModelConfigResolution:
+    """CLIs reconstruct the trained architecture from the checkpoint
+    manifest (h36x/cli/common.py) instead of trusting hand-typed flags —
+    the reference re-types these constants on every entry point
+    (src/results.py:175-187)."""
+
+    @pytest.fixture
+    def manifest_ckpt(self, tmp_path):
+        """Checkpoint saved THROUGH save_checkpoint with a non-default
+        architecture recorded in its manifest (as h36x-train does)."""
+        import jax
+        import jax.numpy as jnp
+
+        from h36x.models.phd import PHDFor3DJoints
+        from h36x.train import checkpoint as ckpt
+        from h36x.train.state import create_train_state, make_optimizer
+
+        store = tmp_path / "store"
+        store.mkdir()
+        make_synthetic_store(store, n_shards=1, clips_per_shard=6, n_vars=1,
+                             seq_len=8, feat_dim=32, subjects=(9,))
+        model = PHDFor3DJoints(latent_dim=64, feature_dim=32, joints_num=17,
+                               number_blocks=1, groups=8)
+        optimizer, _ = make_optimizer(lr=1e-3)
+        state = create_train_state(model, optimizer, jax.random.key(0),
+                                   jnp.zeros((1, 8, 32)))
+        cfg = {"model": {"latent_dim": 64, "feature_dim": 32,
+                         "num_blocks": 1, "groups": 8}}
+        ckpt.save_checkpoint(tmp_path, "best", state, 0, 1.0, cfg)
+        return store, tmp_path / "best.msgpack"
+
+    def test_load_recorded_model_config_paths(self, manifest_ckpt, tmp_path):
+        from h36x.train.checkpoint import load_recorded_model_config
+
+        _, ckpt_path = manifest_ckpt
+        rec = load_recorded_model_config(ckpt_path)
+        assert rec["latent_dim"] == 64 and rec["groups"] == 8
+        # orbax-style references: outdir/best and a slot dir outdir/best.0
+        assert load_recorded_model_config(tmp_path / "best")["num_blocks"] == 1
+        assert load_recorded_model_config(tmp_path / "best.0")["num_blocks"] == 1
+        # no manifest at all -> {}
+        assert load_recorded_model_config(tmp_path / "nope.msgpack") == {}
+
+    def test_resolver_precedence_and_conflict(self, manifest_ckpt):
+        from h36x.cli.common import resolve_model_config
+
+        _, ckpt_path = manifest_ckpt
+        # no flags: recorded wins over defaults; unrecorded fields default
+        mc = resolve_model_config(ckpt_path, {})
+        assert mc["latent_dim"] == 64 and mc["groups"] == 8
+        assert mc["regressor_iters"] == 3  # not recorded -> default
+        # agreeing flag passes; contradicting flag raises
+        assert resolve_model_config(ckpt_path,
+                                    {"latent_dim": 64})["latent_dim"] == 64
+        with pytest.raises(SystemExit, match="contradict"):
+            resolve_model_config(ckpt_path, {"groups": 32})
+        # the deliberate-override escape hatch
+        mc = resolve_model_config(ckpt_path, {"groups": 32},
+                                  ignore_recorded=True)
+        assert mc["groups"] == 32
+
+    def test_predict_cli_auto_resolves(self, manifest_ckpt, tmp_path, capsys):
+        """No model flags: latent_dim=64/num_blocks=1 must come from the
+        manifest (the default 1024/2 template would fail the param
+        restore), and groups=8 (shape-invisible) must be applied too."""
+        from h36x.cli.predict import main as predict_main
+
+        store, ckpt_path = manifest_ckpt
+        out = tmp_path / "pred.npz"
+        predict_main([
+            "--features-root", str(store), "--model-path", str(ckpt_path),
+            "--out", str(out), "--subjects", "9", "--clips", "2",
+            "--forecast", "0",
+        ])
+        text = capsys.readouterr().out
+        assert "Model config from checkpoint manifest" in text
+        data = np.load(out, allow_pickle=True)
+        assert data["predicted3djoints"].shape == (2, 8, 17, 3)
+
+    def test_predict_cli_conflicting_flag_exits(self, manifest_ckpt, tmp_path):
+        from h36x.cli.predict import main as predict_main
+
+        store, ckpt_path = manifest_ckpt
+        with pytest.raises(SystemExit, match="contradict"):
+            predict_main([
+                "--features-root", str(store), "--model-path", str(ckpt_path),
+                "--out", str(tmp_path / "x.npz"), "--subjects", "9",
+                "--clips", "1", "--num-blocks", "2",
+            ])
+
+
 class TestDoctorCLI:
     def test_env_only(self, capsys):
         from h36x.cli.doctor import main
