@@ -58,10 +58,11 @@ def convert_shard_store(src: str, dst: str) -> int:
     return n_shards
 
 
-def convert_checkpoint(torch_ckpt: str, out_dir: str, name: str = "best") -> Path:
+def convert_checkpoint(torch_ckpt: str, out_dir: str, name: str = "best",
+                       groups: int = 32, regressor_iters: int = 3) -> Path:
     from flax import serialization
 
-    from h36x.models.torch_import import load_torch_phd
+    from h36x.models.torch_import import infer_model_config, load_torch_phd
 
     params = load_torch_phd(torch_ckpt)
     out = Path(out_dir)
@@ -69,9 +70,19 @@ def convert_checkpoint(torch_ckpt: str, out_dir: str, name: str = "best") -> Pat
     data_path = out / f"{name}.msgpack"
     with open(data_path, "wb") as f:
         f.write(serialization.to_bytes(params))
+    # record the architecture so the consumer CLIs (results/predict/export/
+    # serve) resolve it from the manifest like they do for h36x-train
+    # checkpoints. Shape-visible fields come from the param tree; groups/
+    # regressor_iters are shape-invisible and come from the flags (defaults
+    # = the reference's hard-coded values, src/model.py:127-146).
+    model_cfg = infer_model_config(params)
+    model_cfg["groups"] = groups
+    model_cfg["regressor_iters"] = regressor_iters
     with open(out / f"{name}.json", "w") as f:
         json.dump({"converted_from": os.path.abspath(torch_ckpt),
-                   "format": "params-only"}, f, indent=2)
+                   "format": "params-only",
+                   "model_config_inferred_from_shapes": True,
+                   "config": {"model": model_cfg}}, f, indent=2)
     return data_path
 
 
@@ -81,13 +92,21 @@ def main(argv=None):
     p.add_argument("--torch-ckpt", default="", help="reference last.pt/best.pt")
     p.add_argument("--out", required=True)
     p.add_argument("--name", default="best")
+    p.add_argument("--groups", type=int, default=32,
+                   help="GroupNorm groups the torch checkpoint was trained "
+                        "with (shape-invisible; recorded in the manifest)")
+    p.add_argument("--regressor-iters", type=int, default=3,
+                   help="refinement rounds the torch checkpoint was trained "
+                        "with (shape-invisible; recorded in the manifest)")
     args = p.parse_args(argv)
 
     if args.torch_shards:
         n = convert_shard_store(args.torch_shards, args.out)
         print(f"converted {n} shards -> {args.out}")
     if args.torch_ckpt:
-        path = convert_checkpoint(args.torch_ckpt, args.out, args.name)
+        path = convert_checkpoint(args.torch_ckpt, args.out, args.name,
+                                  groups=args.groups,
+                                  regressor_iters=args.regressor_iters)
         print(f"converted checkpoint -> {path}")
     if not args.torch_shards and not args.torch_ckpt:
         raise SystemExit("provide --torch-shards and/or --torch-ckpt")

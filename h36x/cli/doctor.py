@@ -110,12 +110,21 @@ def _ckpt_info(path):
                         f"({man.get('format', 'unknown format')})")
             return f"manifest keys: {sorted(man)}"
 
+        def arch(man: dict) -> str:
+            mc = man.get("config", {}).get("model", {})
+            if not mc:
+                return ""
+            keys = ("latent_dim", "num_blocks", "groups", "regressor_iters")
+            shown = {k: mc[k] for k in keys if k in mc}
+            return ("; arch " + " ".join(f"{k}={v}" for k, v in shown.items())
+                    if shown else "")
+
         p = Path(path)
         if p.is_dir():  # orbax directory or a run dir
             for name in ("last", "best"):
                 if (p / f"{name}.json").exists():
                     man = json.loads((p / f"{name}.json").read_text())
-                    return f"{name}: {describe(man)}"
+                    return f"{name}: {describe(man)}{arch(man)}"
             raise FileNotFoundError("no last.json/best.json manifest found")
         man_path = p.with_suffix(".json")
         if not p.exists():
@@ -124,7 +133,7 @@ def _ckpt_info(path):
         detail = f"{size_mb:.1f} MB"
         if man_path.exists():
             man = json.loads(man_path.read_text())
-            detail += f", {describe(man)}"
+            detail += f", {describe(man)}{arch(man)}"
         return detail
 
     return probe

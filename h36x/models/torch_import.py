@@ -205,3 +205,33 @@ def load_torch_phd(path) -> dict:
     if isinstance(raw, dict) and "model" in raw:
         raw = raw["model"]
     return convert_torch_phd(raw)
+
+
+def infer_model_config(params: dict) -> dict:
+    """Reconstruct the shape-VISIBLE architecture fields from a converted
+    PHD param tree (ModelConfig field names, ready for a checkpoint
+    manifest's config.model section).
+
+    Torch checkpoints carry no config, but most of the architecture is in
+    the shapes: input_proj (feature_dim, latent_dim), the f_movie/f_AR
+    block counts, the conv tap count, and the regressor MLP widths
+    (fc1 in = latent + 3*J, fc3 out = 3*J). `groups` and `regressor_iters`
+    are genuinely shape-invisible (loop/group counts) and are NOT returned
+    — callers must supply them (the reference hard-codes 32/3,
+    /root/reference/src/model.py:127-146).
+    """
+    feature_dim, latent_dim = (int(s) for s in
+                               np.shape(params["input_proj"]["kernel"]))
+    joints3 = int(np.shape(params["f_3D"]["fc3"]["kernel"])[1])
+    if joints3 % 3:
+        raise ValueError(f"f_3D.fc3 output {joints3} is not 3*J")
+    block0 = params["f_movie"]["block0"]["conv1"]["kernel"]
+    return {
+        "latent_dim": latent_dim,
+        "feature_dim": feature_dim,
+        "joints_num": joints3 // 3,
+        "num_blocks": sum(k.startswith("block") for k in params["f_movie"]),
+        "ar_num_blocks": sum(k.startswith("block") for k in params["f_AR"]),
+        "kernel_size": int(np.shape(block0)[0]),
+        "regressor_hidden": int(np.shape(params["f_3D"]["fc1"]["kernel"])[1]),
+    }

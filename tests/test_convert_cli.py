@@ -78,3 +78,31 @@ def test_checkpoint_conversion(tmp_path, rng):
     out = model.apply({"params": jax.tree.map(jnp.asarray, params)},
                       jnp.zeros((1, 4, 32)))[2]
     assert out.shape == (1, 4, 17, 3)
+
+    # the manifest records the shape-inferred architecture so consumer CLIs
+    # resolve it exactly like an h36x-train checkpoint's
+    from h36x.train.checkpoint import load_recorded_model_config
+
+    rec = load_recorded_model_config(tmp_path / "runs" / "best.msgpack")
+    assert rec["latent_dim"] == 64 and rec["feature_dim"] == 32
+    assert rec["num_blocks"] == 2 and rec["ar_num_blocks"] == 3
+    assert rec["joints_num"] == 17 and rec["kernel_size"] == 3
+    assert rec["groups"] == 32 and rec["regressor_iters"] == 3  # flags
+
+
+def test_checkpoint_conversion_nondefault_invisible_flags(tmp_path, rng):
+    """--groups/--regressor-iters are shape-invisible: convert must record
+    what the user says the torch run used."""
+    torch = pytest.importorskip("torch")
+
+    from h36x.cli.convert import main
+    from h36x.train.checkpoint import load_recorded_model_config
+    from tests.test_phd_import import _fake_phd_state_dict
+
+    sd = _fake_phd_state_dict(rng)
+    ckpt = tmp_path / "best.pt"
+    torch.save({"model": {k: torch.from_numpy(v) for k, v in sd.items()}}, ckpt)
+    main(["--torch-ckpt", str(ckpt), "--out", str(tmp_path / "runs"),
+          "--groups", "16", "--regressor-iters", "2"])
+    rec = load_recorded_model_config(tmp_path / "runs" / "best.msgpack")
+    assert rec["groups"] == 16 and rec["regressor_iters"] == 2
