@@ -213,6 +213,10 @@ def load_recorded_model_config(model_path) -> dict:
     (manifest `outdir/last.json`), or a direct slot dir `outdir/last.0`
     (manifest `outdir/last.json` after stripping the slot suffix).
     """
+    if not str(model_path):
+        # empty path (e.g. parity's torch-only mode, serve's artifact mode)
+        # must not glob a stray "./.json"
+        return {}
     p = Path(model_path)
     candidates = [p.with_suffix(".json") if p.suffix == ".msgpack"
                   else p.parent / f"{p.name}.json"]
