@@ -19,7 +19,9 @@ def main(argv=None):
     p.add_argument("--preprocessed-root", required=True)
     p.add_argument("--model-path", required=True, help="checkpoint .msgpack")
     p.add_argument("--out", default="outputs/batch_result_S9.npz")
-    p.add_argument("--seq-len", type=int, default=SEQ_LEN)
+    p.add_argument("--seq-len", type=int, default=None,
+                   help="clip window length; default: the evaluated store's "
+                        f"own seq_len (falls back to {SEQ_LEN})")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--save-n", type=int, default=16)
     p.add_argument("--video-size", type=int, default=224, help="0 disables resize")
@@ -50,6 +52,10 @@ def main(argv=None):
     # hardcoding 2048 would mis-shape the restore template for stores
     # produced by a different backbone
     feature_dim = test_set[0][0].shape[-1]
+    # the store being evaluated is authoritative for T (a mismatched flag
+    # would mis-window the NPZ video dump)
+    seq_len = args.seq_len if args.seq_len is not None \
+        else int(test_set[0][0].shape[0])
     mc = resolve_model_config(
         args.model_path,
         {"latent_dim": args.latent_dim, "num_blocks": args.num_blocks,
@@ -64,7 +70,7 @@ def main(argv=None):
                            regressor_iters=mc["regressor_iters"],
                            regressor_hidden=mc["regressor_hidden"])
     template = model.init(
-        jax.random.key(0), jnp.zeros((1, args.seq_len, feature_dim))
+        jax.random.key(0), jnp.zeros((1, seq_len, feature_dim))
     )["params"]
     params = ckpt.load_params_only(args.model_path, jax.device_get(template))
 
@@ -91,7 +97,7 @@ def main(argv=None):
                                         regressor_iters=model.regressor_iters)
     dump_result_batch(
         model, params, test_set, args.preprocessed_root, args.out,
-        seq_len=args.seq_len, batch_size=args.batch_size, save_n=args.save_n,
+        seq_len=seq_len, batch_size=args.batch_size, save_n=args.save_n,
         video_size=out_hw, test_metrics=(loss, mp, l3d, l2d),
         forward_fn=forward_fn,
     )

@@ -30,8 +30,14 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=7036)
     p.add_argument("--unix", default="", help="unix socket path (overrides "
                                               "host/port)")
-    p.add_argument("--seq-len", type=int, default=SEQ_LEN)
-    p.add_argument("--feature-dim", type=int, default=FEATURE_DIM)
+    p.add_argument("--seq-len", type=int, default=None,
+                   help="wire T; default: derived from the artifact's input "
+                        "aval / the checkpoint manifest's data.seq_len "
+                        f"(falls back to {SEQ_LEN})")
+    p.add_argument("--feature-dim", type=int, default=None,
+                   help="wire D; default: derived from the artifact's input "
+                        "aval / the checkpoint manifest's model.feature_dim "
+                        f"(falls back to {FEATURE_DIM})")
     from h36x.cli.common import add_model_config_flags, resolve_model_config
 
     add_model_config_flags(p)
@@ -53,9 +59,36 @@ def main(argv=None):
         {"latent_dim": args.latent_dim, "num_blocks": args.num_blocks,
          "groups": args.groups, "regressor_iters": args.regressor_iters},
         ignore_recorded=args.ignore_model_config or bool(args.artifact))
+
+    # wire shapes (T, D): the artifact's input aval / the checkpoint
+    # manifest are authoritative — a hand-typed mismatch would reject or
+    # mis-shape every request
+    seq_len, feature_dim = args.seq_len, args.feature_dim
+    if args.artifact:
+        from h36x.export import artifact_input_shape
+
+        _, art_t, art_d = artifact_input_shape(args.artifact)
+        for flag, art, name in ((seq_len, art_t, "--seq-len"),
+                                (feature_dim, art_d, "--feature-dim")):
+            if flag is not None and flag != art:
+                raise SystemExit(
+                    f"{name} {flag} contradicts the artifact's input shape "
+                    f"(T={art_t}, D={art_d}) — drop the flag; the artifact "
+                    "is authoritative")
+        seq_len, feature_dim = art_t, art_d
+    else:
+        if feature_dim is None:
+            feature_dim = mc["feature_dim"]
+        if seq_len is None:
+            from h36x.train.checkpoint import load_recorded_config
+
+            seq_len = (load_recorded_config(args.model_path)
+                       .get("data", {}).get("seq_len")) or SEQ_LEN
+    print(f"wire shapes: T={seq_len} D={feature_dim}")
+
     predict_fn, pad_to = build_predict_fn(
         artifact=args.artifact, model_path=args.model_path,
-        seq_len=args.seq_len, feature_dim=args.feature_dim,
+        seq_len=seq_len, feature_dim=feature_dim,
         latent_dim=mc["latent_dim"], num_blocks=mc["num_blocks"],
         groups=mc["groups"], ar_blocks=mc["ar_num_blocks"],
         kernel_size=mc["kernel_size"],
@@ -67,7 +100,7 @@ def main(argv=None):
         max_batch=args.max_batch, warm=True,
     )
     server = BatchingServer(
-        predict_fn, seq_len=args.seq_len, feature_dim=args.feature_dim,
+        predict_fn, seq_len=seq_len, feature_dim=feature_dim,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms, pad_to=pad_to,
         bucket_pad=not pad_to,
     )

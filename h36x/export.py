@@ -159,6 +159,20 @@ def artifact_info(src) -> dict:
     }
 
 
+def artifact_input_shape(src) -> tuple:
+    """(batch, seq_len, feature_dim) of the artifact's feature input.
+
+    batch is None when the export used a symbolic batch dimension (the
+    default). Lets h36x-serve derive the wire shapes from the artifact
+    itself instead of trusting hand-typed --seq-len/--feature-dim flags.
+    """
+    if isinstance(src, (str, Path)):
+        src = Path(src).read_bytes()
+    exp = jex.deserialize(bytearray(src))
+    b, t, d = exp.in_avals[0].shape
+    return (int(b) if isinstance(b, int) else None, int(t), int(d))
+
+
 def save_artifact(blob: bytes, path) -> Path:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)

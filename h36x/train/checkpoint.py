@@ -195,18 +195,13 @@ def _read_manifest(directory: Path, name: str) -> dict:
             "manifest_missing": True}
 
 
-def load_recorded_model_config(model_path) -> dict:
-    """Model hyper-parameters recorded in the manifest next to `model_path`.
+def load_recorded_config(model_path) -> dict:
+    """Full TrainConfig dict recorded in the manifest next to `model_path`.
 
-    Every h36x-train save embeds the full TrainConfig in `<name>.json`
-    (save_checkpoint / save_checkpoint_orbax `config=` field); this reads
-    back its `model` section so downstream CLIs (results/predict/export/
-    serve/parity) can reconstruct the exact architecture the checkpoint was
-    trained with instead of trusting hand-typed flags — `groups` and
-    `regressor_iters` mismatches are shape-invisible and evaluate silently
-    wrong. Returns {} when no manifest or no recorded model config exists
-    (bare msgpacks, torch conversions, legacy layouts): callers fall back
-    to their defaults exactly as before.
+    Every h36x-train save embeds the config in `<name>.json`
+    (save_checkpoint / save_checkpoint_orbax `config=` field). Returns {}
+    when no manifest or no recorded config exists (bare msgpacks, legacy
+    layouts): callers fall back to their defaults exactly as before.
 
     Accepts every path shape load_params_only does: `outdir/best.msgpack`
     (manifest `outdir/best.json`), an orbax reference `outdir/last`
@@ -230,10 +225,20 @@ def load_recorded_model_config(model_path) -> dict:
                     manifest = json.load(f)
             except (json.JSONDecodeError, OSError):
                 continue
-            model_cfg = manifest.get("config", {}).get("model", {})
-            if isinstance(model_cfg, dict):
-                return dict(model_cfg)
+            cfg = manifest.get("config", {})
+            if isinstance(cfg, dict):
+                return dict(cfg)
     return {}
+
+
+def load_recorded_model_config(model_path) -> dict:
+    """The `model` section of the recorded TrainConfig (see
+    load_recorded_config) — the architecture the checkpoint was trained
+    with. Downstream CLIs (results/predict/export/serve/parity) use it so
+    shape-invisible fields (`groups`, `regressor_iters`) never depend on
+    hand-typed flags, which evaluate silently wrong on a mismatch."""
+    model_cfg = load_recorded_config(model_path).get("model", {})
+    return dict(model_cfg) if isinstance(model_cfg, dict) else {}
 
 
 def _load_checkpoint_orbax(directory, name: str, template: TrainState):

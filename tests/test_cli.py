@@ -169,7 +169,8 @@ class TestModelConfigResolution:
         state = create_train_state(model, optimizer, jax.random.key(0),
                                    jnp.zeros((1, 8, 32)))
         cfg = {"model": {"latent_dim": 64, "feature_dim": 32,
-                         "num_blocks": 1, "groups": 8}}
+                         "num_blocks": 1, "groups": 8},
+               "data": {"seq_len": 8}}
         ckpt.save_checkpoint(tmp_path, "best", state, 0, 1.0, cfg)
         return store, tmp_path / "best.msgpack"
 
@@ -182,8 +183,13 @@ class TestModelConfigResolution:
         # orbax-style references: outdir/best and a slot dir outdir/best.0
         assert load_recorded_model_config(tmp_path / "best")["num_blocks"] == 1
         assert load_recorded_model_config(tmp_path / "best.0")["num_blocks"] == 1
-        # no manifest at all -> {}
+        # no manifest at all -> {}; empty path must not probe './.json'
         assert load_recorded_model_config(tmp_path / "nope.msgpack") == {}
+        assert load_recorded_model_config("") == {}
+        # the full-config reader (h36x-serve derives wire T from data.seq_len)
+        from h36x.train.checkpoint import load_recorded_config
+
+        assert load_recorded_config(ckpt_path)["data"]["seq_len"] == 8
 
     def test_resolver_precedence_and_conflict(self, manifest_ckpt):
         from h36x.cli.common import resolve_model_config

@@ -90,6 +90,19 @@ class TestForwardArtifact:
         assert info["nbytes"] == len(blob)
         assert len(info["in_avals"]) == 1
 
+        # h36x-serve derives its wire shapes from this; batch is symbolic
+        from h36x.export import artifact_input_shape
+
+        assert artifact_input_shape(path) == (None, SEQ, FEAT)
+
+    def test_input_shape_fixed_batch(self, setup):
+        from h36x.export import artifact_input_shape
+
+        _, params, _ = setup
+        blob = export_forward(params, seq_len=SEQ, feature_dim=FEAT,
+                              groups=8, batch=3)
+        assert artifact_input_shape(blob) == (3, SEQ, FEAT)
+
 
 class TestRolloutArtifact:
     def test_matches_rollout_fn(self, setup):
