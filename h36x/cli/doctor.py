@@ -111,7 +111,7 @@ def _ckpt_info(path):
             return f"manifest keys: {sorted(man)}"
 
         def arch(man: dict) -> str:
-            mc = man.get("config", {}).get("model", {})
+            mc = (man.get("config") or {}).get("model") or {}
             if not mc:
                 return ""
             keys = ("latent_dim", "num_blocks", "groups", "regressor_iters")

@@ -31,7 +31,9 @@ def main(argv=None):
                    default="forward")
     p.add_argument("--forecast", type=int, default=25,
                    help="rollout only: future frames baked into the artifact")
-    p.add_argument("--seq-len", type=int, default=40)
+    p.add_argument("--seq-len", type=int, default=None,
+                   help="artifact window length; default: the checkpoint "
+                        "manifest's data.seq_len (falls back to 40)")
     p.add_argument("--feature-dim", type=int, default=None,
                    help="input feature width; default: the value recorded "
                         "in the checkpoint manifest (falls back to 2048)")
@@ -78,6 +80,12 @@ def main(argv=None):
          "feature_dim": args.feature_dim},
         ignore_recorded=args.ignore_model_config)
     feature_dim = mc["feature_dim"]
+    seq_len = args.seq_len
+    if seq_len is None:
+        from h36x.train.checkpoint import load_recorded_config
+
+        seq_len = ((load_recorded_config(args.model_path)
+                    .get("data") or {}).get("seq_len")) or 40
     model = PHDFor3DJoints(latent_dim=mc["latent_dim"],
                            joints_num=mc["joints_num"],
                            feature_dim=feature_dim,
@@ -88,13 +96,13 @@ def main(argv=None):
                            regressor_iters=mc["regressor_iters"],
                            regressor_hidden=mc["regressor_hidden"])
     template = model.init(
-        jax.random.key(0), jnp.zeros((1, args.seq_len, feature_dim))
+        jax.random.key(0), jnp.zeros((1, seq_len, feature_dim))
     )["params"]
     params = ckpt.load_params_only(args.model_path, jax.device_get(template))
 
     platforms = tuple(s.strip() for s in args.platforms.split(",") if s.strip())
     common = dict(
-        seq_len=args.seq_len, feature_dim=feature_dim,
+        seq_len=seq_len, feature_dim=feature_dim,
         joints_num=mc["joints_num"], groups=mc["groups"], batch=args.batch,
         regressor_iters=mc["regressor_iters"],
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None,
@@ -120,7 +128,7 @@ def main(argv=None):
     if args.check:
         fn = load_artifact(blob)
         feats = np.random.default_rng(0).standard_normal(
-            (2, args.seq_len, feature_dim), dtype=np.float32
+            (2, seq_len, feature_dim), dtype=np.float32
         )
         got = fn(feats)
         joints_got = got[0] if args.kind == "rollout" else got
