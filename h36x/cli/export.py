@@ -81,11 +81,13 @@ def main(argv=None):
         ignore_recorded=args.ignore_model_config)
     feature_dim = mc["feature_dim"]
     seq_len = args.seq_len
-    if seq_len is None:
+    if seq_len is None and not args.ignore_model_config:
         from h36x.train.checkpoint import load_recorded_config
 
         seq_len = ((load_recorded_config(args.model_path)
-                    .get("data") or {}).get("seq_len")) or 40
+                    .get("data") or {}).get("seq_len"))
+    if seq_len is None:
+        seq_len = 40
     model = PHDFor3DJoints(latent_dim=mc["latent_dim"],
                            joints_num=mc["joints_num"],
                            feature_dim=feature_dim,

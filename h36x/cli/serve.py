@@ -51,9 +51,23 @@ def main(argv=None):
 
     from h36x.serve_daemon import BatchingServer, build_predict_fn, serve_forever
 
-    # artifact mode has the weights (and architecture) baked in; the model
-    # flags only matter in checkpoint mode, where the manifest next to the
-    # checkpoint records the trained architecture
+    # artifact mode has the weights AND architecture baked in — an explicit
+    # model flag cannot take effect, and silently ignoring it would let an
+    # operator believe it did (checkpoint mode errors loudly on conflicts,
+    # so artifact mode must not be the quiet exception)
+    if args.artifact:
+        ignored = [name for name, v in
+                   (("--latent-dim", args.latent_dim),
+                    ("--num-blocks", args.num_blocks),
+                    ("--groups", args.groups),
+                    ("--regressor-iters", args.regressor_iters))
+                   if v is not None]
+        if ignored:
+            raise SystemExit(
+                f"{' '.join(ignored)}: artifact mode serves the architecture "
+                "baked into the artifact at export time — these flags cannot "
+                "take effect; drop them (re-export with h36x-export to "
+                "change the architecture)")
     mc = resolve_model_config(
         args.model_path or "",
         {"latent_dim": args.latent_dim, "num_blocks": args.num_blocks,
@@ -79,11 +93,13 @@ def main(argv=None):
     else:
         if feature_dim is None:
             feature_dim = mc["feature_dim"]
-        if seq_len is None:
+        if seq_len is None and not args.ignore_model_config:
             from h36x.train.checkpoint import load_recorded_config
 
-            seq_len = (load_recorded_config(args.model_path)
-                       .get("data", {}).get("seq_len")) or SEQ_LEN
+            seq_len = ((load_recorded_config(args.model_path)
+                        .get("data") or {}).get("seq_len"))
+        if seq_len is None:
+            seq_len = SEQ_LEN
     print(f"wire shapes: T={seq_len} D={feature_dim}")
 
     predict_fn, pad_to = build_predict_fn(

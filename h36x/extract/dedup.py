@@ -590,6 +590,8 @@ def run_extract_dedup(cfg: ExtractConfig, dataset) -> dict:
 
     stop = threading.Event()
     queues = [Queue(maxsize=8) for _ in groups]
+    futures = []  # bound before try: the except block iterates it even
+    # when the submit comprehension itself is what raised
     with ThreadPoolExecutor(max_workers=max(1, cfg.num_workers)) as ex:
         try:
             futures = [

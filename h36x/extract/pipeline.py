@@ -302,6 +302,37 @@ def _parse_partition(spec: str):
     return i, n
 
 
+def validate_extract_config(cfg) -> None:
+    """Config-only validation, callable BEFORE the dataset tree scan.
+
+    The mode-flag values decide which scheduler is legal and which store
+    bytes get written; a typo must fail in milliseconds, not after the
+    multi-minute pose-pickle scan of a real H36M tree. run_extract and
+    run_extract_dedup both call this first (their later scheduler-specific
+    guards still apply).
+    """
+    _parse_partition(getattr(cfg, "partition", ""))
+    for flag, allowed in (("partition_by", ("clip", "video")),
+                          ("crop_scope", ("clip", "video")),
+                          ("jitter_key", ("clip", "video", "frame"))):
+        val = getattr(cfg, flag, allowed[0])
+        if val not in allowed:
+            raise ValueError(
+                f"--{flag.replace('_', '-')} must be {'|'.join(allowed)}, "
+                f"got {val!r}")
+    if not getattr(cfg, "dedup", True):
+        # the per-clip scheduler only implements the default semantics — a
+        # flag asking for a dedup-path mode must not silently degrade
+        for flag, default in (("partition_by", "clip"),
+                              ("crop_scope", "clip"), ("jitter_key", "clip")):
+            if getattr(cfg, flag, default) != default:
+                raise ValueError(
+                    f"--{flag.replace('_', '-')}={getattr(cfg, flag)!r} "
+                    "needs the unique-frame scheduler (a video-structured "
+                    "dataset with --dedup); the per-clip scheduler only "
+                    f"implements {flag}={default!r}")
+
+
 def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> dict:
     """Run the full extraction stage; returns a summary dict.
 
@@ -318,6 +349,7 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
     """
     import json as _json
 
+    validate_extract_config(cfg)  # fail on flag typos BEFORE the tree scan
     if dataset is None:
         dataset = ClipDataset(
             cfg.root, cfg.subjects, seq_len=cfg.seq_len, stride=cfg.stride,

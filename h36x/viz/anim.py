@@ -160,7 +160,10 @@ def plot_batch_sample_2d_2dproj_3d(
     show: bool = True,
 ):
     """Frame+GT-2D | frame+reprojected-2D | 3D — the geometry oracle
-    (reference visualize_2d.py:82-206). Reprojection is pinhole through K."""
+    (reference visualize_2d.py:82-206). Reprojection is pinhole through K.
+
+    K=None degrades like the no_video variant: the middle panel shows the
+    GT 2D again instead of crashing on a missing-intrinsics NPZ."""
     import matplotlib.pyplot as plt
     from matplotlib.animation import FuncAnimation
 
@@ -169,12 +172,15 @@ def plot_batch_sample_2d_2dproj_3d(
     vid = np.asarray(video)[sample_idx]
     js3 = np.asarray(joints3d)[sample_idx]
     js2 = np.asarray(joints2d)[sample_idx]
-    Kk = np.asarray(K)
-    # (B,3,3) batched and (B,T,3,3) per-frame intrinsics both select the
-    # sample; a bare (3,3) passes through
-    Kk = Kk[sample_idx] if Kk.ndim >= 3 else Kk
     t_len = vid.shape[0]
-    proj2 = np.asarray(project_with_K(js3, Kk))
+    if K is None:
+        proj2 = js2
+    else:
+        Kk = np.asarray(K)
+        # (B,3,3) batched and (B,T,3,3) per-frame intrinsics both select
+        # the sample; a bare (3,3) passes through
+        Kk = Kk[sample_idx] if Kk.ndim >= 3 else Kk
+        proj2 = np.asarray(project_with_K(js3, Kk))
     frames = [_frame_to_hwc_uint8(vid[t]) for t in range(t_len)]
     h, w = frames[0].shape[:2]
 
@@ -183,7 +189,8 @@ def plot_batch_sample_2d_2dproj_3d(
     ax_prj = fig.add_subplot(1, 3, 2)
     ax_3d = fig.add_subplot(1, 3, 3, projection="3d")
     ax_gt.set_title("Frame + GT 2D joints")
-    ax_prj.set_title("Frame + Reprojected 2D joints")
+    ax_prj.set_title("Frame + Reprojected 2D joints" if K is not None
+                     else "Frame + GT 2D joints (no K)")
     ax_3d.set_title("Skeleton 3D")
 
     im_gt = ax_gt.imshow(frames[0])

@@ -438,3 +438,31 @@ def test_feature_fn_mesh_dp_matches_single_device(rng):
         b = np.asarray(dp_fn(variables, frames))
         assert b.shape == (n, 2048)
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+class TestConfigValidation:
+    """validate_extract_config fails on flag typos in milliseconds, BEFORE
+    the multi-minute pose-pickle tree scan (it is cfg-only)."""
+
+    def test_bad_values_rejected(self):
+        from h36x.config import ExtractConfig
+        from h36x.extract.pipeline import validate_extract_config
+
+        validate_extract_config(ExtractConfig())  # defaults pass
+        for flag, bad in (("jitter_key", "vido"), ("crop_scope", "cilp"),
+                          ("partition_by", "vid")):
+            cfg = ExtractConfig(**{flag: bad})
+            with pytest.raises(ValueError, match=flag.replace("_", "-")):
+                validate_extract_config(cfg)
+        with pytest.raises(ValueError, match="partition"):
+            validate_extract_config(ExtractConfig(partition="3"))
+
+    def test_no_dedup_rejects_deviation_modes(self):
+        from h36x.config import ExtractConfig
+        from h36x.extract.pipeline import validate_extract_config
+
+        with pytest.raises(ValueError, match="unique-frame"):
+            validate_extract_config(
+                ExtractConfig(dedup=False, jitter_key="video"))
+        # with dedup the same flag is legal at the cfg level
+        validate_extract_config(ExtractConfig(dedup=True, jitter_key="video"))

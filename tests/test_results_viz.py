@@ -118,7 +118,12 @@ class TestViewers:
         a1 = plot_batch_sample(video, j3d, show=False)
         a2 = plot_batch_sample_2d_2dproj_3d(video, j3d, j2d, K, show=False)
         a3 = plot_batch_sample_2d_2dproj_3d_no_video(j3d, j2d, K, show=False)
-        for anim in (a1, a2, a3):
+        # K=None degrades to GT-2D in BOTH reprojection viewers (an NPZ with
+        # video+joints2d but no intrinsics used to crash the video variant)
+        a4 = plot_batch_sample_2d_2dproj_3d(video, j3d, j2d, None, show=False)
+        a5 = plot_batch_sample_2d_2dproj_3d_no_video(j3d, j2d, None,
+                                                     show=False)
+        for anim in (a1, a2, a3, a4, a5):
             assert anim is not None
         import matplotlib.pyplot as plt
 

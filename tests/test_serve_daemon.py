@@ -274,3 +274,19 @@ def test_stop_fails_inflight_requests():
         release.set()
 
     asyncio.run(run())
+
+
+def test_serve_cli_artifact_mode_rejects_model_flags():
+    """Artifact mode bakes the architecture in; an explicit model flag
+    cannot take effect and must error loudly (checkpoint mode errors on
+    conflicts — artifact mode must not be the quiet exception). The check
+    runs before the artifact file is touched."""
+    import pytest
+
+    from h36x.cli.serve import main as serve_main
+
+    with pytest.raises(SystemExit, match="artifact mode"):
+        serve_main(["--artifact", "nonexistent.hlo", "--groups", "64"])
+    with pytest.raises(SystemExit, match="artifact mode"):
+        serve_main(["--artifact", "nonexistent.hlo",
+                    "--regressor-iters", "5"])
