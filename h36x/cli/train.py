@@ -34,8 +34,10 @@ def main(argv=None):
         shard_cache_size=(64 if cfg.data.shard_cache_size < 0
                           else cfg.data.shard_cache_size),
         log_loads_every=cfg.data.log_shard_loads,
+        feed_dtype=cfg.data.feed_dtype,
     )
-    val_set = FeatureClipDataset(val_root, subjects=cfg.val_subjects)
+    val_set = FeatureClipDataset(val_root, subjects=cfg.val_subjects,
+                                 feed_dtype=cfg.data.feed_dtype)
     train_sampler = MixedShardBatchSampler(
         train_set, batch_size=cfg.optim.batch_size, shuffle=True, drop_last=True,
         seed=cfg.optim.seed,

@@ -60,6 +60,12 @@ class DataConfig:
     # train on all stored variants (the reference's behavior); false reads
     # only the 'orig' rows
     augment: bool = True
+    # dtype the FEATURE arrays cross the host->device link in (float32 |
+    # bfloat16 | float16). Features are ~96% of a batch's bytes; bfloat16
+    # halves the transfer on feed-bound links at ~3 decimal digits of
+    # feature precision (the model computes in its own dtype either way;
+    # joints/K always travel f32). Applies to train AND val sets.
+    feed_dtype: str = "float32"
 
 
 @dataclass

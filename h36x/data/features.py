@@ -29,10 +29,21 @@ class FeatureClipDataset:
         augment: bool = False,
         shard_cache_size: int = 2,
         log_loads_every: int = 0,
+        feed_dtype: str = "float32",
     ):
         self.root = Path(root)
         self.test_set = test_set
         self.augment = augment
+        # dtype of the FEATURE arrays this dataset hands to the device feed
+        # (`--data.feed-dtype`). Features are ~96% of a batch's bytes, so
+        # bfloat16 halves host->device transfer on feed-bound links (the
+        # model promotes/casts on device; joints/K stay f32 — they are tiny
+        # and the losses need their precision).
+        if feed_dtype not in ("float32", "bfloat16", "float16"):
+            raise ValueError(
+                f"feed_dtype must be float32|bfloat16|float16, got {feed_dtype!r}"
+            )
+        self.feed_dtype = shard_store._np_dtype(feed_dtype)
 
         index = shard_store.load_index(self.root)
         self._torch_format = bool(index.get("torch_format"))
@@ -86,7 +97,7 @@ class FeatureClipDataset:
         clip, var = self._items[idx]
         shard = self._shard(int(clip["shard_id"]))
         row = int(clip["row"]) + var
-        feats = np.asarray(shard["feats"][row], dtype=np.float32)
+        feats = np.asarray(shard["feats"][row], dtype=self.feed_dtype)
         joints3d = np.asarray(shard["joints3d"][row], dtype=np.float32) / 1000.0
         joints2d = np.asarray(shard["joints2d"][row], dtype=np.float32)
         K = np.asarray(shard["K"][row], dtype=np.float32)
@@ -120,7 +131,8 @@ class FeatureClipDataset:
         # a second self._shard(first_sid) would re-read the file per batch.
         first_sid = next(iter(by_shard))
         first_shard = self._shard(first_sid)
-        feats = np.empty((n,) + first_shard["feats"].shape[1:], dtype=np.float32)
+        feats = np.empty((n,) + first_shard["feats"].shape[1:],
+                         dtype=self.feed_dtype)
         joints3d = np.empty((n,) + first_shard["joints3d"].shape[1:], dtype=np.float32)
         joints2d = np.empty((n,) + first_shard["joints2d"].shape[1:], dtype=np.float32)
         K = np.empty((n, 3, 3), dtype=np.float32)
@@ -129,7 +141,8 @@ class FeatureClipDataset:
             shard = first_shard if sid == first_sid else self._shard(sid)
             pos_arr = np.array([p for p, _ in rows])
             row_arr = np.array([r for _, r in rows])
-            feats[pos_arr] = np.asarray(shard["feats"][row_arr], dtype=np.float32)
+            feats[pos_arr] = np.asarray(shard["feats"][row_arr],
+                                        dtype=self.feed_dtype)
             joints3d[pos_arr] = (
                 np.asarray(shard["joints3d"][row_arr], dtype=np.float32) / 1000.0
             )

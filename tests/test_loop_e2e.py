@@ -285,3 +285,34 @@ def test_evaluate_masks_padded_tail_rows(tmp_path):
     pred = model.apply({"params": params}, feats_all)[2]
     np.testing.assert_allclose(got["loss"], float(mse3d(pred, j3d_all)), rtol=1e-5)
     np.testing.assert_allclose(got["mpjpe"], float(mpjpe(pred, j3d_all)), rtol=1e-5)
+
+
+def test_fit_bf16_feed_dtype_tracks_f32(cfg, tmp_path):
+    """--data.feed-dtype bfloat16 halves the feature transfer bytes; the
+    run must train normally and track the f32-feed run's trajectory
+    (features lose ~3 decimal digits, so per-epoch losses agree loosely,
+    not bitwise)."""
+
+    def datasets(feed_dtype):
+        train_set = FeatureClipDataset(cfg.train_root, subjects=[1],
+                                       augment=True, feed_dtype=feed_dtype)
+        val_set = FeatureClipDataset(cfg.val_root, subjects=[5],
+                                     feed_dtype=feed_dtype)
+        train_sampler = MixedShardBatchSampler(
+            train_set, batch_size=cfg.optim.batch_size, shards_per_batch=2,
+            drop_last=True, seed=0,
+        )
+        val_sampler = SequentialBatchSampler(val_set,
+                                             batch_size=cfg.optim.batch_size)
+        return train_set, val_set, train_sampler, val_sampler
+
+    import dataclasses as _dc
+
+    cfg32 = _dc.replace(cfg, outdir=str(tmp_path / "runs32"))
+    _, best32 = fit(cfg32, *datasets("float32"))
+    cfg16 = _dc.replace(cfg, outdir=str(tmp_path / "runs16"),
+                        data=_dc.replace(cfg.data, feed_dtype="bfloat16"))
+    _, best16 = fit(cfg16, *datasets("bfloat16"))
+    assert np.isfinite(best16)
+    # same data, same seeds: the bf16 feed may not derail the optimization
+    assert abs(best16 - best32) < 0.15 * max(abs(best32), 1e-6)
