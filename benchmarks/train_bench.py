@@ -26,6 +26,11 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--latent", type=int, default=1024)
     p.add_argument("--steps-per-dispatch", type=int, default=1)
+    p.add_argument("--feed-dtype", default="float32",
+                   help="dtype the feature arrays cross the host->device "
+                        "link in (float32|bfloat16|float16); features are "
+                        "~96%% of batch bytes, so bf16 halves the transfer "
+                        "on feed-bound links")
     args = p.parse_args(argv)
 
     from tests.helpers import make_synthetic_store
@@ -51,9 +56,12 @@ def main(argv=None):
         cfg.optim.early_stop_patience = 0
         cfg.optim.steps_per_dispatch = args.steps_per_dispatch
 
+        cfg.data.feed_dtype = args.feed_dtype
         train_set = FeatureClipDataset(store, subjects=[1], augment=True,
-                                       shard_cache_size=16)
-        val_set = FeatureClipDataset(store, subjects=[5])
+                                       shard_cache_size=16,
+                                       feed_dtype=args.feed_dtype)
+        val_set = FeatureClipDataset(store, subjects=[5],
+                                     feed_dtype=args.feed_dtype)
         train_sampler = MixedShardBatchSampler(
             train_set, batch_size=args.batch_size,
             shards_per_batch=min(4, max(1, args.clips // shard_clips)),
