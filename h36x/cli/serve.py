@@ -10,17 +10,21 @@ per request, a rollout artifact (future AR prediction) replies with its
 own output shape — the wire protocol carries shapes per message.
 
 Smoke: h36x-serve --artifact model.fwd.bf16.hlo --port 7036
+Observability: h36x-serve --stats --port 7036 queries a RUNNING daemon
+(counts, coalesced batch sizes, device/request latency percentiles) and
+exits — it never touches jax, so it is safe from any host.
 """
 
 import argparse
 import asyncio
+import json
 
 from h36x.config import FEATURE_DIM, SEQ_LEN
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    src = p.add_mutually_exclusive_group(required=True)
+    src = p.add_mutually_exclusive_group()
     src.add_argument("--artifact", default="",
                      help="AOT artifact from h36x-export (one artifact for "
                           "all batch sizes, no re-export; batches are "
@@ -43,7 +47,26 @@ def main(argv=None):
     add_model_config_flags(p)
     p.add_argument("--max-batch", type=int, default=16)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
+    p.add_argument("--stats", action="store_true",
+                   help="query a RUNNING daemon's operational stats "
+                        "(request/batch counts, latency percentiles) at "
+                        "--host/--port or --unix, print JSON, and exit")
     args = p.parse_args(argv)
+
+    if args.stats:
+        if args.artifact or args.model_path:
+            raise SystemExit(
+                "--stats queries a running daemon — it takes no model "
+                "source; drop --artifact/--model-path")
+        from h36x.serve_daemon import get_stats
+
+        bind = ({"unix_path": args.unix} if args.unix
+                else {"host": args.host, "port": args.port})
+        print(json.dumps(get_stats(**bind), indent=2))
+        return
+    if not args.artifact and not args.model_path:
+        raise SystemExit(
+            "one of --artifact or --model-path is required (or --stats)")
 
     from h36x.utils.runtime import setup_jax_cache
 

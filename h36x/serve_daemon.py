@@ -26,6 +26,12 @@ Wire protocol (both directions):
   daemon concatenates them along time into one payload and adds
   {"split": T} so the client can separate context rows from forecast
   rows — request_async returns the (ctx, future) pair in that case.
+  Observability: {"op": "stats"} (no payload) returns {"stats": {...}} —
+  request/batch/row counts, uptime, queue depth, mean coalesced batch
+  size, and p50/p90/p99 latency for the device call and for the full
+  request (enqueue -> result). `h36x-serve --stats` and
+  `get_stats()` are the client surfaces; unknown ops get the error
+  envelope and the connection keeps serving.
 
 `serve_forever` / `BatchingServer` are importable for embedding; the CLI
 lives in h36x/cli/serve.py (`h36x-serve`).
@@ -36,6 +42,8 @@ from __future__ import annotations
 import asyncio
 import json
 import struct
+import time
+from collections import deque
 from typing import Callable, Optional
 
 import numpy as np
@@ -110,6 +118,11 @@ class BatchingServer:
         self._batcher: Optional[asyncio.Task] = None
         self._closed = False
         self.stats = {"requests": 0, "batches": 0, "rows": 0}
+        self._t_start: Optional[float] = None
+        # bounded reservoirs: stats must never grow with daemon lifetime
+        self._batch_ms: deque = deque(maxlen=1024)  # device-call wall ms
+        self._batch_rows: deque = deque(maxlen=1024)  # real rows per batch
+        self._req_ms: deque = deque(maxlen=4096)  # enqueue -> result ms
 
     # -- connection handler -------------------------------------------------
 
@@ -129,6 +142,13 @@ class BatchingServer:
                     _write_msg(writer, {"error": f"bad request: {e}"})
                     await writer.drain()
                     break
+                op = header.get("op")
+                if op is not None:
+                    _write_msg(writer, {"stats": self.stats_snapshot()}
+                               if op == "stats"
+                               else {"error": f"unknown op: {op!r}"})
+                    await writer.drain()
+                    continue
                 try:
                     feats = self._parse(header, payload)
                 except (ValueError, TypeError) as e:
@@ -139,11 +159,12 @@ class BatchingServer:
                     _write_msg(writer, {"error": "server stopped"})
                     await writer.drain()
                     break
-                fut: asyncio.Future = asyncio.get_running_loop().create_future()
+                loop = asyncio.get_running_loop()
+                fut: asyncio.Future = loop.create_future()
                 self.stats["requests"] += 1
                 # note: put on the unbounded queue never yields, so the
                 # _closed check above cannot race stop()'s drain
-                await self._queue.put((feats, fut))
+                await self._queue.put((feats, fut, loop.time()))
                 try:
                     joints, split = await fut
                 except Exception as e:  # batch failed; report, keep serving
@@ -206,7 +227,7 @@ class BatchingServer:
                 # the batcher task silently (nothing awaits it) and every
                 # later request would queue into a consumer-less queue
                 try:
-                    feats = np.stack([f for f, _ in items])
+                    feats = np.stack([f for f, _, _ in items])
                     n = feats.shape[0]
                     # bucket padding clamps at max_batch: a non-power-of-two
                     # cap must not round past itself into an unwarmed,
@@ -220,37 +241,74 @@ class BatchingServer:
                         feats = np.concatenate([feats, pad])
                     # the device wait runs in a worker thread so the event
                     # loop keeps accepting (queueing) the next batch
+                    t_dev = loop.time()
                     joints, split = await loop.run_in_executor(
                         None, self._run_batch, feats)
+                    dev_ms = (loop.time() - t_dev) * 1e3
                     if joints.shape[0] < n:
                         raise RuntimeError(
                             f"predict_fn returned {joints.shape[0]} rows "
                             f"for a batch of {n}")
                     results = [(joints[i], split) for i in range(n)]
                 except Exception as e:
-                    for _, fut in items:
+                    for _, fut, _ in items:
                         if not fut.done():
                             fut.set_exception(RuntimeError(str(e)))
                     continue
                 self.stats["batches"] += 1
                 self.stats["rows"] += n
-                for (_, fut), res in zip(items, results):
+                self._batch_ms.append(dev_ms)
+                self._batch_rows.append(n)
+                now = loop.time()
+                for (_, fut, t_enq), res in zip(items, results):
+                    self._req_ms.append((now - t_enq) * 1e3)
                     if not fut.done():
                         fut.set_result(res)
             except asyncio.CancelledError:
                 # stop() cancelled us mid-batch: these items are already out
                 # of the queue, so stop()'s drain cannot reach them — fail
                 # them here or their clients hang on `await fut` forever
-                for _, fut in items:
+                for _, fut, _ in items:
                     if not fut.done():
                         fut.set_exception(RuntimeError("server stopped"))
                 raise
+
+    # -- observability ------------------------------------------------------
+
+    def stats_snapshot(self) -> dict:
+        """JSON-safe operational stats — the `{"op": "stats"}` reply.
+
+        Latency percentiles come from bounded reservoirs (last 1024
+        batches / 4096 requests), so a long-lived daemon reports recent
+        behavior, not its lifetime average, at O(1) memory.
+        """
+
+        def pct(samples) -> Optional[dict]:
+            if not samples:
+                return None
+            xs = np.sort(np.asarray(samples, np.float64))
+            at = lambda q: round(float(xs[min(len(xs) - 1, int(q * len(xs)))]), 3)  # noqa: E731
+            return {"p50": at(0.50), "p90": at(0.90), "p99": at(0.99),
+                    "max": round(float(xs[-1]), 3), "n": int(len(xs))}
+
+        batches = self.stats["batches"]
+        return {
+            **self.stats,
+            "uptime_s": (None if self._t_start is None
+                         else round(time.monotonic() - self._t_start, 3)),
+            "queue_depth": self._queue.qsize(),
+            "mean_batch_rows": (round(self.stats["rows"] / batches, 3)
+                                if batches else None),
+            "batch_device_ms": pct(self._batch_ms),
+            "request_ms": pct(self._req_ms),
+        }
 
     # -- lifecycle ----------------------------------------------------------
 
     async def start(self, host: Optional[str] = None,
                     port: Optional[int] = None,
                     unix_path: Optional[str] = None):
+        self._t_start = time.monotonic()
         self._batcher = asyncio.ensure_future(self._batch_loop())
         if unix_path:
             import os
@@ -271,7 +329,7 @@ class BatchingServer:
             self._batcher = None
         # fail queued requests instead of leaving their clients waiting
         while not self._queue.empty():
-            _, fut = self._queue.get_nowait()
+            _, fut, _ = self._queue.get_nowait()
             if not fut.done():
                 fut.set_exception(RuntimeError("server stopped"))
 
@@ -310,6 +368,28 @@ async def request_async(feats: np.ndarray, host: Optional[str] = None,
 
 def request(feats: np.ndarray, **kw):
     return asyncio.run(request_async(feats, **kw))
+
+
+async def stats_async(host: Optional[str] = None, port: Optional[int] = None,
+                      unix_path: Optional[str] = None) -> dict:
+    """Query a running daemon's operational stats (`{"op": "stats"}`)."""
+    if unix_path:
+        reader, writer = await asyncio.open_unix_connection(unix_path)
+    else:
+        reader, writer = await asyncio.open_connection(host, port)
+    try:
+        _write_msg(writer, {"op": "stats"})
+        await writer.drain()
+        header, _ = await _read_msg(reader)
+    finally:
+        writer.close()
+    if "error" in header:
+        raise RuntimeError(header["error"])
+    return header["stats"]
+
+
+def get_stats(**kw) -> dict:
+    return asyncio.run(stats_async(**kw))
 
 
 # ---------------------------------------------------------------------------

@@ -186,7 +186,9 @@ def test_stop_fails_queued_requests(predict_fn):
     async def run():
         server = BatchingServer(predict_fn, seq_len=T, feature_dim=F)
         fut = asyncio.get_running_loop().create_future()
-        await server._queue.put((np.zeros((T, F), np.float32), fut))
+        await server._queue.put(
+            (np.zeros((T, F), np.float32), fut,
+             asyncio.get_running_loop().time()))
         server.stop()
         with pytest.raises(RuntimeError, match="server stopped"):
             await fut
@@ -264,7 +266,9 @@ def test_stop_fails_inflight_requests():
                                 max_batch=1, max_wait_ms=1.0)
         server._batcher = asyncio.ensure_future(server._batch_loop())
         fut = asyncio.get_running_loop().create_future()
-        await server._queue.put((np.zeros((T, F), np.float32), fut))
+        await server._queue.put(
+            (np.zeros((T, F), np.float32), fut,
+             asyncio.get_running_loop().time()))
         while not server._queue.empty():  # batcher took the item
             await asyncio.sleep(0.01)
         await asyncio.sleep(0.05)  # and is now inside run_in_executor
@@ -290,3 +294,60 @@ def test_serve_cli_artifact_mode_rejects_model_flags():
     with pytest.raises(SystemExit, match="artifact mode"):
         serve_main(["--artifact", "nonexistent.hlo",
                     "--regressor-iters", "5"])
+
+
+def test_stats_op_counts_and_latency(predict_fn):
+    """{"op": "stats"} returns counts + latency percentiles; an unknown op
+    gets the error envelope and the connection keeps serving."""
+    from h36x.serve_daemon import _read_msg, _write_msg, stats_async
+
+    server = BatchingServer(predict_fn, seq_len=T, feature_dim=F,
+                            max_batch=8, max_wait_ms=200.0, pad_to=8)
+    rng = np.random.default_rng(7)
+    feats = [rng.normal(size=(T, F)).astype(np.float32) for _ in range(3)]
+
+    async def clients(port):
+        outs = await asyncio.gather(*[
+            request_async(f, host="127.0.0.1", port=port) for f in feats
+        ])
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        try:
+            _write_msg(writer, {"op": "bogus"})
+            await writer.drain()
+            bad, _ = await _read_msg(reader)
+            # same connection must survive the unknown op
+            _write_msg(writer, {"op": "stats"})
+            await writer.drain()
+            good, _ = await _read_msg(reader)
+        finally:
+            writer.close()
+        stats = await stats_async(host="127.0.0.1", port=port)
+        return outs, bad, good, stats
+
+    outs, bad, good, stats = _serve(server, clients)
+    assert all(o.shape == (T, J, 3) for o in outs)
+    assert "unknown op" in bad["error"]
+    assert good["stats"]["requests"] == 3
+    assert stats == good["stats"] or stats["requests"] == 3
+    assert stats["batches"] == 1 and stats["rows"] == 3
+    assert stats["mean_batch_rows"] == 3.0
+    assert stats["uptime_s"] > 0 and stats["queue_depth"] == 0
+    assert stats["batch_device_ms"]["n"] == 1
+    assert stats["batch_device_ms"]["p50"] > 0
+    assert stats["request_ms"]["n"] == 3
+    assert stats["request_ms"]["p99"] >= stats["request_ms"]["p50"] > 0
+    # ops never count as inference requests
+    assert stats["requests"] == 3
+
+
+def test_serve_cli_stats_flag_validation():
+    """--stats is a client mode: it must reject a model source, and a bare
+    invocation (no source, no --stats) must error instead of binding."""
+    import pytest
+
+    from h36x.cli.serve import main as serve_main
+
+    with pytest.raises(SystemExit, match="running daemon"):
+        serve_main(["--stats", "--artifact", "nonexistent.hlo"])
+    with pytest.raises(SystemExit, match="required"):
+        serve_main([])
