@@ -199,3 +199,113 @@ class TestFeatureStoreDtypes:
         np.testing.assert_allclose(feats, arrays["feats"][1].astype(np.float32))
         batch = ds.get_batch([0, 2])
         assert batch[0].dtype == np.float32
+
+
+_KILL_CHILD_SRC = '''
+"""Fault-injection child: save orbax checkpoints in a tight loop until
+SIGKILLed (tests/test_robustness.py::TestSigkillDuringOrbaxSave)."""
+import json
+import sys
+from pathlib import Path
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # env vars do not beat the plugin
+
+import numpy as np
+
+from h36x.train.checkpoint import save_checkpoint_orbax
+from h36x.train.state import TrainState
+
+outdir = Path(sys.argv[1])
+n = int(sys.argv[2])
+start = 0
+mpath = outdir / "last.json"
+if mpath.exists():  # resume where the previous (killed) process stopped
+    start = json.loads(mpath.read_text())["epoch"] + 1
+e = start
+while True:
+    state = TrainState(
+        params={"w": np.full((n,), float(e), np.float32)},
+        opt_state={"m": np.full((n,), -float(e), np.float32)},
+        step=np.asarray(e, np.int32),
+    )
+    save_checkpoint_orbax(outdir, "last", state, epoch=e, best_val=float(e))
+    print(f"SAVED {e}", flush=True)
+    e += 1
+'''
+
+
+class TestSigkillDuringOrbaxSave:
+    """True fault injection for the orbax slot scheme: SIGKILL a process
+    that is saving checkpoints back-to-back, at a random point, three times
+    in a row (each round resumes the epoch counter from the survivor
+    manifest). Invariant under ANY kill point: load_checkpoint succeeds and
+    the restored params/opt_state/manifest all describe the SAME committed
+    epoch — i.e. the manifest pointer only ever names an intact slot.
+    Rounds 2-3 also exercise the slot-counter reseeding: if a fresh process
+    targeted the live slot, its first save would rmtree the only good
+    checkpoint and a kill mid-save would leave a dangling manifest."""
+
+    N = 1_000_000  # 4 MB per leaf: saves take real time, kills land mid-save
+
+    def test_kill_resume_kill(self, tmp_path):
+        import os
+        import signal
+        import subprocess
+        import sys as _sys
+        import time
+
+        import numpy as np
+
+        from h36x.train.checkpoint import load_checkpoint
+        from h36x.train.state import TrainState
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        child = tmp_path / "kill_child.py"
+        child.write_text(_KILL_CHILD_SRC)
+        outdir = tmp_path / "ckpt"
+        env = dict(os.environ)
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        env.pop("XLA_FLAGS", None)
+
+        template = TrainState(
+            params={"w": np.zeros((self.N,), np.float32)},
+            opt_state={"m": np.zeros((self.N,), np.float32)},
+            step=np.asarray(0, np.int32),
+        )
+        rng = np.random.default_rng(0)
+        last_epoch = -1
+        for rnd in range(3):
+            proc = subprocess.Popen(
+                [_sys.executable, str(child), str(outdir), str(self.N)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True,
+            )
+            try:
+                # wait for >= 2 commits this round, then strike at random;
+                # the merged stderr also carries absl warnings (orbax
+                # removing the previous kill's unfinalized tmp dir), so
+                # count SAVED lines rather than asserting on each line
+                saves = 0
+                while saves < 2:
+                    line = proc.stdout.readline()
+                    assert line != "", "child exited before committing twice"
+                    if line.startswith("SAVED"):
+                        saves += 1
+                time.sleep(float(rng.uniform(0.0, 0.5)))
+            finally:
+                proc.send_signal(signal.SIGKILL)
+                proc.wait(timeout=30)
+
+            state, manifest = load_checkpoint(outdir, "last", template)
+            e = manifest["epoch"]
+            assert e >= last_epoch + 2  # this round's commits are visible
+            last_epoch = e
+            assert manifest["best_val"] == float(e)
+            assert manifest["backend"] == "orbax"
+            assert (outdir / manifest["dir"]).is_dir()
+            # params, opt_state and step must all come from epoch e's save
+            assert float(np.asarray(state.params["w"])[0]) == float(e)
+            assert float(np.asarray(state.opt_state["m"])[0]) == -float(e)
+            assert int(np.asarray(state.step)) == e
