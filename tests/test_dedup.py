@@ -421,3 +421,114 @@ def test_doctor_estimate_matches_measured_ratio(tmp_path, fake_backbone):
         ds = ClipDataset(str(root), subjects=[1, 5], seq_len=8, stride=2)
         summary = run_extract_dedup(_cfg(tmp_path / f"store_{key}", **kw), ds)
         assert summary["dedup_ratio"] == pytest.approx(pred[key], abs=1e-9), key
+
+
+_KILL_EXTRACT_CHILD = '''
+"""Fault-injection child: run a dedup extraction and SIGKILL ourselves in
+the middle of the Nth shard write, leaving a torn .tmp behind
+(tests/test_dedup.py::test_sigkill_mid_extraction_resumes_byte_identical)."""
+import os
+import signal
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # env vars do not beat the plugin
+
+import numpy as np
+
+repo = sys.argv[3]
+sys.path.insert(0, repo)
+sys.path.insert(0, os.path.join(repo, "tests"))
+
+import h36x.data.shards as shards
+import h36x.extract.pipeline as pl
+from test_dedup import FakeOverlapDataset, _PROJ, _cfg
+
+pl._load_backbone = lambda cfg: (None, None)
+
+
+def _make(model, mesh=None, engine="flax"):
+    def fn(variables, frames):
+        flat = np.asarray(frames).reshape(frames.shape[0], -1)
+        f = flat.astype(np.float64) @ _PROJ
+        return np.tile(np.asarray(f, np.float32), (1, 2048 // 64))
+
+    return fn
+
+
+pl.make_feature_fn = _make
+
+kill_at = int(sys.argv[2])
+orig_write = shards.write_shard
+count = [0]
+
+
+def write_then_die(path, arrays, meta, n_vars):
+    count[0] += 1
+    if count[0] == kill_at:
+        # die MID-write: leave a torn tmp (write_shard is tmp+rename,
+        # so this is exactly the state a real kill produces), then vanish
+        with open(str(path) + ".tmp", "wb") as f:
+            f.write(b"torn" * 8)
+        os.kill(os.getpid(), signal.SIGKILL)
+    return orig_write(path, arrays, meta, n_vars)
+
+
+shards.write_shard = write_then_die
+
+cfg = _cfg(sys.argv[1], shard_size=2, shuffle_pool=2, frames_per_dispatch=12)
+pl.run_extract(cfg, dataset=FakeOverlapDataset())
+print("COMPLETED WITHOUT KILL", flush=True)
+'''
+
+
+def test_sigkill_mid_extraction_resumes_byte_identical(tmp_path,
+                                                       fake_backbone):
+    """True fault injection for extraction resume: a subprocess is
+    SIGKILLed inside the async writer's 3rd shard write (torn shard.tmp on
+    disk, progress.json one flush behind). In-process exception tests can't
+    produce this state — their error path still drains the writer cleanly.
+    Resuming with the same flags must finish the store, and every clip's
+    rows must byte-match an uninterrupted run."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    child = tmp_path / "extract_kill_child.py"
+    child.write_text(_KILL_EXTRACT_CHILD)
+    out = tmp_path / "out"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+
+    proc = subprocess.run(
+        [sys.executable, str(child), str(out), "3", repo],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == -9, (
+        f"child did not die by SIGKILL (rc={proc.returncode}):\n"
+        f"{(proc.stdout + proc.stderr)[-2000:]}")
+    assert "COMPLETED WITHOUT KILL" not in proc.stdout
+    assert not (out / "index.json").exists()
+    assert (out / "progress.json").exists()
+    torn = [p for p in out.glob("*.tmp")]
+    assert torn, "the kill should have left a torn shard tmp file"
+
+    cfg = _cfg(out, shard_size=2, shuffle_pool=2, frames_per_dispatch=12,
+               resume=True)
+    ds = FakeOverlapDataset()
+    summary = run_extract(cfg, dataset=ds)
+    assert summary["n_clips"] == len(ds)
+    assert not (out / "progress.json").exists()
+
+    run_extract(_cfg(tmp_path / "clean", shard_size=2, shuffle_pool=2,
+                     frames_per_dispatch=12), dataset=FakeOverlapDataset())
+    rows = _rows(out)
+    clean = _rows(tmp_path / "clean")
+    assert rows.keys() == clean.keys()
+    for key in rows:
+        for a, b in zip(rows[key], clean[key]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=str(key))
