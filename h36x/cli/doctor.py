@@ -93,6 +93,30 @@ def _store_info(root):
     return probe
 
 
+def _verify_store(root):
+    """Deep integrity scan (vs `--root`'s shallow existence/read check):
+    recompute every shard's recorded per-array CRC32s and cross-check the
+    index's clip->shard mapping against on-disk row counts."""
+
+    def probe():
+        from h36x.data.shards import verify_store
+
+        rep = verify_store(root)
+        if rep["errors"]:
+            for e in rep["errors"][:10]:
+                print(f"       - {e}")
+            if len(rep["errors"]) > 10:
+                print(f"       - ... {len(rep['errors']) - 10} more")
+            raise RuntimeError(f"{len(rep['errors'])} integrity error(s)")
+        note = ("" if not rep["arrays_unchecked"] else
+                f"; {rep['arrays_unchecked']} array(s) predate checksums "
+                "(readable but unverifiable)")
+        return (f"{rep['n_shards']} shards, {rep['rows']} rows, "
+                f"{rep['arrays_checked']} arrays CRC-verified{note}")
+
+    return probe
+
+
 def _ckpt_info(path):
     def probe():
         import json
@@ -267,6 +291,11 @@ def main(argv=None):
     p.add_argument("--root", default="", help="feature-shard store to check")
     p.add_argument("--ckpt", default="",
                    help="checkpoint file or run directory to check")
+    p.add_argument("--verify-store", default="",
+                   help="feature-shard store: full integrity scan — "
+                        "recompute per-array CRC32s, check truncation and "
+                        "index/shard row agreement (reads every byte; "
+                        "--root alone only checks existence + shard 0)")
     p.add_argument("--dedup-estimate", default="",
                    help="ingested clip tree: predict the unique-frame "
                         "scheduler's dedup ratio from pose data (no decode)")
@@ -285,6 +314,9 @@ def main(argv=None):
         _check(f"{mod} ({why})", _optional(mod), problems, required=False)
     if args.root:
         _check(f"store {args.root}", _store_info(args.root), problems)
+    if args.verify_store:
+        _check(f"store integrity {args.verify_store}",
+               _verify_store(args.verify_store), problems)
     if args.ckpt:
         _check(f"checkpoint {args.ckpt}", _ckpt_info(args.ckpt), problems)
     if args.dedup_estimate:

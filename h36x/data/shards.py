@@ -18,10 +18,15 @@ On-disk shard layout (shard_XXXXX.h36x):
     bytes 12..12+H  JSON header {
         "version": 1,
         "n_vars": int,
-        "arrays": {name: {"dtype", "shape", "offset", "nbytes"}},
+        "arrays": {name: {"dtype", "shape", "offset", "nbytes", "crc32"}},
         "meta": [per-row dicts],
     }
     payload       raw array bytes at the stated offsets
+
+"crc32" is the zlib CRC32 of the array's payload bytes (additive field:
+readers ignore it, shards written before it existed verify as "present but
+unverifiable"). :func:`verify_store` / `h36x-doctor --verify-store`
+recompute it to detect bit rot, torn copies and index drift.
 
 Row layout matches the reference contract: a shard holds N_clips x n_vars
 rows with a clip's variants contiguous, so a clip addresses its variant rows
@@ -74,6 +79,21 @@ def shard_path(root, shard_id: int) -> Path:
     return Path(root) / f"shard_{shard_id:05d}.h36x"
 
 
+def _array_buffer(arr: np.ndarray):
+    """The contiguous bytes of `arr` without copying. Custom dtypes
+    (ml_dtypes bfloat16) refuse the buffer protocol — reinterpret as u8."""
+    try:
+        return arr.data
+    except (ValueError, BufferError):
+        return arr.view(np.uint8).data
+
+
+def _crc32(arr: np.ndarray) -> int:
+    import zlib
+
+    return zlib.crc32(_array_buffer(arr)) & 0xFFFFFFFF
+
+
 def write_shard(path, arrays: Dict[str, np.ndarray], meta: List[dict], n_vars: int) -> None:
     """Serialize one shard. `arrays` values must share the leading row count."""
     rows = {k: int(v.shape[0]) for k, v in arrays.items()}
@@ -101,6 +121,9 @@ def write_shard(path, arrays: Dict[str, np.ndarray], meta: List[dict], n_vars: i
             "shape": list(arr.shape),
             "offset": 0,
             "nbytes": int(arr.nbytes),
+            # one extra sequential pass at write time (async-writer thread)
+            # buys verifiable integrity for the store's whole lifetime
+            "crc32": _crc32(arr),
         }
 
     def _layout(header_len: int) -> int:
@@ -128,13 +151,8 @@ def write_shard(path, arrays: Dict[str, np.ndarray], meta: List[dict], n_vars: i
         for name, arr in entries.items():
             f.seek(header["arrays"][name]["offset"])
             # buffer-protocol write: arr.tobytes() would transiently copy
-            # the whole (often ~100 MB) array inside the writer thread.
-            # Custom dtypes (ml_dtypes bfloat16) refuse the buffer
-            # protocol — reinterpret the contiguous bytes as u8 instead.
-            try:
-                f.write(arr.data)
-            except (ValueError, BufferError):
-                f.write(arr.view(np.uint8).data)
+            # the whole (often ~100 MB) array inside the writer thread
+            f.write(_array_buffer(arr))
     os.replace(tmp, path)
 
 
@@ -160,6 +178,98 @@ def read_shard(path, mmap: bool = True) -> dict:
             arr = np.fromfile(path, dtype=dt, count=int(np.prod(shape)), offset=spec["offset"]).reshape(shape)
         out[name] = arr
     return out
+
+
+def verify_store(root) -> dict:
+    """Integrity-check a feature store (`h36x-doctor --verify-store`).
+
+    Full sequential read of every shard (no mmap): recompute each array's
+    recorded CRC32, check payload sizes, per-shard row-count consistency,
+    meta length, and that the index's clip->shard mapping agrees with what
+    is on disk — the bit-rot / torn-copy / index-drift detector for stores
+    that live on real storage for months.
+
+    Returns {"n_shards", "rows", "arrays_checked", "arrays_unchecked",
+    "errors": [str]}. `arrays_unchecked` counts arrays written before
+    checksums existed (legacy shards): present and readable, but
+    unverifiable. Raises for torch-format stores (the reference's .pt
+    shards carry no checksums to verify).
+    """
+    import zlib
+
+    root = Path(root)
+    idx = load_index(root)
+    if idx.get("torch_format"):
+        raise ValueError(
+            "checksum verification covers native .h36x stores; reference "
+            ".pt stores carry no integrity records")
+    n_shards = int(idx["n_shards"])
+    n_vars = int(idx["n_variants"])
+    per_shard: Dict[int, int] = {}
+    for c in idx["clips"]:
+        sid = int(c["shard_id"])
+        per_shard[sid] = per_shard.get(sid, 0) + 1
+    errors: List[str] = []
+    for sid in per_shard:
+        if sid < 0 or sid >= n_shards:
+            errors.append(
+                f"index maps {per_shard[sid]} clip(s) to nonexistent "
+                f"shard {sid} (store has {n_shards})")
+    rows = 0
+    checked = unchecked = 0
+    for sid in range(n_shards):
+        path = shard_path(root, sid)
+        shard_rows = None
+        try:
+            with open(path, "rb") as f:
+                if f.read(len(MAGIC)) != MAGIC:
+                    raise ValueError("bad magic")
+                (hlen,) = np.frombuffer(f.read(4), dtype="<u4")
+                header = json.loads(f.read(int(hlen)).decode())
+                for name, spec in header["arrays"].items():
+                    f.seek(int(spec["offset"]))
+                    buf = f.read(int(spec["nbytes"]))
+                    if len(buf) != int(spec["nbytes"]):
+                        errors.append(
+                            f"{path.name}:{name}: truncated "
+                            f"({len(buf)}/{spec['nbytes']} payload bytes)")
+                        continue
+                    want = spec.get("crc32")
+                    if want is None:
+                        unchecked += 1
+                    else:
+                        got = zlib.crc32(buf) & 0xFFFFFFFF
+                        if got != int(want):
+                            errors.append(
+                                f"{path.name}:{name}: CRC32 mismatch "
+                                f"(recorded {int(want):#010x}, recomputed "
+                                f"{got:#010x}) — payload corrupted")
+                        else:
+                            checked += 1
+                    if spec["shape"]:
+                        if shard_rows is None:
+                            shard_rows = int(spec["shape"][0])
+                        elif int(spec["shape"][0]) != shard_rows:
+                            errors.append(
+                                f"{path.name}: arrays disagree on row "
+                                f"count ({spec['shape'][0]} vs {shard_rows})")
+                if shard_rows is not None and len(header["meta"]) != shard_rows:
+                    errors.append(
+                        f"{path.name}: {len(header['meta'])} meta entries "
+                        f"for {shard_rows} rows")
+        except Exception as e:  # noqa: BLE001 — report, keep scanning
+            errors.append(f"{path.name}: unreadable "
+                          f"({type(e).__name__}: {e})")
+            continue
+        expect = per_shard.get(sid, 0) * n_vars
+        if shard_rows is not None and shard_rows != expect:
+            errors.append(
+                f"{path.name}: {shard_rows} rows on disk but the index "
+                f"maps {per_shard.get(sid, 0)} clip(s) x {n_vars} "
+                f"variants = {expect}")
+        rows += shard_rows or 0
+    return {"n_shards": n_shards, "rows": rows, "arrays_checked": checked,
+            "arrays_unchecked": unchecked, "errors": errors}
 
 
 class ShardWriter:

@@ -207,3 +207,103 @@ class TestTorchCompat:
         feats, j3d, j2d, K = ds[1]
         np.testing.assert_allclose(feats, shard["feats"][1].numpy(), rtol=1e-6)
         np.testing.assert_allclose(j3d, shard["joints3d"][1].numpy() / 1000.0, rtol=1e-6)
+
+
+class TestVerifyStore:
+    """Integrity scan (shards.verify_store / h36x-doctor --verify-store):
+    per-array CRC32s recorded at write time must catch bit flips,
+    truncation, and index/shard row drift; legacy shards without checksums
+    verify as present-but-unverifiable."""
+
+    def _store(self, root):
+        make_synthetic_store(root, n_shards=3, clips_per_shard=4,
+                             seq_len=4, feat_dim=16)
+        return root
+
+    def test_clean_store_verifies(self, tmp_path):
+        root = self._store(tmp_path)
+        rep = shard_store.verify_store(root)
+        assert rep["errors"] == []
+        assert rep["n_shards"] == 3
+        assert rep["rows"] == 3 * 4 * 4
+        assert rep["arrays_checked"] == 3 * 4  # 4 arrays per shard
+        assert rep["arrays_unchecked"] == 0
+
+    def test_bit_flip_detected(self, tmp_path):
+        root = self._store(tmp_path)
+        path = shard_store.shard_path(root, 1)
+        blob = bytearray(path.read_bytes())
+        blob[-100] ^= 0x40  # flip one payload bit near the end (K array)
+        path.write_bytes(blob)
+        rep = shard_store.verify_store(root)
+        assert len(rep["errors"]) == 1
+        assert "CRC32 mismatch" in rep["errors"][0]
+        assert "shard_00001" in rep["errors"][0]
+
+    def test_truncation_detected(self, tmp_path):
+        root = self._store(tmp_path)
+        path = shard_store.shard_path(root, 2)
+        blob = path.read_bytes()
+        path.write_bytes(blob[: len(blob) - 64])
+        rep = shard_store.verify_store(root)
+        assert any("truncated" in e and "shard_00002" in e
+                   for e in rep["errors"])
+
+    def test_missing_shard_detected(self, tmp_path):
+        root = self._store(tmp_path)
+        shard_store.shard_path(root, 0).unlink()
+        rep = shard_store.verify_store(root)
+        assert any("unreadable" in e and "shard_00000" in e
+                   for e in rep["errors"])
+
+    def test_index_row_drift_detected(self, tmp_path):
+        root = self._store(tmp_path)
+        idx = json.loads((root / "index.json").read_text())
+        dropped = [c for c in idx["clips"] if c["shard_id"] != 1 or
+                   c["row"] != 0]
+        idx["clips"] = dropped  # index lost a clip the shard still holds
+        (root / "index.json").write_text(json.dumps(idx))
+        rep = shard_store.verify_store(root)
+        assert any("index" in e and "shard_00001" in e
+                   for e in rep["errors"])
+
+    def test_legacy_shard_without_checksums_is_unverifiable_not_error(
+            self, tmp_path):
+        root = self._store(tmp_path)
+        path = shard_store.shard_path(root, 0)
+        blob = bytearray(path.read_bytes())
+        # blank the crc fields in-place (same-length space padding keeps
+        # the JSON valid and every offset unchanged) — the exact bytes a
+        # pre-checksum writer produced, minus the keys
+        import re
+
+        hlen = int(np.frombuffer(blob[8:12], "<u4")[0])
+        header = blob[12:12 + hlen].decode()
+        legacy = re.sub(r', "crc32": \d+',
+                        lambda m: " " * len(m.group(0)), header)
+        assert len(legacy) == len(header) and '"crc32"' not in legacy
+        blob[12:12 + hlen] = legacy.encode()
+        path.write_bytes(blob)
+        # the store still reads fine
+        shard_store.read_shard(path)
+        rep = shard_store.verify_store(root)
+        assert rep["errors"] == []
+        assert rep["arrays_unchecked"] == 4
+        assert rep["arrays_checked"] == 2 * 4
+
+    def test_doctor_cli_verify_store(self, tmp_path, capsys):
+        from h36x.cli.doctor import main as doctor_main
+
+        root = self._store(tmp_path)
+        doctor_main(["--verify-store", str(root)])
+        out = capsys.readouterr().out
+        assert "CRC-verified" in out
+
+        path = shard_store.shard_path(root, 1)
+        blob = bytearray(path.read_bytes())
+        blob[-100] ^= 0x40
+        path.write_bytes(blob)
+        with pytest.raises(SystemExit, match="problems"):
+            doctor_main(["--verify-store", str(root)])
+        out = capsys.readouterr().out
+        assert "CRC32 mismatch" in out
