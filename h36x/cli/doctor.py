@@ -158,6 +158,23 @@ def _ckpt_info(path):
         if man_path.exists():
             man = json.loads(man_path.read_text())
             detail += f", {describe(man)}{arch(man)}"
+            want = man.get("sha256")
+            if want is not None:  # recorded by save_checkpoint (msgpack)
+                import hashlib
+
+                blob = p.read_bytes()
+                if man.get("nbytes") not in (None, len(blob)):
+                    raise RuntimeError(
+                        f"size mismatch: manifest records "
+                        f"{man['nbytes']} bytes, file is {len(blob)} — "
+                        "truncated or mispaired with this manifest")
+                got = hashlib.sha256(blob).hexdigest()
+                if got != want:
+                    raise RuntimeError(
+                        f"sha256 mismatch: manifest records {want[:12]}..., "
+                        f"file hashes {got[:12]}... — blob corrupted or "
+                        "mispaired with this manifest")
+                detail += ", sha256 verified"
         return detail
 
     return probe

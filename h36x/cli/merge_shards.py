@@ -20,7 +20,25 @@ def main(argv=None):
     ap.add_argument("--out", required=True, help="merged store directory")
     ap.add_argument("--keep-parts", action="store_true",
                     help="hard-link/copy shards instead of moving them")
+    ap.add_argument("--verify", action="store_true",
+                    help="CRC-verify every part before merging (full read; "
+                         "a part that crossed the network corrupted would "
+                         "otherwise poison the merged store silently)")
     args = ap.parse_args(argv)
+
+    if args.verify:
+        from h36x.data.shards import verify_store
+
+        for part in args.parts:
+            rep = verify_store(part)
+            if rep["errors"]:
+                for e in rep["errors"][:10]:
+                    print(f"  - {e}")
+                raise SystemExit(
+                    f"part {part} failed integrity verification "
+                    f"({len(rep['errors'])} error(s)); not merging")
+            print(f"  [ok] {part}: {rep['arrays_checked']} arrays "
+                  f"CRC-verified, {rep['rows']} rows")
 
     idx = merge_stores(args.parts, args.out, move=not args.keep_parts)
     print(f"Merged {len(args.parts)} part stores -> {args.out}: "

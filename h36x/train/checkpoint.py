@@ -59,11 +59,20 @@ def save_checkpoint(
         f.write(blob)
     os.replace(tmp, data_path)
 
+    import hashlib
+
     manifest = {
         "epoch": int(epoch),
         "best_val": float(best_val),
         "step": int(np.asarray(jax.device_get(state.step))),
         "config": config or {},
+        # integrity record for `h36x-doctor --ckpt` (checkpoints sit on
+        # disk for months; a silently corrupted blob should be one doctor
+        # command away from a diagnosis, not a deserialization stack trace
+        # at resume time). The manifest commits after the blob, so the
+        # hash always describes the blob it sits next to.
+        "sha256": hashlib.sha256(blob).hexdigest(),
+        "nbytes": len(blob),
         **(extra or {}),
     }
     mpath = directory / f"{name}.json"

@@ -309,3 +309,67 @@ class TestSigkillDuringOrbaxSave:
             assert float(np.asarray(state.params["w"])[0]) == float(e)
             assert float(np.asarray(state.opt_state["m"])[0]) == -float(e)
             assert int(np.asarray(state.step)) == e
+
+
+class TestCheckpointIntegrity:
+    """save_checkpoint records sha256/nbytes of the msgpack blob; doctor
+    --ckpt recomputes them, so blob corruption or a blob/manifest mispair
+    is one command to diagnose instead of a resume-time stack trace."""
+
+    def _save(self, tmp_path):
+        import jax.numpy as jnp
+
+        from h36x.train.checkpoint import save_checkpoint
+        from h36x.train.state import TrainState
+
+        state = TrainState(params={"w": np.arange(64, dtype=np.float32)},
+                           opt_state={"m": np.zeros(64, np.float32)},
+                           step=jnp.asarray(7, jnp.int32))
+        save_checkpoint(tmp_path, "last", state, epoch=3, best_val=0.5)
+        return tmp_path / "last.msgpack"
+
+    def test_doctor_verifies_clean_checkpoint(self, tmp_path, capsys):
+        from h36x.cli.doctor import main as doctor_main
+
+        path = self._save(tmp_path)
+        doctor_main(["--ckpt", str(path)])
+        out = capsys.readouterr().out
+        assert "sha256 verified" in out
+
+    def test_doctor_catches_corrupted_blob(self, tmp_path, capsys):
+        import pytest
+
+        from h36x.cli.doctor import main as doctor_main
+
+        path = self._save(tmp_path)
+        blob = bytearray(path.read_bytes())
+        blob[len(blob) // 2] ^= 0x01
+        path.write_bytes(blob)
+        with pytest.raises(SystemExit, match="problems"):
+            doctor_main(["--ckpt", str(path)])
+        assert "sha256 mismatch" in capsys.readouterr().out
+
+    def test_doctor_catches_truncation(self, tmp_path, capsys):
+        import pytest
+
+        from h36x.cli.doctor import main as doctor_main
+
+        path = self._save(tmp_path)
+        path.write_bytes(path.read_bytes()[:-16])
+        with pytest.raises(SystemExit, match="problems"):
+            doctor_main(["--ckpt", str(path)])
+        assert "size mismatch" in capsys.readouterr().out
+
+    def test_legacy_manifest_without_hash_still_ok(self, tmp_path, capsys):
+        import json
+
+        from h36x.cli.doctor import main as doctor_main
+
+        path = self._save(tmp_path)
+        man = tmp_path / "last.json"
+        rec = json.loads(man.read_text())
+        rec.pop("sha256")
+        rec.pop("nbytes")
+        man.write_text(json.dumps(rec))
+        doctor_main(["--ckpt", str(path)])
+        assert "sha256" not in capsys.readouterr().out

@@ -351,3 +351,51 @@ def test_serve_cli_stats_flag_validation():
         serve_main(["--stats", "--artifact", "nonexistent.hlo"])
     with pytest.raises(SystemExit, match="required"):
         serve_main([])
+
+
+def test_wire_protocol_fuzz_survival(predict_fn):
+    """Adversarial garbage on the wire must never kill the daemon: random
+    bytes, hostile header lengths, bad JSON, wrong payload sizes — every
+    connection gets an error (or a close), and a well-formed request
+    afterwards still succeeds."""
+    from h36x.serve_daemon import _LEN, _read_msg
+
+    server = BatchingServer(predict_fn, seq_len=T, feature_dim=F,
+                            max_batch=4, max_wait_ms=1.0, pad_to=4)
+    rng = np.random.default_rng(11)
+
+    payloads = [
+        b"",                                    # immediate close
+        b"\x00",                                # truncated length prefix
+        _LEN.pack(0),                           # zero-length header
+        _LEN.pack(1 << 20),                     # header over the cap
+        _LEN.pack(0xFFFFFFFFFFFFFFFF),          # absurd header length
+        _LEN.pack(4) + b"nope",                 # not JSON
+        _LEN.pack(2) + b"[]",                   # JSON but not an object
+        _LEN.pack(17) + b'{"nbytes": -12345}',  # negative payload size
+        # valid header, payload shorter than declared (then close)
+        _LEN.pack(46)
+        + b'{"shape": [6, 32], "dtype": "float32", "nbytes": 768}'[:46],
+        bytes(rng.integers(0, 256, size=64, dtype=np.uint8)),  # noise
+    ]
+
+    async def clients(port):
+        for p in payloads:
+            reader, writer = await asyncio.open_connection("127.0.0.1", port)
+            writer.write(p)
+            try:
+                await writer.drain()
+                # server replies with the error envelope or closes; either
+                # way this must not hang (bounded by wait_for)
+                await asyncio.wait_for(_read_msg(reader), timeout=5.0)
+            except (asyncio.IncompleteReadError, ConnectionError,
+                    asyncio.TimeoutError):
+                pass
+            finally:
+                writer.close()
+        # the daemon must still serve a good request after all of that
+        f = rng.normal(size=(T, F)).astype(np.float32)
+        return await request_async(f, host="127.0.0.1", port=port)
+
+    out = _serve(server, clients)
+    assert out.shape == (T, J, 3)

@@ -307,3 +307,33 @@ class TestVerifyStore:
             doctor_main(["--verify-store", str(root)])
         out = capsys.readouterr().out
         assert "CRC32 mismatch" in out
+
+
+def test_merge_cli_verify_gate(tmp_path):
+    """h36x-merge-shards --verify refuses to merge a corrupted part (a bad
+    network copy must not silently poison the unified store)."""
+    from h36x.cli.merge_shards import main as merge_main
+
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir()
+    b.mkdir()
+    # one shard per part: the synthetic helper reuses (action, start)
+    # across shard ids, which the merge's duplicate check would reject
+    make_synthetic_store(a, n_shards=1, clips_per_shard=3, seq_len=4,
+                         feat_dim=16, subjects=(1,))
+    make_synthetic_store(b, n_shards=1, clips_per_shard=3, seq_len=4,
+                         feat_dim=16, subjects=(5,))
+    path = shard_store.shard_path(b, 0)
+    blob = bytearray(path.read_bytes())
+    blob[-20] ^= 0x02
+    path.write_bytes(blob)
+    with pytest.raises(SystemExit, match="integrity"):
+        merge_main(["--parts", str(a), str(b), "--out", str(tmp_path / "m"),
+                    "--verify", "--keep-parts"])
+
+    blob[-20] ^= 0x02  # undo the corruption; the merge must now pass
+    path.write_bytes(blob)
+    merge_main(["--parts", str(a), str(b), "--out", str(tmp_path / "m2"),
+                "--verify", "--keep-parts"])
+    assert (tmp_path / "m2" / "index.json").exists()
+    assert shard_store.verify_store(tmp_path / "m2")["errors"] == []
