@@ -16,7 +16,13 @@ def main(argv=None):
                    help="which 3D skeleton to animate: auto prefers the "
                         "model's predicted3djoints when the NPZ carries "
                         "them (h36x-results/h36x-predict output), else GT")
+    p.add_argument("--save", default="",
+                   help="write the animation to this file instead of "
+                        "opening a window (.gif/.html always work; .mp4 "
+                        "needs ffmpeg) — the headless-host path")
+    p.add_argument("--fps", type=int, default=10)
     args = p.parse_args(argv)
+    view = {"show": not args.save, "save": args.save, "fps": args.fps}
 
     from h36x.viz import (
         plot_batch_sample,
@@ -52,20 +58,22 @@ def main(argv=None):
             # other mode" dead-end
             print(f"note: {args.npz} carries no video frames; showing the "
                   "3D skeleton alone")
-            plot_sequence_3d(j3d, args.sample)
+            plot_sequence_3d(j3d, args.sample, **view)
             return
-        plot_batch_sample(data["video"], j3d, args.sample)
+        plot_batch_sample(data["video"], j3d, args.sample, **view)
         return
     if j2d is None:
         print(f"note: {args.npz} carries no joints2d (the {args.mode!r} "
               "mode's reprojection panels need them); showing the 3D "
               "skeleton alone")
-        plot_sequence_3d(j3d, args.sample)
+        plot_sequence_3d(j3d, args.sample, **view)
         return
     if args.mode == "features" or not has_video:
-        plot_batch_sample_2d_2dproj_3d_no_video(j3d, j2d, K, args.sample)
+        plot_batch_sample_2d_2dproj_3d_no_video(j3d, j2d, K, args.sample,
+                                                **view)
     else:
-        plot_batch_sample_2d_2dproj_3d(data["video"], j3d, j2d, K, args.sample)
+        plot_batch_sample_2d_2dproj_3d(data["video"], j3d, j2d, K, args.sample,
+                                       **view)
 
 
 if __name__ == "__main__":

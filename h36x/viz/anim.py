@@ -49,6 +49,49 @@ def _frame_to_hwc_uint8(frame: np.ndarray) -> np.ndarray:
     return np.clip(f, 0, 255).astype(np.uint8)
 
 
+def save_animation(anim, path: str, fps: int = 10) -> str:
+    """Write a viewer animation to disk — the headless companion to show()
+    (TPU hosts rarely have a display; the reference viewers could only
+    plt.show()). Writer by extension: .gif -> pillow (always available),
+    .html -> the standalone HTML writer, .mp4 -> ffmpeg when on PATH."""
+    import matplotlib.animation as manim
+
+    path = str(path)
+    ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
+    if ext == "gif":
+        writer = manim.PillowWriter(fps=fps)
+    elif ext in ("htm", "html"):
+        writer = manim.HTMLWriter(fps=fps)
+    elif ext == "mp4":
+        if not manim.writers.is_available("ffmpeg"):
+            raise RuntimeError(
+                "saving .mp4 needs ffmpeg, which is not on PATH — save a "
+                ".gif (pillow, always available) or .html instead")
+        writer = manim.FFMpegWriter(fps=fps)
+    else:
+        raise ValueError(
+            f"unsupported animation extension {ext!r} "
+            "(use .gif, .html, or .mp4)")
+    anim.save(path, writer=writer)
+    return path
+
+
+def _finish(anim, show: bool, save: str, fps: int):
+    """Shared viewer tail: save and/or show, return the live animation
+    (callers must keep the reference or matplotlib garbage-collects the
+    timer mid-animation)."""
+    import matplotlib.pyplot as plt
+
+    if save or show:
+        plt.tight_layout()
+    if save:
+        save_animation(anim, save, fps=fps)
+        print(f"saved animation -> {save}")
+    if show:
+        plt.show()
+    return anim
+
+
 def _pad_limits(lo: float, hi: float, p: float = 0.05):
     r = (hi - lo) if hi > lo else 1.0
     return lo - p * r, hi + p * r
@@ -98,7 +141,8 @@ def _update_2d(scat, lines, js2, t):
         ln.set_data([js2[t, a, 0], js2[t, b, 0]], [js2[t, a, 1], js2[t, b, 1]])
 
 
-def plot_batch_sample(video, joints, sample_idx: int = 0, fps: int = 10, show: bool = True):
+def plot_batch_sample(video, joints, sample_idx: int = 0, fps: int = 10,
+                      show: bool = True, save: str = ""):
     """Video frame + animated 3D skeleton (reference visualize.py:39-105)."""
     import matplotlib.pyplot as plt
     from matplotlib.animation import FuncAnimation
@@ -122,15 +166,12 @@ def plot_batch_sample(video, joints, sample_idx: int = 0, fps: int = 10, show: b
         return [im, scat] + lines
 
     anim = FuncAnimation(fig, update, frames=len(frames), interval=1000 // fps, blit=False)
-    if show:
-        plt.tight_layout()
-        plt.show()
-    return anim
+    return _finish(anim, show, save, fps)
 
 
 def plot_sequence_3d(joints3d, sample_idx: int = 0, fps: int = 10,
                      point_size: int = 18, line_width: int = 2,
-                     show: bool = True):
+                     show: bool = True, save: str = ""):
     """3D-skeleton-only animation: the viewer of last resort for NPZs that
     carry neither video frames nor 2D joints (h36x-predict output)."""
     import matplotlib.pyplot as plt
@@ -148,16 +189,13 @@ def plot_sequence_3d(joints3d, sample_idx: int = 0, fps: int = 10,
 
     anim = FuncAnimation(fig, update, frames=js3.shape[0],
                          interval=1000 // fps, blit=False)
-    if show:
-        plt.tight_layout()
-        plt.show()
-    return anim
+    return _finish(anim, show, save, fps)
 
 
 def plot_batch_sample_2d_2dproj_3d(
     video, joints3d, joints2d, K,
     sample_idx: int = 0, fps: int = 10, point_size: int = 18, line_width: int = 2,
-    show: bool = True,
+    show: bool = True, save: str = "",
 ):
     """Frame+GT-2D | frame+reprojected-2D | 3D — the geometry oracle
     (reference visualize_2d.py:82-206). Reprojection is pinhole through K.
@@ -213,17 +251,14 @@ def plot_batch_sample_2d_2dproj_3d(
         return [im_gt, im_prj, scat_gt, scat_prj, scat3] + lines_gt + lines_prj + lines3
 
     anim = FuncAnimation(fig, update, frames=t_len, interval=1000 // fps, blit=False)
-    if show:
-        plt.tight_layout()
-        plt.show()
-    return anim
+    return _finish(anim, show, save, fps)
 
 
 def plot_batch_sample_2d_2dproj_3d_no_video(
     joints3d, joints2d, K,
     sample_idx: int = 0, fps: int = 10, point_size: int = 18, line_width: int = 2,
     invert_y: bool = True, equal_aspect: bool = True, show: bool = True,
-    joints3d_display=None,
+    save: str = "", joints3d_display=None,
 ):
     """Feature-space variant without frames (reference visualize_features.py).
 
@@ -280,15 +315,13 @@ def plot_batch_sample_2d_2dproj_3d_no_video(
         return [scat_gt, scat_prj, scat3] + lines_gt + lines_prj + lines3
 
     anim = FuncAnimation(fig, update, frames=t_len, interval=1000 // fps, blit=False)
-    if show:
-        plt.tight_layout()
-        plt.show()
-    return anim
+    return _finish(anim, show, save, fps)
 
 
 def plot_raw_sequence(
     gt_poses_path: str, video_path: Optional[str] = None,
-    frame_skip: int = 5, max_frames: int = 100, fps: int = 10, show: bool = True,
+    frame_skip: int = 5, max_frames: int = 100, fps: int = 10,
+    show: bool = True, save: str = "",
 ):
     """Sanity viewer over raw ingested pickles (reference read_pkl.py):
     pelvis-centered 3D skeleton, optionally next to decoded frames."""
@@ -303,7 +336,8 @@ def plot_raw_sequence(
         from h36x.data.clips import decode_clip
 
         video = decode_clip(video_path, 0, js3.shape[0], frame_skip)
-        return plot_batch_sample(video[None], js3[None], 0, fps=fps, show=show)
+        return plot_batch_sample(video[None], js3[None], 0, fps=fps,
+                                 show=show, save=save)
 
     # Real intrinsics from the sibling camera_wext.pkl (ingested layout)
     # make the reprojection panel meaningful; the raw (uncentered,
@@ -324,7 +358,7 @@ def plot_raw_sequence(
     return plot_batch_sample_2d_2dproj_3d_no_video(
         js3_for_proj[None],
         np.asarray(data["2d"], np.float32)[::frame_skip][:max_frames][None],
-        K, 0, fps=fps, show=show,
+        K, 0, fps=fps, show=show, save=save,
         # the 3D panel keeps the pelvis-centered skeleton (read_pkl.py);
         # js3_for_proj stays raw camera-frame because that is what K projects
         joints3d_display=js3[None],

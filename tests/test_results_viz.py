@@ -129,6 +129,72 @@ class TestViewers:
 
         plt.close("all")
 
+    def test_animation_save_gif_and_html(self, rng, tmp_path):
+        """save= writes a real artifact headlessly (pillow gif, html) and
+        rejects extensions it cannot honor — the TPU-host path where
+        plt.show() renders nothing."""
+        import matplotlib.pyplot as plt
+        import pytest
+
+        from h36x.viz import plot_sequence_3d
+        from h36x.viz.anim import save_animation
+
+        j3d = rng.normal(size=(1, 3, 17, 3)).astype(np.float32)
+        gif = tmp_path / "seq.gif"
+        plot_sequence_3d(j3d, show=False, save=str(gif), fps=5)
+        from PIL import Image
+
+        with Image.open(gif) as im:
+            assert im.n_frames == 3
+        html = tmp_path / "seq.html"
+        anim = plot_sequence_3d(j3d, show=False, save=str(html), fps=5)
+        assert html.stat().st_size > 0
+        with pytest.raises(ValueError, match="extension"):
+            save_animation(anim, str(tmp_path / "seq.webm"))
+        plt.close("all")
+
+    def test_show_batch_cli_save(self, rng, tmp_path):
+        from h36x.cli.show_batch import main as show_main
+
+        npz = tmp_path / "b.npz"
+        np.savez(
+            npz,
+            joints3d=rng.normal(size=(1, 3, 17, 3)).astype(np.float32),
+            joints2d=(rng.random((1, 3, 17, 2)) * 16).astype(np.float32),
+            K=np.tile(np.eye(3, dtype=np.float32) * 8, (1, 1, 1)),
+        )
+        out = tmp_path / "b.gif"
+        show_main([str(npz), "--mode", "features", "--save", str(out),
+                   "--fps", "5"])
+        assert out.stat().st_size > 0
+        import matplotlib.pyplot as plt
+
+        plt.close("all")
+
+    def test_plot_raw_sequence_with_camera(self, rng, tmp_path):
+        """read_pkl.py parity viewer over raw ingested pickles: picks up
+        the sibling camera_wext.pkl for the reprojection panel and saves
+        headlessly."""
+        import pickle
+
+        import matplotlib.pyplot as plt
+
+        from h36x.viz.anim import plot_raw_sequence
+
+        with open(tmp_path / "gt_poses.pkl", "wb") as f:
+            pickle.dump({"3d": rng.normal(size=(12, 17, 3)) * 100,
+                         "2d": rng.random((12, 17, 2)) * 50}, f)
+        with open(tmp_path / "camera_wext.pkl", "wb") as f:
+            pickle.dump({"f": np.array([90.0, 90.0]),
+                         "c": np.array([25.0, 25.0]),
+                         "k": np.zeros(5), "rt": np.eye(3),
+                         "t": np.zeros(3)}, f)
+        gif = tmp_path / "raw.gif"
+        anim = plot_raw_sequence(str(tmp_path / "gt_poses.pkl"),
+                                 frame_skip=4, show=False, save=str(gif))
+        assert anim is not None and gif.stat().st_size > 0
+        plt.close("all")
+
 
 def test_evaluate_test_mesh_dp_matches_single_device(tmp_path):
     """Results-stage eval sharded over an 8-device data mesh must produce
