@@ -47,6 +47,14 @@ def main(argv=None):
     add_model_config_flags(p)
     p.add_argument("--max-batch", type=int, default=16)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
+    p.add_argument("--max-queue", type=int, default=1024,
+                   help="reject requests past this queue depth with an "
+                        "explicit overload error instead of queueing "
+                        "without bound (0 = unbounded)")
+    p.add_argument("--drain-s", type=float, default=10.0,
+                   help="on SIGTERM/SIGINT: stop accepting and give queued "
+                        "+ in-flight batches this long to finish before "
+                        "stopping (graceful rolling-restart shutdown)")
     p.add_argument("--stats", action="store_true",
                    help="query a RUNNING daemon's operational stats "
                         "(request/batch counts, latency percentiles) at "
@@ -141,14 +149,14 @@ def main(argv=None):
     server = BatchingServer(
         predict_fn, seq_len=seq_len, feature_dim=feature_dim,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms, pad_to=pad_to,
-        bucket_pad=not pad_to,
+        bucket_pad=not pad_to, max_queue=args.max_queue,
     )
     bind = ({"unix_path": args.unix} if args.unix
             else {"host": args.host, "port": args.port})
     try:
-        asyncio.run(serve_forever(server, **bind))
+        asyncio.run(serve_forever(server, drain_s=args.drain_s, **bind))
     except KeyboardInterrupt:
-        pass
+        pass  # platforms where the loop signal handler is unavailable
 
 
 if __name__ == "__main__":

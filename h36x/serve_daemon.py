@@ -102,11 +102,17 @@ class BatchingServer:
     the next power of two (artifact mode: a handful of compiled sizes, all
     pre-warmable, instead of up to max_batch distinct ones). pad_to == 0
     with bucket_pad=False runs batches at their exact size.
+
+    max_queue bounds the request queue: past that depth new requests get
+    an explicit "server overloaded" error instead of queueing without
+    bound (0 disables the cap). `drain()` + stop() is the graceful
+    shutdown pair serve_forever wires to SIGTERM.
     """
 
     def __init__(self, predict_fn: Callable, seq_len: int, feature_dim: int,
                  max_batch: int = 16, max_wait_ms: float = 5.0,
-                 pad_to: int = 0, bucket_pad: bool = False):
+                 pad_to: int = 0, bucket_pad: bool = False,
+                 max_queue: int = 1024):
         self.predict_fn = predict_fn
         self.seq_len = int(seq_len)
         self.feature_dim = int(feature_dim)
@@ -114,10 +120,16 @@ class BatchingServer:
         self.max_wait = max_wait_ms / 1000.0
         self.pad_to = int(pad_to)
         self.bucket_pad = bool(bucket_pad)
+        # backpressure bound: past this depth new requests are REJECTED
+        # with an explicit overload error instead of queueing without
+        # bound (each queued row pins a (T, F) f32 buffer — an unbounded
+        # flood would grow host memory until the OOM killer wins)
+        self.max_queue = int(max_queue)
         self._queue: asyncio.Queue = asyncio.Queue()
         self._batcher: Optional[asyncio.Task] = None
         self._closed = False
-        self.stats = {"requests": 0, "batches": 0, "rows": 0}
+        self._inflight = 0  # rows of the batch currently on the device
+        self.stats = {"requests": 0, "batches": 0, "rows": 0, "rejected": 0}
         self._t_start: Optional[float] = None
         # bounded reservoirs: stats must never grow with daemon lifetime
         self._batch_ms: deque = deque(maxlen=1024)  # device-call wall ms
@@ -159,6 +171,13 @@ class BatchingServer:
                     _write_msg(writer, {"error": "server stopped"})
                     await writer.drain()
                     break
+                if self.max_queue > 0 and self._queue.qsize() >= self.max_queue:
+                    self.stats["rejected"] += 1
+                    _write_msg(writer, {"error": (
+                        f"server overloaded: {self._queue.qsize()} requests "
+                        "queued (max_queue); retry with backoff")})
+                    await writer.drain()
+                    continue
                 loop = asyncio.get_running_loop()
                 fut: asyncio.Future = loop.create_future()
                 self.stats["requests"] += 1
@@ -211,6 +230,7 @@ class BatchingServer:
         loop = asyncio.get_running_loop()
         while True:
             items = [await self._queue.get()]
+            self._inflight = 1
             try:
                 deadline = loop.time() + self.max_wait
                 while len(items) < self.max_batch:
@@ -226,6 +246,7 @@ class BatchingServer:
                 # futures and keep the loop alive: an escaped exception kills
                 # the batcher task silently (nothing awaits it) and every
                 # later request would queue into a consumer-less queue
+                self._inflight = len(items)
                 try:
                     feats = np.stack([f for f, _, _ in items])
                     n = feats.shape[0]
@@ -272,6 +293,20 @@ class BatchingServer:
                     if not fut.done():
                         fut.set_exception(RuntimeError("server stopped"))
                 raise
+            finally:
+                self._inflight = 0
+
+    async def drain(self, timeout_s: float = 10.0) -> bool:
+        """Wait (bounded) for queued + in-flight work to finish — the
+        graceful half of shutdown. Close the listener first so nothing new
+        arrives; returns True when fully drained, False on deadline."""
+        loop = asyncio.get_running_loop()
+        deadline = loop.time() + timeout_s
+        while self._queue.qsize() or self._inflight:
+            if loop.time() >= deadline:
+                return False
+            await asyncio.sleep(0.05)
+        return True
 
     # -- observability ------------------------------------------------------
 
@@ -451,9 +486,38 @@ def build_predict_fn(artifact: str = "", model_path: str = "",
     return (lambda feats: forward(params, feats)), max_batch
 
 
-async def serve_forever(server: BatchingServer, **bind_kw) -> None:
+async def serve_forever(server: BatchingServer, drain_s: float = 10.0,
+                        **bind_kw) -> None:
+    """Run until the listener dies or SIGTERM/SIGINT arrives; on a signal,
+    shut down gracefully: stop accepting, let queued + in-flight batches
+    finish (bounded by drain_s), flush replies, then stop the batcher —
+    so a rolling restart does not fail the requests already accepted."""
+    import signal
+
     srv = await server.start(**bind_kw)
     addrs = ", ".join(str(s.getsockname()) for s in srv.sockets)
     print(f"h36x-serve listening on {addrs}", flush=True)
+    loop = asyncio.get_running_loop()
+    stop_ev = asyncio.Event()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            loop.add_signal_handler(sig, stop_ev.set)
+        except (NotImplementedError, ValueError, RuntimeError):
+            pass  # non-main thread / platform without loop signal support
     async with srv:
-        await srv.serve_forever()
+        serve_task = asyncio.ensure_future(srv.serve_forever())
+        stop_task = asyncio.ensure_future(stop_ev.wait())
+        done, _ = await asyncio.wait({serve_task, stop_task},
+                                     return_when=asyncio.FIRST_COMPLETED)
+        stop_task.cancel()
+        if serve_task in done:
+            return await serve_task  # listener failed on its own: surface it
+        print("h36x-serve: shutdown signal — draining...", flush=True)
+        srv.close()  # no new connections; existing ones may still finish
+        serve_task.cancel()
+        drained = await server.drain(drain_s)
+        await asyncio.sleep(0.1)  # let handle() coroutines write replies out
+        server.stop()
+        print(f"h36x-serve: {'drained' if drained else 'DRAIN TIMEOUT'}; "
+              f"served {server.stats['requests']} requests "
+              f"({server.stats['rejected']} rejected)", flush=True)

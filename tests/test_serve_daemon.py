@@ -399,3 +399,80 @@ def test_wire_protocol_fuzz_survival(predict_fn):
 
     out = _serve(server, clients)
     assert out.shape == (T, J, 3)
+
+
+def test_backpressure_rejects_past_max_queue():
+    """Past max_queue queued requests, new ones get an explicit overload
+    error instead of growing host memory without bound; accepted ones
+    still complete once the device frees up."""
+    import threading
+
+    release = threading.Event()
+
+    def slow_predict(feats):
+        release.wait(10.0)
+        return np.zeros((feats.shape[0], T, J, 3), np.float32)
+
+    server = BatchingServer(slow_predict, seq_len=T, feature_dim=F,
+                            max_batch=1, max_wait_ms=1.0, max_queue=2)
+    rng = np.random.default_rng(5)
+    feats = [rng.normal(size=(T, F)).astype(np.float32) for _ in range(6)]
+
+    async def clients(port):
+        async def one(f):
+            try:
+                return await request_async(f, host="127.0.0.1", port=port)
+            except RuntimeError as e:
+                return e
+
+        # sequential sends make the accept/reject split deterministic:
+        # 1 in flight (slow device) + 2 queued, the other 3 rejected
+        results = []
+        tasks = []
+        for f in feats:
+            tasks.append(asyncio.ensure_future(one(f)))
+            await asyncio.sleep(0.05)
+        release.set()
+        for t in tasks:
+            results.append(await t)
+        return results
+
+    results = _serve(server, clients)
+    rejected = [r for r in results if isinstance(r, RuntimeError)]
+    ok = [r for r in results if not isinstance(r, RuntimeError)]
+    assert len(rejected) == 3 and len(ok) == 3
+    assert all("overloaded" in str(e) for e in rejected)
+    assert all(o.shape == (T, J, 3) for o in ok)
+    assert server.stats["rejected"] == 3
+    assert server.stats["requests"] == 3  # rejected ones never count
+
+
+def test_drain_waits_for_inflight_and_queued():
+    """drain() returns only after the queue and the in-flight batch empty
+    (the graceful-shutdown half serve_forever wires to SIGTERM), and
+    respects its deadline when the device never frees up."""
+    import threading
+
+    release = threading.Event()
+
+    def slow_predict(feats):
+        release.wait(10.0)
+        return np.zeros((feats.shape[0], T, J, 3), np.float32)
+
+    async def run():
+        server = BatchingServer(slow_predict, seq_len=T, feature_dim=F,
+                                max_batch=1, max_wait_ms=1.0)
+        server._batcher = asyncio.ensure_future(server._batch_loop())
+        loop = asyncio.get_running_loop()
+        fut = loop.create_future()
+        await server._queue.put(
+            (np.zeros((T, F), np.float32), fut, loop.time()))
+        while not server._inflight:  # batcher picked it up
+            await asyncio.sleep(0.01)
+        assert await server.drain(timeout_s=0.3) is False  # deadline honored
+        release.set()
+        assert await server.drain(timeout_s=5.0) is True
+        await asyncio.wait_for(fut, timeout=5.0)  # request still completed
+        server.stop()
+
+    asyncio.run(run())
