@@ -117,6 +117,44 @@ def _verify_store(root):
     return probe
 
 
+def _artifact_info(path):
+    """AOT serving artifact check: re-hash the blob against the export
+    sidecar's sha256/nbytes, then deserialize it (structural validation)
+    and report kind/platforms/shapes."""
+
+    def probe():
+        import hashlib
+        import json
+        from pathlib import Path
+
+        p = Path(path)
+        blob = p.read_bytes()
+        side = Path(str(p) + ".json")
+        verified = ""
+        if side.exists():
+            rec = json.loads(side.read_text())
+            want_n = rec.get("nbytes")
+            if want_n is not None and want_n != len(blob):
+                raise RuntimeError(
+                    f"size mismatch: sidecar records {want_n} bytes, file "
+                    f"is {len(blob)} — truncated or mispaired")
+            want = rec.get("sha256")
+            if want is not None:
+                got = hashlib.sha256(blob).hexdigest()
+                if got != want:
+                    raise RuntimeError(
+                        f"sha256 mismatch: sidecar records {want[:12]}..., "
+                        f"file hashes {got[:12]}... — blob corrupted")
+                verified = ", sha256 verified"
+        from h36x.export import artifact_info
+
+        info = artifact_info(blob)  # deserialize = structural validation
+        return (f"{info['nbytes'] / 1e6:.1f} MB, platforms "
+                f"{info['platforms']}, in {info['in_avals']}{verified}")
+
+    return probe
+
+
 def _ckpt_info(path):
     def probe():
         import json
@@ -308,6 +346,9 @@ def main(argv=None):
     p.add_argument("--root", default="", help="feature-shard store to check")
     p.add_argument("--ckpt", default="",
                    help="checkpoint file or run directory to check")
+    p.add_argument("--artifact", default="",
+                   help="h36x-export artifact: re-hash against its .json "
+                        "sidecar and deserialize (structural validation)")
     p.add_argument("--verify-store", default="",
                    help="feature-shard store: full integrity scan — "
                         "recompute per-array CRC32s, check truncation and "
@@ -336,6 +377,9 @@ def main(argv=None):
                _verify_store(args.verify_store), problems)
     if args.ckpt:
         _check(f"checkpoint {args.ckpt}", _ckpt_info(args.ckpt), problems)
+    if args.artifact:
+        _check(f"artifact {args.artifact}", _artifact_info(args.artifact),
+               problems)
     if args.dedup_estimate:
         _check(
             f"dedup estimate {args.dedup_estimate}",

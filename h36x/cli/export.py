@@ -119,6 +119,11 @@ def main(argv=None):
     info = artifact_info(blob)
     info["kind"] = args.kind
     info["dtype"] = args.dtype
+    import hashlib
+
+    # integrity record: h36x-doctor --artifact re-hashes the blob against
+    # this, so a corrupt copy is caught before it reaches a serve host
+    info["sha256"] = hashlib.sha256(blob).hexdigest()
     if args.kind == "rollout":
         info["forecast"] = args.forecast
     with open(str(path) + ".json", "w") as f:

@@ -376,10 +376,20 @@ class BatchingServer:
 
 async def request_async(feats: np.ndarray, host: Optional[str] = None,
                         port: Optional[int] = None,
-                        unix_path: Optional[str] = None):
+                        unix_path: Optional[str] = None,
+                        timeout_s: Optional[float] = None):
     """One (T, F) request -> (T, J, 3) prediction, or — against a rollout
     artifact server — the ((T, J, 3) context, (steps, J, 3) forecast)
-    pair (the response header's "split" marks the boundary)."""
+    pair (the response header's "split" marks the boundary).
+
+    timeout_s bounds the WHOLE round trip (connect + upload + inference +
+    download); a hung daemon then raises asyncio.TimeoutError instead of
+    hanging the client forever. None (default) preserves unbounded waits.
+    """
+    if timeout_s is not None:
+        return await asyncio.wait_for(
+            request_async(feats, host=host, port=port, unix_path=unix_path),
+            timeout_s)
     if unix_path:
         reader, writer = await asyncio.open_unix_connection(unix_path)
     else:

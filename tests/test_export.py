@@ -142,6 +142,19 @@ class TestExportCLI:
         assert sidecar["kind"] == "forward"
         assert sidecar["platforms"] == ["cpu"]
 
+        # doctor --artifact: sidecar hash verified, then corruption caught
+        import hashlib
+
+        from h36x.cli.doctor import main as doctor_main
+
+        assert sidecar["sha256"] == hashlib.sha256(out.read_bytes()).hexdigest()
+        doctor_main(["--artifact", str(out)])
+        blob = bytearray(out.read_bytes())
+        blob[len(blob) // 2] ^= 0x01
+        out.write_bytes(blob)
+        with pytest.raises(SystemExit, match="problems"):
+            doctor_main(["--artifact", str(out)])
+
     def test_rollout_kind(self, setup, tmp_path):
         from h36x.cli.export import main as export_main
 

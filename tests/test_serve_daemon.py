@@ -476,3 +476,31 @@ def test_drain_waits_for_inflight_and_queued():
         server.stop()
 
     asyncio.run(run())
+
+
+def test_request_timeout(predict_fn):
+    """timeout_s bounds the whole round trip; a hung device raises
+    TimeoutError in the client instead of hanging it forever, and a
+    healthy daemon answers well inside a generous bound."""
+    import threading
+
+    release = threading.Event()
+
+    def stuck_predict(feats):
+        release.wait(10.0)
+        return np.zeros((feats.shape[0], T, J, 3), np.float32)
+
+    server = BatchingServer(stuck_predict, seq_len=T, feature_dim=F,
+                            max_batch=1, max_wait_ms=1.0)
+    f = np.random.default_rng(9).normal(size=(T, F)).astype(np.float32)
+
+    async def client(port):
+        with pytest.raises(asyncio.TimeoutError):
+            await request_async(f, host="127.0.0.1", port=port,
+                                timeout_s=0.5)
+        release.set()
+        return await request_async(f, host="127.0.0.1", port=port,
+                                   timeout_s=30.0)
+
+    out = _serve(server, client)
+    assert out.shape == (T, J, 3)
