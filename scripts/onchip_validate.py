@@ -172,7 +172,60 @@ def stage_e2e() -> bool:
     ok = (data["predicted3djoints"].shape == (2, 8, 17, 3)
           and np.isfinite(data["test_metrics"]).all())
     print(f"[e2e] results {'PASS' if ok else 'FAIL'} (workdir {tmp})")
-    return bool(ok)
+    if not ok:
+        return False
+
+    # integrity surfaces: store CRCs, checkpoint sha256, artifact sidecar
+    # (doctor exits nonzero -> SystemExit fails the stage)
+    from h36x.cli.doctor import main as doctor_main
+    from h36x.cli.export import main as export_main
+
+    doctor_main(["--verify-store", str(features),
+                 "--ckpt", str(runs / "best.msgpack")])
+    art = tmp / "phd.fwd.hlo"
+    export_main(["--model-path", str(runs / "best.msgpack"),
+                 "--out", str(art), "--platforms", "cpu,tpu"])
+    doctor_main(["--artifact", str(art)])
+    print("[e2e] integrity OK (store CRC, checkpoint sha256, artifact)")
+
+    # serving daemon on the chip: coalesced batch, stats op, graceful drain
+    import asyncio
+
+    from h36x.serve_daemon import (BatchingServer, build_predict_fn,
+                                   request_async, stats_async)
+
+    predict_fn, pad_to = build_predict_fn(
+        model_path=str(runs / "best.msgpack"), seq_len=8, feature_dim=2048,
+        latent_dim=64, num_blocks=1, max_batch=4, warm=True)
+
+    async def serve_check():
+        server = BatchingServer(predict_fn, seq_len=8, feature_dim=2048,
+                                max_batch=4, max_wait_ms=50.0, pad_to=pad_to)
+        sock = str(tmp / "serve.sock")
+        srv = await server.start(unix_path=sock)
+        try:
+            rng = np.random.default_rng(0)
+            feats = [rng.normal(size=(8, 2048)).astype(np.float32)
+                     for _ in range(3)]
+            outs = await asyncio.gather(*[
+                request_async(f, unix_path=sock, timeout_s=300)
+                for f in feats])
+            stats = await stats_async(unix_path=sock)
+            assert all(o.shape == (8, 17, 3) for o in outs), "bad reply shape"
+            assert stats["requests"] == 3, stats
+            srv.close()
+            assert await server.drain(30.0), "drain timed out"
+            return stats
+        finally:
+            server.stop()
+            srv.close()
+            await srv.wait_closed()
+
+    stats = asyncio.run(serve_check())
+    print(f"[e2e] serve OK ({stats['batches']} device batch(es), "
+          f"device p50 {stats['batch_device_ms']['p50']:.1f} ms, "
+          f"request p50 {stats['request_ms']['p50']:.1f} ms)")
+    return True
 
 
 def stage_step() -> bool:
