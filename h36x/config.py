@@ -194,6 +194,10 @@ class ExtractConfig:
     shuffle_seed: int = 123
     weights: str = ""  # optional path to a converted ResNet-50 checkpoint
     resume: bool = False  # continue an interrupted extraction (progress.json)
+    # read the finished store back and recompute every shard's CRC32s
+    # (shards.verify_store): catches a lying disk/page cache immediately
+    # after the write instead of at training time
+    verify_after: bool = False
     engine: str = "flax"  # 'flax' (bit-stable parity path) or 'opt'
     #   (folded BN/normalize + s2d stem, ~2% faster, ~3e-3 numeric shuffle)
     partition: str = ""  # "i/N": extract only clips i::N of the index —

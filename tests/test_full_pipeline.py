@@ -50,10 +50,11 @@ def test_extract_train_results(ingested_tree, tmp_path, capsys):
         "--seq-len", "8", "--stride", "4", "--frame-skip", "2",
         "--resize", "32", "--batch-size", "2", "--num-workers", "2",
         "--augment", "true", "--shard-size", "2", "--shuffle-pool", "50",
-        "--subjects", "1", "5", "9",
+        "--subjects", "1", "5", "9", "--verify-after", "true",
     ])
     out = capsys.readouterr().out
     assert "clips/s" in out or "Done" in out
+    assert "[verify-after]" in out  # read-back CRC scan of the new store
     assert (features / "index.json").exists()
 
     runs = tmp_path / "runs"
