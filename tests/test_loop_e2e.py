@@ -316,3 +316,68 @@ def test_fit_bf16_feed_dtype_tracks_f32(cfg, tmp_path):
     assert np.isfinite(best16)
     # same data, same seeds: the bf16 feed may not derail the optimization
     assert abs(best16 - best32) < 0.15 * max(abs(best32), 1e-6)
+
+
+def test_resume_trajectory_matches_uninterrupted(cfg, tmp_path):
+    """Preemption transparency: a 4-epoch run interrupted mid-epoch-2 and
+    resumed must land BITWISE on the uninterrupted 4-epoch run's params
+    and per-epoch metrics (straight reruns are bitwise identical on this
+    backend, so equality is the honest bar — any slack would be
+    semantics). Load-bearing pieces: per-epoch fold_in rng, sampler
+    set_epoch, restored patience, msgpack f32 exactness, and the cosine
+    schedule keyed on the FULL epoch budget — a first draft trained the
+    interrupted leg with epochs=2 and diverged 9e-4 through T_max
+    alone, exactly the class of bug this test exists to catch."""
+    import dataclasses as _dc
+    import json
+
+    def opt():
+        return _dc.replace(cfg.optim, epochs=4, early_stop_patience=0)
+
+    straight = _dc.replace(cfg, outdir=str(tmp_path / "straight"),
+                           optim=opt())
+    state_a, best_a = fit(straight, *_datasets(cfg))
+
+    class Interrupted(Exception):
+        pass
+
+    part1 = _dc.replace(cfg, outdir=str(tmp_path / "resumed"), optim=opt())
+    train_set, val_set, sampler, val_sampler = _datasets(cfg)
+    real_set_epoch = sampler.set_epoch
+
+    def dying_set_epoch(e):
+        if e == 2:  # epochs 0-1 committed; the preemption lands here
+            raise Interrupted()
+        real_set_epoch(e)
+
+    sampler.set_epoch = dying_set_epoch
+    with pytest.raises(Interrupted):
+        fit(part1, train_set, val_set, sampler, val_sampler)
+
+    part2 = _dc.replace(cfg, outdir=str(tmp_path / "resumed"), optim=opt(),
+                        resume=str(tmp_path / "resumed"))
+    state_b, best_b = fit(part2, *_datasets(cfg))
+
+    np.testing.assert_array_equal(best_b, best_a)
+    leaves_a = jax.tree_util.tree_leaves_with_path(
+        jax.device_get(state_a.params))
+    leaves_b = jax.tree_util.tree_leaves_with_path(
+        jax.device_get(state_b.params))
+    assert len(leaves_a) == len(leaves_b)
+    for (ka, a), (kb, b) in zip(leaves_a, leaves_b):
+        assert ka == kb
+        np.testing.assert_array_equal(
+            b, a,
+            err_msg=f"resumed params diverged at {jax.tree_util.keystr(ka)}")
+
+    rows_a = [json.loads(l) for l in
+              (tmp_path / "straight" / "metrics.jsonl").read_text().splitlines()]
+    rows_b = [json.loads(l) for l in
+              (tmp_path / "resumed" / "metrics.jsonl").read_text().splitlines()]
+    assert [r["epoch"] for r in rows_a] == [0, 1, 2, 3]
+    assert [r["epoch"] for r in rows_b] == [0, 1, 2, 3]
+    for want, got in zip(rows_a, rows_b):
+        for key in ("lr", "train_loss", "val_mpjpe"):
+            np.testing.assert_array_equal(
+                got[key], want[key],
+                err_msg=f"epoch {want['epoch']} {key}")
