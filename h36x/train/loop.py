@@ -453,11 +453,17 @@ def fit(
 
     if cfg.resume:
         state, manifest = ckpt.load_checkpoint(cfg.resume, "last", state)
-        # restored leaves are host numpy; re-apply the mesh placement
+        # Restored leaves are host numpy (msgpack) or COMMITTED device
+        # arrays (orbax restores each leaf with the template's sharding;
+        # opt_state/step were single-device there). A committed
+        # single-device leaf cannot enter the same jit as mesh-sharded
+        # params — re-place params on the mesh and hand opt_state/step
+        # back as host arrays so the step jit places them exactly like a
+        # fresh init's (uncommitted) leaves.
         state = TrainState(
             shard_params(jax.device_get(state.params), mesh),
-            state.opt_state,
-            state.step,
+            jax.device_get(state.opt_state),
+            jax.device_get(state.step),
         )
         start_epoch = manifest["epoch"] + 1
         best_val = manifest["best_val"]

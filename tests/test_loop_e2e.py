@@ -318,7 +318,8 @@ def test_fit_bf16_feed_dtype_tracks_f32(cfg, tmp_path):
     assert abs(best16 - best32) < 0.15 * max(abs(best32), 1e-6)
 
 
-def test_resume_trajectory_matches_uninterrupted(cfg, tmp_path):
+@pytest.mark.parametrize("backend", ["msgpack", "orbax"])
+def test_resume_trajectory_matches_uninterrupted(cfg, tmp_path, backend):
     """Preemption transparency: a 4-epoch run interrupted mid-epoch-2 and
     resumed must land BITWISE on the uninterrupted 4-epoch run's params
     and per-epoch metrics (straight reruns are bitwise identical on this
@@ -330,6 +331,8 @@ def test_resume_trajectory_matches_uninterrupted(cfg, tmp_path):
     alone, exactly the class of bug this test exists to catch."""
     import dataclasses as _dc
     import json
+
+    cfg = _dc.replace(cfg, ckpt_backend=backend)
 
     def opt():
         return _dc.replace(cfg.optim, epochs=4, early_stop_patience=0)
