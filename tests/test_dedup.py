@@ -532,3 +532,29 @@ def test_sigkill_mid_extraction_resumes_byte_identical(tmp_path,
         for a, b in zip(rows[key], clean[key]):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                           err_msg=str(key))
+
+
+def test_store_invariant_to_dispatch_and_workers(tmp_path, fake_backbone):
+    """Operational knobs must never reach the bytes: the same tree
+    extracted with different device-batch sizes and worker counts (and the
+    shard files they ride in) must be byte-identical row for row — a
+    padding/assembly bug that leaks batch position into a feature row
+    would show up here first."""
+    base = dict(shard_size=2, shuffle_pool=4)
+    ref = None
+    for tag, kw in (
+        ("a", dict(frames_per_dispatch=12, num_workers=1)),
+        ("b", dict(frames_per_dispatch=24, num_workers=4)),
+        ("c", dict(frames_per_dispatch=7, num_workers=2)),  # ragged chunks
+    ):
+        run_extract(_cfg(tmp_path / tag, **base, **kw),
+                    dataset=FakeOverlapDataset())
+        rows = _rows(tmp_path / tag)
+        if ref is None:
+            ref = rows
+            continue
+        assert rows.keys() == ref.keys()
+        for key in ref:
+            for a, b in zip(ref[key], rows[key]):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                              err_msg=f"{tag} {key}")
