@@ -546,8 +546,10 @@ def test_store_invariant_to_dispatch_and_workers(tmp_path, fake_backbone):
         ("a", dict(frames_per_dispatch=12, num_workers=1)),
         ("b", dict(frames_per_dispatch=24, num_workers=4)),
         ("c", dict(frames_per_dispatch=7, num_workers=2)),  # ragged chunks
+        # pool size moves rows BETWEEN shards but must not touch the bytes
+        ("d", dict(frames_per_dispatch=12, num_workers=2, shuffle_pool=50)),
     ):
-        run_extract(_cfg(tmp_path / tag, **base, **kw),
+        run_extract(_cfg(tmp_path / tag, **{**base, **kw}),
                     dataset=FakeOverlapDataset())
         rows = _rows(tmp_path / tag)
         if ref is None:
