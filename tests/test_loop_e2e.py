@@ -318,8 +318,12 @@ def test_fit_bf16_feed_dtype_tracks_f32(cfg, tmp_path):
     assert abs(best16 - best32) < 0.15 * max(abs(best32), 1e-6)
 
 
-@pytest.mark.parametrize("backend", ["msgpack", "orbax"])
-def test_resume_trajectory_matches_uninterrupted(cfg, tmp_path, backend):
+@pytest.mark.parametrize("backend,model_ax", [
+    ("msgpack", 1), ("orbax", 1),
+    ("orbax", 2),  # the riskiest combo: TP-sharded params + orbax restore
+])
+def test_resume_trajectory_matches_uninterrupted(cfg, tmp_path, backend,
+                                                 model_ax):
     """Preemption transparency: a 4-epoch run interrupted mid-epoch-2 and
     resumed must land BITWISE on the uninterrupted 4-epoch run's params
     and per-epoch metrics (straight reruns are bitwise identical on this
@@ -332,7 +336,8 @@ def test_resume_trajectory_matches_uninterrupted(cfg, tmp_path, backend):
     import dataclasses as _dc
     import json
 
-    cfg = _dc.replace(cfg, ckpt_backend=backend)
+    cfg = _dc.replace(cfg, ckpt_backend=backend,
+                      mesh=_dc.replace(cfg.mesh, model=model_ax))
 
     def opt():
         return _dc.replace(cfg.optim, epochs=4, early_stop_patience=0)
