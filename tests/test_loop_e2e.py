@@ -389,3 +389,51 @@ def test_resume_trajectory_matches_uninterrupted(cfg, tmp_path, backend,
             np.testing.assert_array_equal(
                 got[key], want[key],
                 err_msg=f"epoch {want['epoch']} {key}")
+
+
+def test_phase2_resume_trajectory_matches_uninterrupted(cfg, tmp_path):
+    """Phase-2 preemption transparency: the AR curriculum run interrupted
+    before epoch 2 and resumed must land bitwise on the straight run —
+    the curriculum horizon is keyed on the absolute epoch, so a resume
+    that restarted it (or re-counted it from the resume point) would
+    train later epochs at the wrong horizon."""
+    import dataclasses as _dc
+
+    def opt():
+        return _dc.replace(cfg.optim, epochs=4, early_stop_patience=0,
+                           phase=2, input_len=2, pred_len=4,
+                           curriculum_steps=3)
+
+    straight = _dc.replace(cfg, outdir=str(tmp_path / "straight"),
+                           optim=opt())
+    state_a, best_a = fit(straight, *_datasets(cfg))
+
+    class Interrupted(Exception):
+        pass
+
+    part1 = _dc.replace(cfg, outdir=str(tmp_path / "resumed"), optim=opt())
+    train_set, val_set, sampler, val_sampler = _datasets(cfg)
+    real_set_epoch = sampler.set_epoch
+
+    def dying_set_epoch(e):
+        if e == 2:
+            raise Interrupted()
+        real_set_epoch(e)
+
+    sampler.set_epoch = dying_set_epoch
+    with pytest.raises(Interrupted):
+        fit(part1, train_set, val_set, sampler, val_sampler)
+
+    part2 = _dc.replace(cfg, outdir=str(tmp_path / "resumed"), optim=opt(),
+                        resume=str(tmp_path / "resumed"))
+    state_b, best_b = fit(part2, *_datasets(cfg))
+
+    np.testing.assert_array_equal(best_b, best_a)
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(jax.device_get(state_a.params)),
+        jax.tree_util.tree_leaves_with_path(jax.device_get(state_b.params)),
+    ):
+        assert ka == kb
+        np.testing.assert_array_equal(
+            b, a,
+            err_msg=f"phase-2 resume diverged at {jax.tree_util.keystr(ka)}")
