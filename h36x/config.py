@@ -101,6 +101,12 @@ class OptimConfig:
     lambda_future: float = 1.0
     early_stop_patience: int = 10
     early_stop_min_delta: float = 0.0
+    # run at most this many epochs THIS invocation, then exit cleanly with
+    # `last` saved — the LR/curriculum schedule still targets `epochs`, so
+    # a later --resume continues the exact uninterrupted trajectory
+    # (bounded compute windows: spot/preemptible instances, smoke drills).
+    # 0 = no bound.
+    stop_after_epochs: int = 0
     # 2D reprojection loss weight. The reference CLI defines --lambda-2d
     # (train.py:291, default 1e-6) but never adds the term to the loss
     # (:161-164); h36x wires it for real. 0.0 == reference behavior.

@@ -559,6 +559,13 @@ def fit(
         if cfg.optim.early_stop_patience > 0 and no_improve >= cfg.optim.early_stop_patience:
             log(f"Early stopping at epoch {epoch+1}. Best val MPJPE: {best_val:.3f}")
             break
+        stop_after = getattr(cfg.optim, "stop_after_epochs", 0)
+        if stop_after > 0 and (epoch - start_epoch + 1) >= stop_after:
+            log(f"Stopping after {stop_after} epoch(s) this run "
+                f"(--optim.stop-after-epochs; schedule targets "
+                f"{cfg.optim.epochs} — resume with --resume to continue "
+                "the exact trajectory)")
+            break
 
     log(f"\nDone. Best val MPJPE: {best_val:.3f}")
     return state, best_val

@@ -437,3 +437,33 @@ def test_phase2_resume_trajectory_matches_uninterrupted(cfg, tmp_path):
         np.testing.assert_array_equal(
             b, a,
             err_msg=f"phase-2 resume diverged at {jax.tree_util.keystr(ka)}")
+
+
+def test_stop_after_epochs_then_resume_is_bitwise(cfg, tmp_path):
+    """--optim.stop-after-epochs bounds THIS invocation while the schedule
+    keeps targeting the full budget: two bounded legs (2 + 2) must land
+    bitwise on the straight 4-epoch run — the flag is only honest if it is
+    indistinguishable from a preemption."""
+    import dataclasses as _dc
+
+    def opt(**kw):
+        return _dc.replace(cfg.optim, epochs=4, early_stop_patience=0, **kw)
+
+    straight = _dc.replace(cfg, outdir=str(tmp_path / "straight"),
+                           optim=opt())
+    state_a, best_a = fit(straight, *_datasets(cfg))
+
+    bounded = _dc.replace(cfg, outdir=str(tmp_path / "legs"),
+                          optim=opt(stop_after_epochs=2))
+    fit(bounded, *_datasets(cfg))
+    leg2 = _dc.replace(bounded, resume=str(tmp_path / "legs"))
+    state_b, best_b = fit(leg2, *_datasets(cfg))
+
+    np.testing.assert_array_equal(best_b, best_a)
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(jax.device_get(state_a.params)),
+        jax.tree_util.tree_leaves_with_path(jax.device_get(state_b.params)),
+    ):
+        assert ka == kb
+        np.testing.assert_array_equal(
+            b, a, err_msg=f"bounded legs diverged at {jax.tree_util.keystr(ka)}")

@@ -212,3 +212,61 @@ def test_two_process_training_matches_single_process(tmp_path):
     np.testing.assert_allclose(got["losses"], want_losses, rtol=1e-5)
     np.testing.assert_allclose(got["scan_losses"], want_scan, rtol=1e-5)
     np.testing.assert_allclose(got["checksum"], want_checksum, rtol=1e-4)
+
+
+def test_two_process_resume_matches_straight_run(tmp_path):
+    """Preemption transparency holds across the process boundary: a
+    2-process run bounded to 2 of 3 epochs (--optim.stop-after-epochs)
+    and resumed by a FRESH pair of processes must reproduce the straight
+    2-process 3-epoch run's final params exactly — rank-0 writes the
+    checkpoint, both ranks restore it, and the per-epoch rng / sampler /
+    cosine schedule all key off the absolute epoch."""
+    store = tmp_path / "store"
+    store.mkdir()
+    from tests.helpers import make_synthetic_store
+
+    make_synthetic_store(store, n_shards=2, clips_per_shard=8, n_vars=4,
+                         seq_len=8, feat_dim=32, subjects=(1, 9))
+
+    def dist_flags(port, extra):
+        return [
+            ["--dist.platform", "cpu", "--dist.local-devices", "2",
+             "--dist.collectives", "gloo", "--dist.num-processes", "2",
+             "--dist.coordinator", f"localhost:{port}",
+             "--dist.process-id", str(pid)] + extra
+            for pid in range(2)
+        ]
+
+    straight = tmp_path / "straight"
+    _run_train_cli(straight, store,
+                   dist_flags(_free_port(), ["--optim.epochs", "3"]),
+                   timeout=900)
+
+    legs = tmp_path / "legs"
+    _run_train_cli(legs, store,
+                   dist_flags(_free_port(), ["--optim.epochs", "3",
+                                             "--optim.stop-after-epochs",
+                                             "2"]),
+                   timeout=900)
+    logs = _run_train_cli(legs, store,
+                          dist_flags(_free_port(), ["--optim.epochs", "3",
+                                                    "--resume", str(legs)]),
+                          timeout=900)
+    assert "Resumed" in logs[0]
+
+    want = _params_checksums(straight / "last.msgpack")
+    got = _params_checksums(legs / "last.msgpack")
+    assert want.keys() == got.keys()
+    for name in want:
+        # gloo all-reduce order is fixed for a fixed topology, so the
+        # resumed run reproduces the straight run's sums exactly
+        np.testing.assert_array_equal(got[name], want[name], err_msg=name)
+
+    s_rows = [json.loads(l) for l in
+              (straight / "metrics.jsonl").read_text().splitlines()]
+    l_rows = [json.loads(l) for l in
+              (legs / "metrics.jsonl").read_text().splitlines()]
+    assert [r["epoch"] for r in s_rows] == [0, 1, 2]
+    assert [r["epoch"] for r in l_rows] == [0, 1, 2]
+    for want_r, got_r in zip(s_rows, l_rows):
+        np.testing.assert_array_equal(got_r["val_mpjpe"], want_r["val_mpjpe"])
