@@ -504,3 +504,48 @@ def test_request_timeout(predict_fn):
 
     out = _serve(server, client)
     assert out.shape == (T, J, 3)
+
+
+def test_serve_cli_stats_over_unix_socket(predict_fn, tmp_path, capsys):
+    """`h36x-serve --stats --unix <sock>` (the operator's query path) works
+    against a live daemon end-to-end: server in a background event loop,
+    one real request, then the CLI prints the stats JSON."""
+    import json
+    import threading
+
+    from h36x.cli.serve import main as serve_main
+
+    sock = str(tmp_path / "daemon.sock")
+    server = BatchingServer(predict_fn, seq_len=T, feature_dim=F,
+                            max_batch=4, max_wait_ms=1.0, pad_to=4)
+    loop = asyncio.new_event_loop()
+    ready = threading.Event()
+    stop_box = {}
+
+    async def run_server():
+        stop_box["ev"] = asyncio.Event()
+        srv = await server.start(unix_path=sock)
+        ready.set()
+        async with srv:
+            await stop_box["ev"].wait()
+        server.stop()
+
+    t = threading.Thread(target=lambda: loop.run_until_complete(run_server()),
+                         daemon=True)
+    t.start()
+    assert ready.wait(10.0)
+    try:
+        f = np.random.default_rng(3).normal(size=(T, F)).astype(np.float32)
+        from h36x.serve_daemon import request
+
+        out = request(f, unix_path=sock)
+        assert out.shape == (T, J, 3)
+
+        serve_main(["--stats", "--unix", sock])
+        stats = json.loads(capsys.readouterr().out)
+        assert stats["requests"] == 1 and stats["batches"] == 1
+        assert stats["request_ms"]["n"] == 1
+    finally:
+        loop.call_soon_threadsafe(stop_box["ev"].set)
+        t.join(10.0)
+        loop.close()
