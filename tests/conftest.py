@@ -52,6 +52,7 @@ _SMOKE = [
     "test_extract.py::test_feature_fn_mesh_dp_matches_single_device",
     "test_dedup.py::test_dedup_store_matches_per_clip_exactly",
     # storage / sampler / feed
+    "test_fp16_store.py::test_fp16_write_read_roundtrip",
     "test_shards.py::TestShardFile::test_roundtrip",
     "test_shards.py::TestVerifyStore::test_clean_store_verifies",
     "test_sampler.py::TestMixedShardBatchSampler::test_batches_cover_k_shards",

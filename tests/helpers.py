@@ -14,15 +14,23 @@ def make_synthetic_store(
     feat_dim: int = 64,
     subjects=(1, 5),
     seed: int = 0,
+    feat_dtype: str = "float32",
 ):
-    """Write a tiny valid shard store; returns the index clip list."""
+    """Write a tiny valid shard store; returns the index clip list.
+
+    feat_dtype='float16' mirrors --save-fp16 stores: the SAME drawn features
+    (the rng stream is dtype-independent) rounded to f16 at write time, so a
+    store pair differing only in feat_dtype is a controlled precision
+    experiment.
+    """
     rng = np.random.default_rng(seed)
     clip_index = []
     aug_names = ["orig", "cjitter", "hflip", "trev"][:n_vars]
     for sid in range(n_shards):
         rows = clips_per_shard * n_vars
         arrays = {
-            "feats": rng.normal(size=(rows, seq_len, feat_dim)).astype(np.float32),
+            "feats": rng.normal(size=(rows, seq_len, feat_dim))
+            .astype(np.float32).astype(np.dtype(feat_dtype)),
             "joints3d": rng.normal(size=(rows, seq_len, 17, 3)).astype(np.float32) * 1000,
             "joints2d": rng.normal(size=(rows, seq_len, 17, 2)).astype(np.float32) * 100,
             "K": np.tile(np.eye(3, dtype=np.float32) * 1000, (rows, 1, 1)),
@@ -65,7 +73,7 @@ def make_synthetic_store(
         aug_names=aug_names,
         seq_len=seq_len,
         frame_skip=2,
-        feat_dtype="float32",
+        feat_dtype=feat_dtype,
         shuffle_seed=123,
         shuffle_pool=8192,
     )
