@@ -1,0 +1,344 @@
+"""Does --jitter-key re-keying change training quality? A controlled experiment.
+
+The unique-frame scheduler's >10k mode (`--jitter-key video|frame`) deviates
+from the reference's per-clip color-jitter keying
+(/root/reference/src/preprocess_resnet_features.py:287-297: one factor draw
+per clip): under re-keying, overlapping clips share one jittered rendering of
+each frame instead of each drawing its own, which reduces the augmentation
+diversity the training set sees. The store mechanics are pinned byte-exactly
+(tests/test_dedup.py); this experiment measures the TRAINING-QUALITY side.
+
+Design (single manipulated variable = jitter keying):
+  1. One synthetic video dataset whose pixels ENCODE the pose (per-joint
+     gaussian dots at the projected 2D joints over a textured background) —
+     so backbone features are informative and val MPJPE is a real quality
+     metric that actually falls during training.
+  2. Three stores from the SAME videos/backbone (random-init ResNet-50,
+     fixed key): `clip` (reference keying), `frame` (the >10k re-keying),
+     and a NEGATIVE CONTROL: clip keying with all jitter strengths doubled
+     (brightness/contrast 0.3->0.6, saturation 0.2->0.4, hue 0.05->0.1) — a
+     deliberate train-distribution shift the comparison must detect for the
+     null result to mean anything. orig/hflip/trev rows are byte-identical
+     across the three stores (asserted); ONLY the cjitter rows differ.
+  3. Phase-1 training to convergence on each store x N seeds. The split is
+     TEMPORAL within every video (train = clips ending before the split
+     frame, val = clips starting after it; straddling clips are dropped):
+     a held-out-subject split measures cross-identity generalization, which
+     is dominated by the random backbone and nearly blind to the training
+     augmentation distribution — the temporal split keeps val in-appearance
+     and therefore sensitive to what training actually saw. Validation
+     reads orig rows only, so the val set is identical across modes. The
+     score of record is the mean val MPJPE over the last 5 epochs
+     (metrics.jsonl), not best-of (best-of selects noise minima).
+  4. Report per-seed scores, mode means, and effect/noise ratios:
+       keying_effect  = |mean(frame) - mean(clip)|
+       control_effect = |mean(control) - mean(clip)|
+       noise          = pooled per-mode std over seeds
+     Verdict "indistinguishable" requires keying_effect <~ noise AND
+     control_effect >> noise (the harness can see a real shift).
+
+Pure CPU experiment (forced 8-device virtual mesh like tests/conftest.py);
+~15-25 min at defaults. Results of record: DESIGN.md "Jitter re-keying".
+
+Usage: python -m benchmarks.jitter_key_experiment [--seeds 3] [--epochs 30]
+       [--videos 6] [--out results.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import shutil
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+
+# --- synthetic pose-dot videos ---------------------------------------------
+
+H, W = 64, 64
+N_JOINTS = 17
+FX = FY = 90.0
+CX, CY = W / 2, H / 2
+
+
+def _project(j3d):
+    """Pinhole projection (mm -> px) with the store's camera."""
+    z = np.maximum(j3d[..., 2], 1e-3)
+    u = FX * j3d[..., 0] / z + CX
+    v = FY * j3d[..., 1] / z + CY
+    return np.stack([u, v], axis=-1)
+
+
+class PoseDotDataset:
+    """Video-structured clip source whose frames render the pose.
+
+    Per video: a smooth 3D joint walk (mm, camera frame) projected to 2D;
+    each frame draws one gaussian dot per joint (per-joint fixed color) over
+    a deterministic textured background. Mirrors the dataset interface
+    run_extract needs (clips / clip_annotations / video_groups /
+    video_joints2d / __getitem__) — see tests/test_dedup.py.
+    """
+
+    TRAIN_SUBJECT, VAL_SUBJECT, DROP_SUBJECT = 1, 2, 3
+
+    def __init__(self, n_videos=6, n_sub=72, seq_len=8, stride=2, seed=0,
+                 split=48):
+        from h36x.data.clips import ClipIndex
+
+        self.seq_len = seq_len
+        self.frame_skip = 2
+        self.clips = []
+        self._j3d = {}
+        self._j2d = {}
+        master = np.random.default_rng(seed)
+        self._joint_colors = master.uniform(0.35, 1.0, size=(N_JOINTS, 3))
+        for v in range(n_videos):
+            rng = np.random.default_rng(1000 + 17 * v)
+            base = np.concatenate(
+                [rng.uniform(-900, 900, size=(1, N_JOINTS, 2)),
+                 rng.uniform(3200, 4800, size=(1, N_JOINTS, 1))], axis=-1)
+            steps = rng.normal(0, 28.0, size=(n_sub, N_JOINTS, 3))
+            # smooth the walk so overlapping windows share slowly-moving pose
+            for t in range(1, n_sub):
+                steps[t] = 0.7 * steps[t - 1] + 0.3 * steps[t]
+            j3d = base + np.cumsum(steps, axis=0)
+            j3d[..., 2] = np.clip(j3d[..., 2], 2800, 5600)
+            self._j3d[v] = j3d.astype(np.float32)
+            self._j2d[v] = np.clip(
+                _project(j3d), 3, [W - 4, H - 4]).astype(np.float32)
+            cam = {"f": np.array([FX, FY]), "c": np.array([CX, CY]),
+                   "k": np.zeros(5), "rt": np.eye(3), "t": np.zeros(3)}
+            for start in range(0, n_sub - seq_len + 1, stride):
+                end = start + seq_len
+                # temporal split: 'subject' encodes the role (see class doc)
+                if end <= split:
+                    subject = self.TRAIN_SUBJECT
+                elif start >= split:
+                    subject = self.VAL_SUBJECT
+                else:
+                    subject = self.DROP_SUBJECT  # straddles the boundary
+                self.clips.append(ClipIndex(
+                    video_path=f"posedot_{v}.mp4", gt_path=f"posedot_{v}.pkl",
+                    subject=subject, action=f"Walk_v{v}", cam="cam_0",
+                    cam_params=cam, start=start, end=end,
+                    video_idx=v,
+                ))
+
+    def __len__(self):
+        return len(self.clips)
+
+    def _frame(self, v, f):
+        rng = np.random.default_rng(v * 100_000 + f)
+        img = rng.integers(20, 70, size=(H, W, 3)).astype(np.float32)
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        for j in range(N_JOINTS):
+            u, vv = self._j2d[v][f, j]
+            blob = np.exp(-((xx - u) ** 2 + (yy - vv) ** 2) / (2 * 1.8**2))
+            img += 190.0 * blob[..., None] * self._joint_colors[j]
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    def clip_annotations(self, i):
+        ci = self.clips[i]
+        v = ci.video_idx
+        return (self._j3d[v][ci.start:ci.end].copy(),
+                self._j2d[v][ci.start:ci.end].copy(), ci.cam_params, ci)
+
+    def video_groups(self):
+        groups = {}
+        for i, ci in enumerate(self.clips):
+            groups.setdefault(ci.video_idx, []).append(i)
+        return [groups[v] for v in sorted(groups)]
+
+    def video_joints2d(self, video_idx):
+        return self._j2d[video_idx]
+
+    def __getitem__(self, i):
+        j3d, j2d, cam, ci = self.clip_annotations(i)
+        frames = np.stack([self._frame(ci.video_idx, f)
+                           for f in range(ci.start, ci.end)])
+        return frames, j3d, j2d, cam, ci
+
+
+# --- stores ------------------------------------------------------------------
+
+def build_store(root, ds, jitter_key: str, doubled: bool):
+    import h36x.extract.dedup as dedup_mod
+    from h36x.config import ExtractConfig
+    from h36x.data.augment import sample_jitter_params
+    from h36x.extract.pipeline import run_extract
+
+    cfg = ExtractConfig(
+        out=str(root), seq_len=ds.seq_len, resize=32, batch_size=8,
+        num_workers=2, augment=True, shard_size=8, shuffle_pool=256,
+        shuffle_seed=1, jitter_key=jitter_key,
+    )
+    orig_fn = dedup_mod.sample_jitter_params
+    if doubled:
+        dedup_mod.sample_jitter_params = functools.partial(
+            sample_jitter_params, brightness=0.6, contrast=0.6,
+            saturation=0.4, hue=0.1)
+    try:
+        run_extract(cfg, dataset=ds)
+    finally:
+        dedup_mod.sample_jitter_params = orig_fn
+
+
+def assert_only_cjitter_differs(roots):
+    """orig/hflip/trev rows must be byte-identical across all stores —
+    the manipulated variable is the cjitter variant, nothing else."""
+    from h36x.data.features import FeatureClipDataset
+
+    def rows(root):
+        ds = FeatureClipDataset(root, augment=True, test_set=True)
+        out = {}
+        for i in range(len(ds)):
+            feats, j3d, j2d, K, meta = ds[i]
+            key = (meta["subject"], meta["action"], meta["start"], meta["aug"])
+            assert key not in out
+            out[key] = feats
+        return out
+
+    base = rows(roots[0])
+    cj_diffs = 0
+    for other in roots[1:]:
+        got = rows(other)
+        assert base.keys() == got.keys()
+        for key, feats in base.items():
+            if key[3] == "cjitter":
+                cj_diffs += int(not np.array_equal(feats, got[key]))
+            else:
+                np.testing.assert_array_equal(feats, got[key], err_msg=str(key))
+    assert cj_diffs > 0, "cjitter rows identical across modes — no treatment"
+
+
+# --- training ----------------------------------------------------------------
+
+def train_once(store, outdir, seed: int, epochs: int, tail: int = 5):
+    """Train phase 1 on the store's temporal split; return the mean val
+    MPJPE over the last `tail` epochs (metrics.jsonl) — a convergence-level
+    score that, unlike best-of, does not select noise minima."""
+    from h36x.config import TrainConfig
+    from h36x.data.features import FeatureClipDataset
+    from h36x.data.sampler import MixedShardBatchSampler, SequentialBatchSampler
+    from h36x.train.loop import fit
+
+    cfg = TrainConfig()
+    cfg.outdir = str(outdir)
+    cfg.data.seq_len = 8
+    cfg.model.feature_dim = 2048
+    cfg.model.latent_dim = 128
+    cfg.model.num_blocks = 1
+    cfg.optim.epochs = epochs
+    cfg.optim.batch_size = 16
+    cfg.optim.lr = 1e-3
+    cfg.optim.seed = seed
+    cfg.optim.log_every = 0
+    cfg.optim.early_stop_patience = 0  # fixed budget: run every epoch
+    cfg.mesh.data = -1
+    cfg.mesh.model = 1
+    cfg.train_root = str(store)
+    cfg.val_root = str(store)
+    train_set = FeatureClipDataset(
+        store, subjects=[PoseDotDataset.TRAIN_SUBJECT], augment=True)
+    val_set = FeatureClipDataset(
+        store, subjects=[PoseDotDataset.VAL_SUBJECT])
+    train_sampler = MixedShardBatchSampler(
+        train_set, batch_size=cfg.optim.batch_size, shards_per_batch=2,
+        drop_last=True, seed=seed)
+    val_sampler = SequentialBatchSampler(val_set,
+                                         batch_size=cfg.optim.batch_size)
+    fit(cfg, train_set, val_set, train_sampler, val_sampler)
+    rows = [json.loads(l) for l in
+            (Path(outdir) / "metrics.jsonl").read_text().splitlines()]
+    vals = [r["val_mpjpe"] for r in rows if r.get("val_mpjpe") is not None]
+    assert len(vals) == epochs, (len(vals), epochs)
+    return float(np.mean(vals[-tail:]))
+
+
+# --- experiment --------------------------------------------------------------
+
+def run(seeds: int, epochs: int, videos: int, workdir: Path) -> dict:
+    ds = PoseDotDataset(n_videos=videos)
+    modes = {
+        "clip": dict(jitter_key="clip", doubled=False),
+        "frame": dict(jitter_key="frame", doubled=False),
+        "control_2x": dict(jitter_key="clip", doubled=True),
+    }
+    roots = {}
+    for name, kw in modes.items():
+        root = workdir / f"store_{name}"
+        print(f"[extract] {name} ({kw})", flush=True)
+        build_store(root, ds, **kw)
+        roots[name] = root
+    assert_only_cjitter_differs(list(roots.values()))
+
+    results = {name: [] for name in modes}
+    for name, root in roots.items():
+        for seed in range(seeds):
+            out = workdir / f"run_{name}_s{seed}"
+            score = train_once(root, out, seed, epochs)
+            results[name].append(score)
+            print(f"[train] {name} seed={seed}: tail-mean val MPJPE "
+                  f"{score:.5f}", flush=True)
+
+    means = {k: float(np.mean(v)) for k, v in results.items()}
+    stds = {k: float(np.std(v, ddof=1)) if len(v) > 1 else 0.0
+            for k, v in results.items()}
+    noise = float(np.sqrt(np.mean([stds["clip"] ** 2, stds["frame"] ** 2])))
+    keying_effect = abs(means["frame"] - means["clip"])
+    control_effect = abs(means["control_2x"] - means["clip"])
+    detectable = control_effect > 3 * max(noise, 1e-9)
+    indistinguishable = keying_effect <= max(2 * noise, 1e-9)
+    return {
+        "per_seed": results,
+        "mean": means,
+        "std": stds,
+        "pooled_noise": noise,
+        "keying_effect": keying_effect,
+        "control_effect": control_effect,
+        "control_detectable": bool(detectable),
+        "keying_indistinguishable": bool(indistinguishable),
+        "verdict": (
+            "indistinguishable" if (detectable and indistinguishable)
+            else "EFFECT DETECTED" if detectable
+            else "INCONCLUSIVE (control not detected — harness lacks power)"),
+        "config": {"seeds": seeds, "epochs": epochs, "videos": videos,
+                   "clips": len(ds), "seq_len": ds.seq_len},
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--videos", type=int, default=6)
+    ap.add_argument("--out", default="")
+    ap.add_argument("--keep-workdir", default="")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    # CPU mesh like the test suite: deterministic, and the axon plugin's
+    # single tunneled TPU would serialize extraction+training runs anyway
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+
+    work = Path(args.keep_workdir) if args.keep_workdir else Path(
+        tempfile.mkdtemp(prefix="jitterkey_"))
+    work.mkdir(parents=True, exist_ok=True)
+    try:
+        out = run(args.seeds, args.epochs, args.videos, work)
+    finally:
+        if not args.keep_workdir:
+            shutil.rmtree(work, ignore_errors=True)
+    line = json.dumps(out)
+    print(line)
+    if args.out:
+        Path(args.out).write_text(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
