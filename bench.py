@@ -22,7 +22,9 @@ tests/test_dedup.py pins the scheduler's backbone-frame counts and the
 byte-identical store. (--jitter-key video|frame amortizes the jitter pass
 too: 3*stride/seq_len = 0.375 passes/clip-frame — reported as
 `value_full_dedup`, a documented deviation from the reference's
-per-clip jitter keying.)
+per-clip jitter keying — measured training-quality-neutral at 4 seeds
+vs a detected negative control: benchmarks/jitter_key_experiment.py,
+DESIGN.md "Jitter re-keying".)
 
 Methodology: the timed region is a jitted `lax.fori_loop` whose body derives
 a scalar from the features and folds it (times zero) back into the next
@@ -52,8 +54,18 @@ PASSES_DEFAULT = (SEQ_LEN + 2 * STRIDE) / SEQ_LEN  # jitter_key=clip: 1.25
 PASSES_FULL_DEDUP = 3 * STRIDE / SEQ_LEN  # jitter_key=video|frame: 0.375
 
 
-def bench_backbone_frames_per_sec(batch=960, out_hw=224, iters=5):
-    """Raw ResNet-50 inference frames/s on one chip (bf16, u8 input)."""
+def bench_backbone_frames_per_sec(batch=960, out_hw=224, iters=50):
+    """Raw ResNet-50 inference frames/s on one chip (bf16, u8 input).
+
+    Returns (frames_per_sec, decomposition) where the decomposition fits
+    t(n) = fixed + n*per_step across two burst lengths: `fixed` is the
+    tunnel dispatch+readout cost one burst pays once (~27 ms measured —
+    benchmarks/roofline_probe.py stage A), `per_step` is the chip. Round 3
+    timed 5-iter bursts, which silently donated ~6% of the measurement to
+    that fixed cost (27 / (27 + 5*84.7) ms); 50-iter bursts amortize it
+    below 1%, which is also what the real extraction job sees (hundreds of
+    dispatches per video, queued ahead of readout).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -80,19 +92,30 @@ def bench_backbone_frames_per_sec(batch=960, out_hw=224, iters=5):
 
         return jax.lax.fori_loop(0, n, body, (frames, jnp.zeros((), jnp.float32)))[1]
 
-    # warm the EXACT timed executable: static_argnums means loop(..., n)
-    # compiles per n, so warming a different n would leave the first timed
-    # burst paying a 40-300 s remote compile
-    float(loop(variables, frames, iters))
     # The shared TPU pool behind this tunnel has large throughput variance;
-    # best-of-N short bursts estimates hardware capability, not pool load.
-    best = 0.0
-    for _ in range(6):
-        t0 = time.perf_counter()
-        float(loop(variables, frames, iters))
-        dt = time.perf_counter() - t0
-        best = max(best, batch * iters / dt)
-    return best  # backbone frames per second
+    # best-of-N bursts estimates hardware capability, not pool load. Warm
+    # the EXACT timed executables: static_argnums means loop(..., n)
+    # compiles per n, so warming a different n would leave the first timed
+    # burst paying a 40-300 s remote compile.
+    short = max(1, iters // 10)
+    best_s = {}
+    for n in (short, iters):
+        float(loop(variables, frames, n))
+        best = float("inf")
+        for _ in range(6 if n == short else 4):
+            t0 = time.perf_counter()
+            float(loop(variables, frames, n))
+            best = min(best, time.perf_counter() - t0)
+        best_s[n] = best
+    per_step = (best_s[iters] - best_s[short]) / (iters - short)
+    fixed = best_s[short] - short * per_step
+    decomp = {
+        "burst_fixed_overhead_ms": round(fixed * 1e3, 1),
+        "chip_ms_per_batch": round(per_step * 1e3, 2),
+        "pure_chip_frames_per_sec": round(batch / per_step, 1),
+        "burst_iters": iters,
+    }
+    return batch * iters / best_s[iters], decomp
 
 
 def bench_train_step(iters=50):
@@ -202,11 +225,12 @@ def main():
         return
     extra = {}
     try:
-        backbone_fps = bench_backbone_frames_per_sec()
+        backbone_fps, decomp = bench_backbone_frames_per_sec()
         value = backbone_fps / PASSES_DEFAULT
         metric = "h36m_feature_extract_clip_frames_per_sec_per_chip"
         extra = {
             "backbone_frames_per_sec": round(backbone_fps, 1),
+            **decomp,
             "passes_per_clip_frame": PASSES_DEFAULT,
             "value_full_dedup": round(backbone_fps / PASSES_FULL_DEDUP, 1),
             "value_zero_dedup": round(backbone_fps / 3.0, 1),
@@ -215,7 +239,9 @@ def main():
                      "crop boxes (guaranteed by --crop-scope video; "
                      "value_zero_dedup is the worst case when every "
                      "window's box differs); value_full_dedup adds "
-                     "--jitter-key video|frame (documented deviation)"),
+                     "--jitter-key video|frame (deviation measured "
+                     "training-quality-neutral: DESIGN.md 'Jitter "
+                     "re-keying')"),
         }
     except Exception:  # fall back so the driver always gets a line
         import traceback
