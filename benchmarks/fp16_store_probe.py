@@ -6,9 +6,14 @@ the host pulls per batch. This measures both halves of that trade on a
 realistic store shape (feature_dim 2048, seq_len 40 — the config of record):
 
   1. disk: total shard bytes for the SAME feature content at f32 vs f16;
-  2. host IO: `FeatureClipDataset.get_batch` wall time, cold (page cache
-     dropped per rep is not possible unprivileged, so 'cold' here = fresh
-     reader, mmap first-touch) and warm (LRU-cached shard), at both dtypes.
+  2. host IO: `FeatureClipDataset.get_batch` wall time at both dtypes,
+     lru_cold (fresh reader: empty LRU, mmap first-touch — but the store
+     was written moments earlier, so every page is OS-cache-HOT; this
+     measures assembly + upcast cost, NOT disk reads, and best-of-reps
+     makes it hotter still) and warm (LRU-cached shard). True cold-disk
+     behavior needs a dropped page cache (privileged) or a store larger
+     than RAM — out of scope here; treat disk_ratio as the honest proxy
+     for the disk half of the trade.
 
 Pure host work — runs on any platform; no TPU needed. The device-transfer
 half of the story is measured by benchmarks/feed_probe.py (`--feed-dtype`):
@@ -58,18 +63,18 @@ def probe(clips: int, batch: int, reps: int, seq_len: int = 40,
         combos = [("float32", "float32"), ("float16", "float32"),
                   ("float16", "float16")]
         for dtype, feed in combos:
-            cold, warm = [], []
+            lru_cold, warm = [], []
             for _ in range(reps):
                 ds = FeatureClipDataset(stores[dtype], augment=True,
                                         feed_dtype=feed)  # fresh LRU
                 t0 = time.perf_counter()
                 ds.get_batch(idx)
-                cold.append(time.perf_counter() - t0)
+                lru_cold.append(time.perf_counter() - t0)
                 t0 = time.perf_counter()
                 ds.get_batch(idx)
                 warm.append(time.perf_counter() - t0)
             tag = dtype if feed == "float32" else f"{dtype}_feed16"
-            out[f"get_batch_cold_ms_{tag}"] = round(min(cold) * 1e3, 2)
+            out[f"get_batch_lru_cold_ms_{tag}"] = round(min(lru_cold) * 1e3, 2)
             out[f"get_batch_warm_ms_{tag}"] = round(min(warm) * 1e3, 2)
 
         out["disk_ratio"] = round(
@@ -77,9 +82,9 @@ def probe(clips: int, batch: int, reps: int, seq_len: int = 40,
         out["warm_speedup"] = round(
             out["get_batch_warm_ms_float32"]
             / max(out["get_batch_warm_ms_float16"], 1e-9), 2)
-        out["cold_speedup"] = round(
-            out["get_batch_cold_ms_float32"]
-            / max(out["get_batch_cold_ms_float16"], 1e-9), 2)
+        out["lru_cold_speedup"] = round(
+            out["get_batch_lru_cold_ms_float32"]
+            / max(out["get_batch_lru_cold_ms_float16"], 1e-9), 2)
         out["config"] = {"clips": clips, "batch": batch, "reps": reps,
                          "seq_len": seq_len, "feat_dim": feat_dim,
                          "n_vars": 4}

@@ -30,12 +30,20 @@ Design (single manipulated variable = jitter keying):
      reads orig rows only, so the val set is identical across modes. The
      score of record is the mean val MPJPE over the last 5 epochs
      (metrics.jsonl), not best-of (best-of selects noise minima).
-  4. Report per-seed scores, mode means, and effect/noise ratios:
-       keying_effect  = |mean(frame) - mean(clip)|
-       control_effect = |mean(control) - mean(clip)|
-       noise          = pooled per-mode std over seeds
-     Verdict "indistinguishable" requires keying_effect <~ noise AND
-     control_effect >> noise (the harness can see a real shift).
+  4. Report per-seed scores, mode means, and SIGNED effects scaled by the
+     standard error of the difference of means (Welch):
+       keying_effect_signed  = mean(frame) - mean(clip)      (+ = loss)
+       se_diff               = sqrt(var_clip/n + var_frame/n)
+     The question of record is one-sided — does re-keying DEGRADE
+     quality? — so the verdict "no-quality-loss" requires
+       keying_effect_signed <= +2 * se_diff   (no detectable loss), AND
+       control t-statistic  >  3              (the harness has power:
+     the deliberate 2x-jitter shift must be detected, else the null is
+     just lack of sensitivity). Unlike a fixed multiple of the per-seed
+     std, the SE denominator tightens as seeds are added, so more seeds
+     make the gate stricter, not looser. |t| is also reported against a
+     two-sided df=2n-2 critical value so a significant effect in EITHER
+     direction is called out even when the one-sided gate passes.
 
 Pure CPU experiment (forced 8-device virtual mesh like tests/conftest.py);
 ~15-25 min at defaults. Results of record: DESIGN.md "Jitter re-keying".
@@ -284,29 +292,66 @@ def run(seeds: int, epochs: int, videos: int, workdir: Path) -> dict:
             print(f"[train] {name} seed={seed}: tail-mean val MPJPE "
                   f"{score:.5f}", flush=True)
 
+    return summarize(results, {"seeds": seeds, "epochs": epochs,
+                               "videos": videos, "clips": len(ds),
+                               "seq_len": ds.seq_len})
+
+
+# two-sided 0.05 critical values for Student's t at df = 2n-2 (equal-n
+# Welch with near-equal variances); beyond df=30 use the normal 1.96
+_T_CRIT = {2: 4.303, 4: 2.776, 6: 2.447, 8: 2.306, 10: 2.228, 14: 2.145,
+           18: 2.101, 22: 2.074, 30: 2.042}
+
+
+def summarize(results, config):
+    """Pure stats over per-seed scores (also used by --recompute).
+
+    The gate is the standard error of the DIFFERENCE of means, not a
+    fixed multiple of the per-seed std: se_diff = sqrt(var_a/n + var_b/n)
+    shrinks ~1/sqrt(n), so adding seeds tightens the verdict instead of
+    leaving the threshold constant (review finding, round 4).
+    """
+    n = min(len(v) for v in results.values())
     means = {k: float(np.mean(v)) for k, v in results.items()}
     stds = {k: float(np.std(v, ddof=1)) if len(v) > 1 else 0.0
             for k, v in results.items()}
-    noise = float(np.sqrt(np.mean([stds["clip"] ** 2, stds["frame"] ** 2])))
-    keying_effect = abs(means["frame"] - means["clip"])
-    control_effect = abs(means["control_2x"] - means["clip"])
-    detectable = control_effect > 3 * max(noise, 1e-9)
-    indistinguishable = keying_effect <= max(2 * noise, 1e-9)
+
+    def _se(a, b):
+        return float(np.sqrt(stds[a] ** 2 / len(results[a])
+                             + stds[b] ** 2 / len(results[b])))
+
+    keying_signed = means["frame"] - means["clip"]  # + = quality LOSS
+    se_keying = max(_se("clip", "frame"), 1e-12)
+    control_signed = means["control_2x"] - means["clip"]
+    se_control = max(_se("clip", "control_2x"), 1e-12)
+    t_keying = keying_signed / se_keying
+    t_control = control_signed / se_control
+    df = 2 * n - 2
+    t_crit = _T_CRIT.get(df, 1.96 if df > 30 else 4.303)
+
+    detectable = abs(t_control) > 3.0
+    no_loss = keying_signed <= 2.0 * se_keying  # one-sided: loss only
+    two_sided_significant = abs(t_keying) > t_crit
     return {
         "per_seed": results,
         "mean": means,
         "std": stds,
-        "pooled_noise": noise,
-        "keying_effect": keying_effect,
-        "control_effect": control_effect,
+        "keying_effect_signed": keying_signed,
+        "keying_se_diff": se_keying,
+        "keying_t": t_keying,
+        "keying_two_sided_significant": bool(two_sided_significant),
+        "t_crit_two_sided_0p05": t_crit,
+        "control_effect_signed": control_signed,
+        "control_t": t_control,
         "control_detectable": bool(detectable),
-        "keying_indistinguishable": bool(indistinguishable),
+        "keying_no_quality_loss": bool(no_loss),
         "verdict": (
-            "indistinguishable" if (detectable and indistinguishable)
-            else "EFFECT DETECTED" if detectable
+            ("no-quality-loss" if not two_sided_significant
+             else "no-quality-loss (significant IMPROVEMENT under re-keying)")
+            if (detectable and no_loss)
+            else "QUALITY LOSS DETECTED" if detectable
             else "INCONCLUSIVE (control not detected — harness lacks power)"),
-        "config": {"seeds": seeds, "epochs": epochs, "videos": videos,
-                   "clips": len(ds), "seq_len": ds.seq_len},
+        "config": config,
     }
 
 
@@ -317,7 +362,19 @@ def main(argv=None):
     ap.add_argument("--videos", type=int, default=6)
     ap.add_argument("--out", default="")
     ap.add_argument("--keep-workdir", default="")
+    ap.add_argument("--recompute", default="", metavar="RESULTS_JSON",
+                    help="re-summarize the per-seed scores of an existing "
+                         "results JSON (no retraining)")
     args = ap.parse_args(argv)
+
+    if args.recompute:
+        prev = json.loads(Path(args.recompute).read_text())
+        out = summarize(prev["per_seed"], prev.get("config", {}))
+        line = json.dumps(out)
+        print(line)
+        if args.out:
+            Path(args.out).write_text(line + "\n")
+        return
 
     import jax
 

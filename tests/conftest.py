@@ -84,7 +84,20 @@ _SMOKE = [
 ]
 
 
-def pytest_collection_modifyitems(items):
+def pytest_collection_modifyitems(config, items):
+    matched = set()
     for item in items:
-        if any(pat in item.nodeid for pat in _SMOKE):
-            item.add_marker(pytest.mark.smoke)
+        for pat in _SMOKE:
+            if pat in item.nodeid:
+                item.add_marker(pytest.mark.smoke)
+                matched.add(pat)
+    # A renamed/deleted test must fail the gate loudly, not silently shrink
+    # it (review finding, round 4). Only enforced on full collection — a
+    # targeted `pytest tests/test_x.py` run legitimately misses patterns.
+    if not config.args or config.args == [str(config.rootpath / "tests")] \
+            or config.args == ["tests/"] or config.args == ["tests"]:
+        stale = [p for p in _SMOKE if p not in matched]
+        if stale:
+            raise pytest.UsageError(
+                f"_SMOKE patterns match no collected test: {stale} — "
+                "update tests/conftest.py after renaming/moving tests")
