@@ -1,0 +1,116 @@
+"""Unit tests for the jitter-key experiment's verdict gate.
+
+`benchmarks.jitter_key_experiment.summarize` is the statistics of record
+behind the >10k full-dedup mode's "no-quality-loss" claim (DESIGN.md
+"Jitter re-keying"); these tests pin its gate semantics so a future edit
+cannot silently weaken the criterion. Reference semantics being deviated
+from by the mode this gate legitimizes:
+/root/reference/src/preprocess_resnet_features.py:287-297 (per-clip
+jitter factor draw).
+"""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from benchmarks.jitter_key_experiment import summarize
+
+_RESULTS = Path(__file__).resolve().parent.parent / "benchmarks" / \
+    "results_jitter_key_r4.json"
+
+
+def _mk(clip, frame, control):
+    return {"clip": list(clip), "frame": list(frame),
+            "control_2x": list(control)}
+
+
+CONFIG = {"seeds": 4}
+
+
+class TestSummarize:
+    def test_no_loss_passes_when_frame_matches_clip(self):
+        rng = np.random.default_rng(0)
+        clip = 0.5 + 0.02 * rng.standard_normal(4)
+        frame = 0.5 + 0.02 * rng.standard_normal(4)
+        control = clip + 0.5  # clearly detected
+        out = summarize(_mk(clip, frame, control), CONFIG)
+        assert out["control_detectable"]
+        assert out["keying_no_quality_loss"]
+        assert out["verdict"].startswith("no-quality-loss")
+
+    def test_quality_loss_detected(self):
+        # frame is worse than clip by far more than 2*SE -> loss verdict
+        clip = [0.50, 0.51, 0.49, 0.50]
+        frame = [0.60, 0.61, 0.59, 0.60]
+        control = [1.0, 1.01, 0.99, 1.0]
+        out = summarize(_mk(clip, frame, control), CONFIG)
+        assert out["control_detectable"]
+        assert not out["keying_no_quality_loss"]
+        assert out["verdict"] == "QUALITY LOSS DETECTED"
+
+    def test_inconclusive_when_control_not_detected(self):
+        # huge seed noise swamps both effects: the null means nothing
+        rng = np.random.default_rng(1)
+        clip = 0.5 + 0.5 * rng.standard_normal(4)
+        frame = clip + 0.01
+        control = clip + 0.02
+        out = summarize(_mk(clip, frame, control), CONFIG)
+        assert not out["control_detectable"]
+        assert out["verdict"].startswith("INCONCLUSIVE")
+
+    def test_gate_tightens_with_more_seeds(self):
+        # The review finding the SE gate fixed: a fixed-multiple-of-std
+        # bound never sharpens with n. Same per-seed mean shift + spread
+        # must FAIL at high n even though it passed at low n.
+        pat = np.array([-0.02, 0.02, -0.01, 0.01])  # std 0.018, mean 0
+
+        def scores(n, mu):
+            return mu + np.tile(pat, n // 4)
+
+        # shift 0.02: below 2*SE (~0.026) at n=4, far above it at n=64
+        shift = 0.02
+        small = summarize(
+            _mk(scores(4, 0.5), scores(4, 0.5 + shift), scores(4, 1.0)),
+            {"seeds": 4})
+        big = summarize(
+            _mk(scores(64, 0.5), scores(64, 0.5 + shift), scores(64, 1.0)),
+            {"seeds": 64})
+        assert small["keying_no_quality_loss"]
+        assert not big["keying_no_quality_loss"]
+        assert big["keying_se_diff"] < small["keying_se_diff"]
+
+    def test_significant_improvement_is_called_out(self):
+        clip = [0.60, 0.61, 0.59, 0.60]
+        frame = [0.50, 0.51, 0.49, 0.50]  # much better, tiny spread
+        control = [1.0, 1.01, 0.99, 1.0]
+        out = summarize(_mk(clip, frame, control), CONFIG)
+        assert out["keying_no_quality_loss"]
+        assert out["keying_two_sided_significant"]
+        assert "IMPROVEMENT" in out["verdict"]
+
+    def test_committed_results_reproduce(self):
+        """The JSON of record re-summarizes to its own committed fields."""
+        rec = json.loads(_RESULTS.read_text())
+        out = summarize(rec["per_seed"], rec["config"])
+        assert out["verdict"] == rec["verdict"]
+        np.testing.assert_allclose(out["keying_t"], rec["keying_t"])
+        np.testing.assert_allclose(out["control_t"], rec["control_t"])
+
+
+@pytest.mark.smoke
+def test_recompute_cli_roundtrip(tmp_path):
+    src = str(_RESULTS)
+    out = tmp_path / "re.json"
+    r = subprocess.run(
+        [sys.executable, "-m", "benchmarks.jitter_key_experiment",
+         "--recompute", src, "--out", str(out)],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    re_summary = json.loads(out.read_text())
+    rec = json.loads(_RESULTS.read_text())
+    assert re_summary["verdict"] == rec["verdict"]
+    assert re_summary["per_seed"] == rec["per_seed"]
