@@ -234,8 +234,8 @@ def main():
                      "bench wait window (shared-pool outage) — this is a "
                      "measurement failure, not a throughput result; "
                      "DESIGN.md 'Benchmarking on this runtime' records the "
-                     "last successful measurement (8512 clip-frames/s/chip "
-                     "default accounting, 28.4k full-dedup)"),
+                     "last successful measurement (9022 clip-frames/s/chip "
+                     "default accounting, 30.1k full-dedup)"),
         }))
         return
     extra = {}
