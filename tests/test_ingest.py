@@ -229,6 +229,20 @@ class TestIngest:
         ingest(str(raw_tree), str(out), subjects=[1], actions=[1], verbose=False)
         assert gt.stat().st_mtime_ns == mtime  # skip-if-exists
 
+    def test_cli_requires_dirs_and_runs(self, raw_tree, tmp_path, capsys):
+        """h36x-ingest entry point: --source-dir/--out-dir are mandatory,
+        and a real run over the synthetic tree reports the cell count
+        (reference run_read_h36m.sh drives read_human_36m.py:36-43)."""
+        from h36x.cli.ingest import main
+
+        with pytest.raises(SystemExit):
+            main([])
+        out = tmp_path / "out_cli"
+        main(["--source-dir", str(raw_tree), "--out-dir", str(out),
+              "--subjects", "1"])
+        assert "ingested 8" in capsys.readouterr().out
+        assert (out / "S1").is_dir()
+
     def test_ingested_tree_feeds_clip_scanner(self, raw_tree, tmp_path):
         """L1 -> L2 contract: scan_clips consumes ingest() output."""
         from h36x.data.clips import scan_clips

@@ -242,6 +242,32 @@ def test_early_stopping(cfg, capsys):
     assert "Early stopping" in out
 
 
+def test_early_stop_min_delta_discounts_tiny_improvements(cfg, capsys):
+    """--optim.early-stop-min-delta: an improvement smaller than the delta
+    must not reset patience (loop.py `improved` gate). With an absurd
+    delta every post-first epoch counts as no-improvement, so patience=1
+    stops the run at epoch 2 even though val genuinely improves."""
+    cfg.optim.epochs = 6
+    cfg.optim.early_stop_patience = 1
+    cfg.optim.early_stop_min_delta = 1e9
+    fit(cfg, *_datasets(cfg))
+    out = capsys.readouterr().out
+    assert "Early stopping at epoch 2" in out
+
+    import json
+    rows = [json.loads(l) for l in
+            (Path(cfg.outdir) / "metrics.jsonl").read_text().splitlines()]
+    assert len(rows) == 2
+
+
+def test_profile_dir_writes_trace_on_first_epoch(cfg, tmp_path):
+    """--profile-dir wires maybe_trace around the run's first epoch."""
+    cfg.optim.epochs = 1
+    cfg.profile_dir = str(tmp_path / "trace")
+    fit(cfg, *_datasets(cfg))
+    assert any(Path(cfg.profile_dir).rglob("*")), "no trace files written"
+
+
 def test_evaluate_masks_padded_tail_rows(tmp_path):
     """evaluate() must equal the exact dataset-level mean even when the last
     batch is short and padded up to the mesh data axis (round-1 VERDICT: the

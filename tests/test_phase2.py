@@ -63,6 +63,43 @@ class TestPhase2Step:
         )
         assert changed
 
+    def test_lambda_joints_zero_ignores_joint_gt(self, setup, rng):
+        """--optim.lambda-future weights the future-joint term: at 0 the
+        loss is the AR term alone and the update is independent of the
+        joint ground truth; at the default 1 it is not."""
+        model, optimizer, state, _ = setup
+        feats, j3d, j2d, K = batch(rng)
+        j3d_b = j3d + 0.5  # a large joint-gt perturbation
+        key, h = jax.random.key(3), jnp.int32(10)
+
+        step0 = make_future_train_step(model, optimizer, input_len=5,
+                                       pred_len=10, lambda_joints=0.0,
+                                       donate=False)
+        sa, ma = step0(state, (feats, j3d, j2d, K), key, h)
+        sb, mb = step0(state, (feats, j3d_b, j2d, K), key, h)
+        np.testing.assert_allclose(float(ma["loss"]), float(ma["l_ar"]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]),
+                                   rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(jax.device_get(sa.params["f_AR"])),
+                        jax.tree.leaves(jax.device_get(sb.params["f_AR"]))):
+            np.testing.assert_array_equal(a, b)
+
+        step1 = make_future_train_step(model, optimizer, input_len=5,
+                                       pred_len=10, lambda_joints=1.0,
+                                       donate=False)
+        sc, mc = step1(state, (feats, j3d, j2d, K), key, h)
+        sd, md = step1(state, (feats, j3d_b, j2d, K), key, h)
+        assert abs(float(mc["loss"]) - float(md["loss"])) > 1e-4
+        np.testing.assert_allclose(float(mc["loss"]),
+                                   float(mc["l_ar"]) + float(mc["l3d"]),
+                                   rtol=1e-5)
+        assert any(
+            not np.allclose(a, b)
+            for a, b in zip(jax.tree.leaves(jax.device_get(sc.params["f_AR"])),
+                            jax.tree.leaves(jax.device_get(sd.params["f_AR"])))
+        )
+
     def test_loss_decreases(self, setup, rng):
         model, optimizer, state, _ = setup
         step = make_future_train_step(model, optimizer, input_len=5,
