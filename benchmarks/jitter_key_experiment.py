@@ -93,7 +93,7 @@ class PoseDotDataset:
     TRAIN_SUBJECT, VAL_SUBJECT, DROP_SUBJECT = 1, 2, 3
 
     def __init__(self, n_videos=6, n_sub=72, seq_len=8, stride=2, seed=0,
-                 split=48):
+                 split=48, step_mm=28.0, base_xy=900.0, smooth=0.7):
         from h36x.data.clips import ClipIndex
 
         self.seq_len = seq_len
@@ -106,12 +106,12 @@ class PoseDotDataset:
         for v in range(n_videos):
             rng = np.random.default_rng(1000 + 17 * v)
             base = np.concatenate(
-                [rng.uniform(-900, 900, size=(1, N_JOINTS, 2)),
+                [rng.uniform(-base_xy, base_xy, size=(1, N_JOINTS, 2)),
                  rng.uniform(3200, 4800, size=(1, N_JOINTS, 1))], axis=-1)
-            steps = rng.normal(0, 28.0, size=(n_sub, N_JOINTS, 3))
+            steps = rng.normal(0, step_mm, size=(n_sub, N_JOINTS, 3))
             # smooth the walk so overlapping windows share slowly-moving pose
             for t in range(1, n_sub):
-                steps[t] = 0.7 * steps[t - 1] + 0.3 * steps[t]
+                steps[t] = smooth * steps[t - 1] + (1 - smooth) * steps[t]
             j3d = base + np.cumsum(steps, axis=0)
             j3d[..., 2] = np.clip(j3d[..., 2], 2800, 5600)
             self._j3d[v] = j3d.astype(np.float32)

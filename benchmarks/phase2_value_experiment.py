@@ -1,0 +1,389 @@
+"""Does phase-2 (f_AR curriculum training) buy real future-prediction skill?
+
+The reference DEFINES a phase-2 but never trains it
+(/root/reference/src/model.py:133-137: f_AR exists; train.py freezes it and
+the INPUT_LEN/PRED_LEN/CURRICULUM_STEPS config knobs drive nothing) — h36x
+implements the training (`make_future_train_step`, curriculum in
+`h36x/train/loop.py`) and the AR rollout serving path (`h36x/serve.py`).
+Semantics are pinned by a golden trajectory (tests/test_phase2_golden.py);
+this experiment measures whether the subsystem DELIVERS, on the same
+pose-encoding synthetic harness the jitter-key experiment uses (pixels
+encode the pose, so features are informative and pose metrics are real).
+
+Metric design: absolute future MPJPE is dominated by the model's absolute
+pose error floor (~0.4-0.5 on this harness), which every rollout arm
+shares — a tiny true motion signal drowns in it (measured in the first
+design pass: persistence-of-prediction and the trained rollout differed
+by <0.01 against a 0.77 floor). The score of record is therefore the
+MOTION error, which cancels the shared absolute offset:
+
+    motion_err(arm) = mean || (fut_pred - last_ctx_pred)
+                             - (fut_gt   - last_ctx_gt) ||
+
+For the persistence arm the predicted motion is zero, so its motion_err
+equals the true mean future displacement — the exact "assume nothing
+moves" yardstick an AR head must beat to be worth serving. The harness
+uses step_mm=35 smooth=0.9 walks (vs the jitter experiment's 28/0.7):
+high momentum keeps velocity correlated across the horizon so the motion
+IS predictable, and base_xy=600 keeps the livelier dots inside the frame.
+
+Arms (same val clips; context = first input_len frames):
+  phase2        rollout with f_AR trained by the phase-2 curriculum
+                (warm-started from the seed's phase-1 checkpoint)
+  phase1_raw    rollout with the phase-1 checkpoint (f_AR at random
+                init — what the reference would serve if its rollout ran)
+  persist       zero-motion baseline (motion_err = true displacement)
+  velocity_gt   constant-velocity extrapolation from the last two
+                ground-truth context poses — a GT-reading oracle,
+                reported not gated: it bounds how much of the motion is
+                linearly predictable.
+
+The joint-space persistence gate has a measurable floor: the model's
+per-frame pose noise puts a jitter term into every rollout arm's motion
+that persistence (exactly zero predicted motion) never pays. When that
+jitter exceeds the true per-step displacement — seed-0 measured 0.059 vs
+0.013 on this harness — even a PERFECT dynamics model cannot pass, so
+joint-space persistence is reported as the serving-level yardstick but
+the DYNAMICS question is gated in φ space, where the trained objective
+lives and pose noise does not amplify:
+
+    phi_fAR  = mean || phi_hat[t] − phi[t] ||   (teacher-forced, t in
+    phi_copy = mean || phi[t−1]   − phi[t] ||    the future window)
+
+phi is f_movie's latent from REAL features (f_movie is frozen in phase 2,
+so the target is phase-invariant); phi_hat is f_AR's one-step prediction.
+phi_copy is the no-dynamics baseline inside the same space. The per-seed
+score is the scale-invariant ratio phi_fAR/phi_copy (latent scale is
+arbitrary per seed).
+
+Gates (SE over seeds, as in jitter_key_experiment):
+  sanity    phase2 motion_err beats phase1_raw decisively (t < -3);
+  dynamics  mean(phi_ratio) < 1 at t < -2 → "learns-dynamics";
+  value     phase2 vs persist motion_err at t < -2 → "beats-persistence".
+Absolute future MPJPE per arm is also reported for context.
+
+Pure CPU (forced 8-device virtual mesh); ~20-30 min at defaults.
+
+Usage: python -m benchmarks.phase2_value_experiment [--seeds 3]
+       [--epochs1 30] [--epochs2 25] [--out results.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+from benchmarks.jitter_key_experiment import PoseDotDataset, build_store
+
+INPUT_LEN, PRED_LEN = 5, 3  # seq_len 8 = context 5 + future 3
+STEP_MM, BASE_XY, SMOOTH = 35.0, 600.0, 0.9  # livelier, more
+# momentum-laden walks than the jitter harness: smooth=0.9 keeps velocity
+# correlated across the 3-step horizon so there is predictable motion for
+# an AR head to learn (at 0.7 the velocity oracle beat persistence by <10%)
+
+
+def _train(store, outdir, seed, epochs, phase, init_from=""):
+    from h36x.config import TrainConfig
+    from h36x.data.features import FeatureClipDataset
+    from h36x.data.sampler import (MixedShardBatchSampler,
+                                   SequentialBatchSampler)
+    from h36x.train.loop import fit
+
+    cfg = TrainConfig()
+    cfg.outdir = str(outdir)
+    cfg.data.seq_len = 8
+    cfg.model.feature_dim = 2048
+    cfg.model.latent_dim = 128
+    cfg.model.num_blocks = 1
+    cfg.optim.epochs = epochs
+    cfg.optim.batch_size = 16
+    cfg.optim.lr = 1e-3
+    cfg.optim.seed = seed
+    cfg.optim.log_every = 0
+    cfg.optim.early_stop_patience = 0
+    cfg.mesh.data = -1
+    cfg.mesh.model = 1
+    cfg.train_root = str(store)
+    cfg.val_root = str(store)
+    if phase == 2:
+        cfg.optim.phase = 2
+        cfg.optim.input_len = INPUT_LEN
+        cfg.optim.pred_len = PRED_LEN
+        cfg.optim.curriculum_steps = 6
+        cfg.init_from = init_from
+    train_set = FeatureClipDataset(
+        store, subjects=[PoseDotDataset.TRAIN_SUBJECT], augment=True)
+    val_set = FeatureClipDataset(store, subjects=[PoseDotDataset.VAL_SUBJECT])
+    train_sampler = MixedShardBatchSampler(
+        train_set, batch_size=cfg.optim.batch_size, shards_per_batch=2,
+        drop_last=True, seed=seed)
+    val_sampler = SequentialBatchSampler(val_set,
+                                         batch_size=cfg.optim.batch_size)
+    fit(cfg, train_set, val_set, train_sampler, val_sampler)
+    return Path(outdir) / "last.msgpack"
+
+
+def _val_batches(store, batch=16):
+    from h36x.data.features import FeatureClipDataset
+    from h36x.data.sampler import SequentialBatchSampler
+
+    val_set = FeatureClipDataset(store, subjects=[PoseDotDataset.VAL_SUBJECT])
+    sampler = SequentialBatchSampler(val_set, batch_size=batch)
+    for idx in sampler:
+        feats, j3d = val_set.get_batch(list(idx))[:2]
+        yield np.asarray(feats), np.asarray(j3d)
+
+
+def evaluate(store, params_p1, params_p2):
+    """Motion + absolute future error for every arm over the full val set.
+
+    Besides the multi-step rollout arms, a one-step decomposition is
+    reported (not gated): phase-2 training is teacher-forced ONE-step
+    prediction (`make_future_train_step` docstring), while the serving
+    rollout feeds its own predictions back for PRED_LEN steps — the gap
+    between `motion_phase2_1step` and `motion_phase2` isolates
+    exposure-bias compounding from absent one-step skill.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from h36x.models.phd import PHDFor3DJoints
+    from h36x.serve import make_rollout_fn
+
+    rollout = make_rollout_fn(steps=PRED_LEN, groups=32)
+    rollout1 = make_rollout_fn(steps=1, groups=32)
+    model = PHDFor3DJoints(latent_dim=128, feature_dim=2048,
+                           number_blocks=1)
+    phi_fwd = jax.jit(lambda p, f: model.apply(
+        {"params": p}, f, predict_future=True, train=False)[:2])
+    arms = ("phase2", "phase1_raw", "persist", "velocity_gt")
+    one_step = ("phase2_1step", "persist_1step")
+    sums = {f"motion_{k}": 0.0 for k in arms + one_step}
+    sums.update({f"abs_{k}": 0.0 for k in arms})
+    sums.update({"phi_fAR": 0.0, "phi_copy": 0.0, "phi_fAR_raw": 0.0})
+    rows = 0
+    for feats, j3d in _val_batches(store):
+        ctx_feats = jnp.asarray(feats[:, :INPUT_LEN])
+        fut_gt = j3d[:, INPUT_LEN:INPUT_LEN + PRED_LEN]
+        last_gt = j3d[:, INPUT_LEN - 1:INPUT_LEN]
+        gt_motion = fut_gt - last_gt
+        n = feats.shape[0]
+
+        # one-step arms: real features up to t-1 (teacher-forced context),
+        # a single AR step predicting frame t, averaged over the window
+        m1_p2, m1_persist = 0.0, 0.0
+        for t in range(INPUT_LEN, INPUT_LEN + PRED_LEN):
+            ctx1, fut1 = rollout1(params_p2, jnp.asarray(feats[:, :t]))
+            step_pred = np.asarray(fut1)[:, 0] - np.asarray(ctx1)[:, -1]
+            step_gt = j3d[:, t] - j3d[:, t - 1]
+            m1_p2 += float(np.mean(np.linalg.norm(step_pred - step_gt,
+                                                  axis=-1)))
+            m1_persist += float(np.mean(np.linalg.norm(step_gt, axis=-1)))
+        sums["motion_phase2_1step"] += n * m1_p2 / PRED_LEN
+        sums["motion_persist_1step"] += n * m1_persist / PRED_LEN
+
+        # φ-space one-step errors over the future window (teacher-forced
+        # full-length forward; phi is identical under p1/p2 params because
+        # f_movie is frozen in phase 2 — asserted below on the first batch)
+        phi, phi_hat_p2 = phi_fwd(params_p2, jnp.asarray(feats))
+        phi_p1, phi_hat_p1 = phi_fwd(params_p1, jnp.asarray(feats))
+        if rows == 0:
+            np.testing.assert_allclose(np.asarray(phi), np.asarray(phi_p1),
+                                       rtol=0, atol=1e-5)
+        win = slice(INPUT_LEN, INPUT_LEN + PRED_LEN)
+        phi_w = np.asarray(phi)[:, win]
+        copy_w = np.asarray(phi)[:, INPUT_LEN - 1:INPUT_LEN + PRED_LEN - 1]
+        sums["phi_fAR"] += n * float(np.mean(np.linalg.norm(
+            np.asarray(phi_hat_p2)[:, win] - phi_w, axis=-1)))
+        sums["phi_fAR_raw"] += n * float(np.mean(np.linalg.norm(
+            np.asarray(phi_hat_p1)[:, win] - phi_w, axis=-1)))
+        sums["phi_copy"] += n * float(np.mean(np.linalg.norm(
+            copy_w - phi_w, axis=-1)))
+
+        ctx_p2, fut_p2 = rollout(params_p2, ctx_feats)
+        ctx_p1, fut_p1 = rollout(params_p1, ctx_feats)
+        vel_gt = last_gt - j3d[:, INPUT_LEN - 2:INPUT_LEN - 1]
+        horizon = np.arange(1, PRED_LEN + 1).reshape(1, PRED_LEN, 1, 1)
+
+        pred_motion = {
+            "phase2": np.asarray(fut_p2) - np.asarray(ctx_p2)[:, -1:],
+            "phase1_raw": np.asarray(fut_p1) - np.asarray(ctx_p1)[:, -1:],
+            "persist": np.zeros_like(gt_motion),
+            "velocity_gt": vel_gt * horizon,
+        }
+        pred_abs = {
+            "phase2": np.asarray(fut_p2),
+            "phase1_raw": np.asarray(fut_p1),
+            "persist": np.repeat(np.asarray(ctx_p2)[:, -1:], PRED_LEN,
+                                 axis=1),
+            "velocity_gt": last_gt + vel_gt * horizon,
+        }
+        for k in arms:
+            sums[f"motion_{k}"] += n * float(np.mean(np.linalg.norm(
+                pred_motion[k] - gt_motion, axis=-1)))
+            sums[f"abs_{k}"] += n * float(np.mean(np.linalg.norm(
+                pred_abs[k] - fut_gt, axis=-1)))
+        rows += n
+    out = {k: v / rows for k, v in sums.items()}
+    out["phi_ratio"] = out["phi_fAR"] / out["phi_copy"]
+    return out
+
+
+def _se_diff(a, b):
+    a, b = np.asarray(a, float), np.asarray(b, float)
+    return float(np.sqrt(np.var(a, ddof=1) / len(a)
+                         + np.var(b, ddof=1) / len(b)))
+
+
+def _params_template():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from h36x.models.phd import PHDFor3DJoints
+    from h36x.train.state import create_train_state
+
+    model = PHDFor3DJoints(latent_dim=128, feature_dim=2048,
+                           number_blocks=1)
+    state = create_train_state(model, optax.sgd(1e-2), jax.random.key(0),
+                               jnp.zeros((2, 8, 2048)))
+    return jax.device_get(state.params)
+
+
+def summarize(per_seed: dict, config: dict) -> dict:
+    """Statistics of record for the phase-2 value verdict.
+
+    Gate semantics (pinned by tests/test_phase2_value_stats.py):
+      sanity   — trained f_AR must beat the untrained-f_AR rollout
+                 decisively (t < -3) or the whole comparison is
+                 meaningless ("no-skill");
+      dynamics — "learns-dynamics" needs the φ-space one-step ratio
+                 phi_fAR/phi_copy below 1 at t < -2 over seeds (the
+                 trained objective, no pose-noise amplification);
+      value    — "beats-persistence" needs phase2 joint-space motion
+                 error below the zero-motion baseline at t < -2 (SE of
+                 the difference over seeds, so every gate tightens as
+                 seeds are added).
+    """
+    seeds = int(config["seeds"])
+    mean = {k: float(np.mean(v)) for k, v in per_seed.items()}
+    std = {k: float(np.std(v, ddof=1)) if len(v) > 1 else 0.0
+           for k, v in per_seed.items()}
+    if seeds < 2:  # no SE estimate possible; gates stay un-passable
+        t_vs_raw = t_vs_persist = t_phi = None
+    else:
+        t_vs_raw = ((mean["motion_phase2"] - mean["motion_phase1_raw"])
+                    / max(_se_diff(per_seed["motion_phase2"],
+                                   per_seed["motion_phase1_raw"]), 1e-12))
+        t_vs_persist = ((mean["motion_phase2"] - mean["motion_persist"])
+                        / max(_se_diff(per_seed["motion_phase2"],
+                                       per_seed["motion_persist"]), 1e-12))
+        r = np.asarray(per_seed["phi_ratio"], float)
+        t_phi = float((r.mean() - 1.0)
+                      / max(np.sqrt(np.var(r, ddof=1) / len(r)), 1e-12))
+    sanity = t_vs_raw is not None and t_vs_raw < -3.0
+    learns_dynamics = t_phi is not None and t_phi < -2.0
+    beats_persistence = t_vs_persist is not None and t_vs_persist < -2.0
+    return {
+        "per_seed": per_seed,
+        "mean": mean,
+        "std": std,
+        "t_phase2_vs_phase1_raw": t_vs_raw,
+        "t_phase2_vs_persist": t_vs_persist,
+        "t_phi_ratio": t_phi,
+        "sanity_training_matters": bool(sanity),
+        "learns_dynamics": bool(learns_dynamics),
+        "beats_persistence": bool(beats_persistence),
+        "verdict": (
+            "no-skill (does not beat untrained f_AR)" if not sanity
+            else "beats-persistence" if beats_persistence
+            else "learns-dynamics, not past joint-space persistence"
+            if learns_dynamics
+            else "skill-above-random, no measured dynamics"),
+        "config": config,
+    }
+
+
+def run(seeds: int, epochs1: int, epochs2: int, videos: int,
+        workdir: Path) -> dict:
+    from h36x.train.checkpoint import load_params_only
+
+    template = _params_template()
+    ds = PoseDotDataset(n_videos=videos, step_mm=STEP_MM, base_xy=BASE_XY,
+                        smooth=SMOOTH)
+    store = workdir / "store"
+    print("[extract] building store", flush=True)
+    build_store(store, ds, jitter_key="clip", doubled=False)
+
+    keys = [f"{pre}_{arm}" for pre in ("motion", "abs")
+            for arm in ("phase2", "phase1_raw", "persist", "velocity_gt")]
+    keys += ["motion_phase2_1step", "motion_persist_1step",
+             "phi_fAR", "phi_copy", "phi_fAR_raw", "phi_ratio"]
+    per_seed = {k: [] for k in keys}
+    for seed in range(seeds):
+        ckpt1 = _train(store, workdir / f"p1_s{seed}", seed, epochs1, phase=1)
+        ckpt2 = _train(store, workdir / f"p2_s{seed}", seed, epochs2,
+                       phase=2, init_from=str(ckpt1))
+        params_p1 = load_params_only(ckpt1, template)
+        params_p2 = load_params_only(ckpt2, template)
+        scores = evaluate(store, params_p1, params_p2)
+        for k, v in scores.items():
+            per_seed[k].append(v)
+        print(f"[eval] seed={seed}: " + ", ".join(
+            f"{k}={v:.5f}" for k, v in sorted(scores.items())), flush=True)
+
+    config = {"seeds": seeds, "epochs1": epochs1, "epochs2": epochs2,
+              "videos": videos, "input_len": INPUT_LEN,
+              "pred_len": PRED_LEN, "step_mm": STEP_MM,
+              "base_xy": BASE_XY, "smooth": SMOOTH, "clips": len(ds)}
+    return summarize(per_seed, config)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--epochs1", type=int, default=30)
+    ap.add_argument("--epochs2", type=int, default=25)
+    ap.add_argument("--videos", type=int, default=6)
+    ap.add_argument("--out", default="")
+    ap.add_argument("--keep-workdir", default="")
+    ap.add_argument("--recompute", default="", metavar="RESULTS_JSON",
+                    help="re-summarize the per-seed scores of an existing "
+                         "results JSON (no retraining)")
+    args = ap.parse_args(argv)
+
+    if args.recompute:
+        prev = json.loads(Path(args.recompute).read_text())
+        out = summarize(prev["per_seed"], prev["config"])
+        line = json.dumps(out)
+        print(line)
+        if args.out:
+            Path(args.out).write_text(line + "\n")
+        return
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+
+    work = Path(args.keep_workdir) if args.keep_workdir else Path(
+        tempfile.mkdtemp(prefix="phase2val_"))
+    work.mkdir(parents=True, exist_ok=True)
+    try:
+        out = run(args.seeds, args.epochs1, args.epochs2, args.videos, work)
+    finally:
+        if not args.keep_workdir:
+            shutil.rmtree(work, ignore_errors=True)
+    line = json.dumps(out)
+    print(line)
+    if args.out:
+        Path(args.out).write_text(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
