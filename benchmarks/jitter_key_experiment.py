@@ -93,10 +93,15 @@ class PoseDotDataset:
     TRAIN_SUBJECT, VAL_SUBJECT, DROP_SUBJECT = 1, 2, 3
 
     def __init__(self, n_videos=6, n_sub=72, seq_len=8, stride=2, seed=0,
-                 split=48, step_mm=28.0, base_xy=900.0, smooth=0.7):
+                 split=48, step_mm=28.0, base_xy=900.0, smooth=0.7,
+                 static_bg=False):
         from h36x.data.clips import ClipIndex
 
         self.seq_len = seq_len
+        # static_bg: one background texture per video instead of per frame —
+        # removes the per-frame appearance noise so phi becomes (nearly) a
+        # deterministic function of pose (the phase-2 capability probe)
+        self.static_bg = static_bg
         self.frame_skip = 2
         self.clips = []
         self._j3d = {}
@@ -139,7 +144,8 @@ class PoseDotDataset:
         return len(self.clips)
 
     def _frame(self, v, f):
-        rng = np.random.default_rng(v * 100_000 + f)
+        rng = np.random.default_rng(
+            v * 100_000 + (0 if self.static_bg else f))
         img = rng.integers(20, 70, size=(H, W, 3)).astype(np.float32)
         yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
         for j in range(N_JOINTS):
