@@ -69,7 +69,7 @@ Two committed configurations (both JSONs of record):
   capability probe — --static-bg --ckpt best --videos 12: one texture per
       video removes the per-frame appearance noise that puts an
       unpredictable component into phi (no model can forecast next-frame
-      noise), triples the clip count (126 → 396), and evaluates the
+      noise), doubles the data (train clips 126 → 252), and evaluates the
       loop's own val-MPJPE
       model selection. Answers "CAN f_AR learn dynamics under favorable
       conditions?" — the existence question the noisy result cannot
