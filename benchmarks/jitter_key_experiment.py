@@ -216,28 +216,27 @@ def assert_only_cjitter_differs(roots):
         return out
 
     base = rows(roots[0])
-    cj_diffs = 0
     for other in roots[1:]:
         got = rows(other)
         assert base.keys() == got.keys()
+        cj_diffs = 0
         for key, feats in base.items():
             if key[3] == "cjitter":
                 cj_diffs += int(not np.array_equal(feats, got[key]))
             else:
                 np.testing.assert_array_equal(feats, got[key], err_msg=str(key))
-    assert cj_diffs > 0, "cjitter rows identical across modes — no treatment"
+        # per store, not aggregated: a control_2x store silently matching
+        # the base must fail HERE, not surface later as control_t ~ 0
+        assert cj_diffs > 0, \
+            f"{other}: cjitter rows identical to {roots[0]} — no treatment"
 
 
 # --- training ----------------------------------------------------------------
 
-def train_once(store, outdir, seed: int, epochs: int, tail: int = 5):
-    """Train phase 1 on the store's temporal split; return the mean val
-    MPJPE over the last `tail` epochs (metrics.jsonl) — a convergence-level
-    score that, unlike best-of, does not select noise minima."""
+def harness_train_cfg(store, outdir, seed: int, epochs: int):
+    """The synthetic-harness TrainConfig shared by this experiment and
+    phase2_value_experiment (one source so the harnesses cannot drift)."""
     from h36x.config import TrainConfig
-    from h36x.data.features import FeatureClipDataset
-    from h36x.data.sampler import MixedShardBatchSampler, SequentialBatchSampler
-    from h36x.train.loop import fit
 
     cfg = TrainConfig()
     cfg.outdir = str(outdir)
@@ -255,6 +254,14 @@ def train_once(store, outdir, seed: int, epochs: int, tail: int = 5):
     cfg.mesh.model = 1
     cfg.train_root = str(store)
     cfg.val_root = str(store)
+    return cfg
+
+
+def harness_fit_inputs(store, cfg, seed: int):
+    """Datasets + samplers over the harness store's subject split."""
+    from h36x.data.features import FeatureClipDataset
+    from h36x.data.sampler import MixedShardBatchSampler, SequentialBatchSampler
+
     train_set = FeatureClipDataset(
         store, subjects=[PoseDotDataset.TRAIN_SUBJECT], augment=True)
     val_set = FeatureClipDataset(
@@ -264,6 +271,18 @@ def train_once(store, outdir, seed: int, epochs: int, tail: int = 5):
         drop_last=True, seed=seed)
     val_sampler = SequentialBatchSampler(val_set,
                                          batch_size=cfg.optim.batch_size)
+    return train_set, val_set, train_sampler, val_sampler
+
+
+def train_once(store, outdir, seed: int, epochs: int, tail: int = 5):
+    """Train phase 1 on the store's temporal split; return the mean val
+    MPJPE over the last `tail` epochs (metrics.jsonl) — a convergence-level
+    score that, unlike best-of, does not select noise minima."""
+    from h36x.train.loop import fit
+
+    cfg = harness_train_cfg(store, outdir, seed, epochs)
+    train_set, val_set, train_sampler, val_sampler = \
+        harness_fit_inputs(store, cfg, seed)
     fit(cfg, train_set, val_set, train_sampler, val_sampler)
     rows = [json.loads(l) for l in
             (Path(outdir) / "metrics.jsonl").read_text().splitlines()]
@@ -303,10 +322,22 @@ def run(seeds: int, epochs: int, videos: int, workdir: Path) -> dict:
                                "seq_len": ds.seq_len})
 
 
-# two-sided 0.05 critical values for Student's t at df = 2n-2 (equal-n
-# Welch with near-equal variances); beyond df=30 use the normal 1.96
+# fallback two-sided 0.05 Student-t critical values at df = 2n-2 (equal-n
+# Welch with near-equal variances), used only if scipy is unavailable
 _T_CRIT = {2: 4.303, 4: 2.776, 6: 2.447, 8: 2.306, 10: 2.228, 14: 2.145,
            18: 2.101, 22: 2.074, 30: 2.042}
+
+
+def _t_crit_two_sided_0p05(df):
+    """Exact Student-t critical value via scipy (a jax dependency, always
+    present here); table fallback rounds df DOWN to the nearest tabulated
+    entry — conservative (larger critical value) for un-tabulated dfs."""
+    try:
+        from scipy.stats import t as _student_t
+        return float(_student_t.ppf(0.975, df))
+    except Exception:  # pragma: no cover — scipy ships with jax
+        lo = max((k for k in _T_CRIT if k <= df), default=2)
+        return 1.96 if df > 30 else _T_CRIT[lo]
 
 
 def summarize(results, config):
@@ -333,7 +364,7 @@ def summarize(results, config):
     t_keying = keying_signed / se_keying
     t_control = control_signed / se_control
     df = 2 * n - 2
-    t_crit = _T_CRIT.get(df, 1.96 if df > 30 else 4.303)
+    t_crit = _t_crit_two_sided_0p05(df)
 
     detectable = abs(t_control) > 3.0
     no_loss = keying_signed <= 2.0 * se_keying  # one-sided: loss only

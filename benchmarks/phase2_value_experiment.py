@@ -102,42 +102,19 @@ STEP_MM, BASE_XY, SMOOTH = 35.0, 600.0, 0.9  # livelier, more
 
 
 def _train(store, outdir, seed, epochs, phase, init_from=""):
-    from h36x.config import TrainConfig
-    from h36x.data.features import FeatureClipDataset
-    from h36x.data.sampler import (MixedShardBatchSampler,
-                                   SequentialBatchSampler)
+    from benchmarks.jitter_key_experiment import (harness_fit_inputs,
+                                                  harness_train_cfg)
     from h36x.train.loop import fit
 
-    cfg = TrainConfig()
-    cfg.outdir = str(outdir)
-    cfg.data.seq_len = 8
-    cfg.model.feature_dim = 2048
-    cfg.model.latent_dim = 128
-    cfg.model.num_blocks = 1
-    cfg.optim.epochs = epochs
-    cfg.optim.batch_size = 16
-    cfg.optim.lr = 1e-3
-    cfg.optim.seed = seed
-    cfg.optim.log_every = 0
-    cfg.optim.early_stop_patience = 0
-    cfg.mesh.data = -1
-    cfg.mesh.model = 1
-    cfg.train_root = str(store)
-    cfg.val_root = str(store)
+    cfg = harness_train_cfg(store, outdir, seed, epochs)
     if phase == 2:
         cfg.optim.phase = 2
         cfg.optim.input_len = INPUT_LEN
         cfg.optim.pred_len = PRED_LEN
         cfg.optim.curriculum_steps = 6
         cfg.init_from = init_from
-    train_set = FeatureClipDataset(
-        store, subjects=[PoseDotDataset.TRAIN_SUBJECT], augment=True)
-    val_set = FeatureClipDataset(store, subjects=[PoseDotDataset.VAL_SUBJECT])
-    train_sampler = MixedShardBatchSampler(
-        train_set, batch_size=cfg.optim.batch_size, shards_per_batch=2,
-        drop_last=True, seed=seed)
-    val_sampler = SequentialBatchSampler(val_set,
-                                         batch_size=cfg.optim.batch_size)
+    train_set, val_set, train_sampler, val_sampler = \
+        harness_fit_inputs(store, cfg, seed)
     fit(cfg, train_set, val_set, train_sampler, val_sampler)
     return Path(outdir)
 
@@ -290,7 +267,9 @@ def summarize(per_seed: dict, config: dict) -> dict:
                  the difference over seeds, so every gate tightens as
                  seeds are added).
     """
-    seeds = int(config["seeds"])
+    # n comes from the data being summarized, not config metadata — a
+    # hand-edited or recomputed JSON must gate on what per_seed holds
+    seeds = min(len(v) for v in per_seed.values())
     mean = {k: float(np.mean(v)) for k, v in per_seed.items()}
     std = {k: float(np.std(v, ddof=1)) if len(v) > 1 else 0.0
            for k, v in per_seed.items()}
@@ -388,7 +367,7 @@ def main(argv=None):
 
     if args.recompute:
         prev = json.loads(Path(args.recompute).read_text())
-        out = summarize(prev["per_seed"], prev["config"])
+        out = summarize(prev["per_seed"], prev.get("config", {}))
         line = json.dumps(out)
         print(line)
         if args.out:

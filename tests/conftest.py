@@ -33,7 +33,10 @@ def rng():
 # `pytest -m smoke` is the pre-commit gate: one (or a few) fast happy-path
 # tests per subsystem, selected here centrally so the list is auditable and
 # tunable in one place. The full suite stays the milestone gate (CLAUDE.md).
-# Matching is by node-id substring: a file entry marks the whole module.
+# Matching is EXACT: a `*.py` entry marks that whole module; any other entry
+# marks exactly that test (plus its parametrized variants) — a future
+# `test_roundtrip_large` must not silently join the gate because
+# `test_roundtrip` is listed (review finding, round 4).
 _SMOKE = [
     # semantic cores (golden fixtures)
     "test_golden.py::test_golden_outputs",
@@ -60,6 +63,7 @@ _SMOKE = [
     # training (phase 1 + 2, parallel, loop, checkpoint)
     "test_train_step.py::TestTrainStep::test_loss_decreases",
     "test_train_step.py::TestCheckpoint::test_load_params_only",
+    "test_train_step.py::TestCheckpoint::test_load_params_only_orbax_directory",
     "test_phase2.py::TestPhase2Step::test_only_far_updates",
     "test_parallel.py::TestDataParallelStep::test_dp_matches_single_device",
     "test_loop_e2e.py::test_fit_end_to_end",
@@ -81,14 +85,25 @@ _SMOKE = [
     "test_cli.py::TestModelConfigResolution::test_resolver_precedence_and_conflict",
     # full CLI pipeline e2e (extract -> train -> results)
     "test_full_pipeline.py::test_extract_train_results",
+    # measurement gates of record (--recompute CLI round trips)
+    "test_jitter_experiment_stats.py::test_recompute_cli_roundtrip",
+    "test_phase2_value_stats.py::test_recompute_cli_roundtrip",
 ]
+
+
+def _smoke_match(pat, nodeid):
+    mod, _, rest = nodeid.partition("::")
+    nid = mod.rsplit("/", 1)[-1] + ("::" + rest if rest else "")
+    if pat.endswith(".py") and "::" not in pat:
+        return nid.partition("::")[0] == pat
+    return nid == pat or nid.startswith(pat + "[")
 
 
 def pytest_collection_modifyitems(config, items):
     matched = set()
     for item in items:
         for pat in _SMOKE:
-            if pat in item.nodeid:
+            if _smoke_match(pat, item.nodeid):
                 item.add_marker(pytest.mark.smoke)
                 matched.add(pat)
     # A renamed/deleted test must fail the gate loudly, not silently shrink

@@ -101,7 +101,6 @@ class TestSummarize:
         np.testing.assert_allclose(out["control_t"], rec["control_t"])
 
 
-@pytest.mark.smoke
 def test_recompute_cli_roundtrip(tmp_path):
     src = str(_RESULTS)
     out = tmp_path / "re.json"
