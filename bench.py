@@ -99,7 +99,8 @@ def bench_backbone_frames_per_sec(batch=960, out_hw=224, iters=50):
     # burst paying a 40-300 s remote compile.
     short = max(1, iters // 10)
     best_s = {}
-    for n in (short, iters):
+    for n in dict.fromkeys((short, iters)):  # short == iters at iters=1:
+        # time the single executable once, not twice
         float(loop(variables, frames, n))
         best = float("inf")
         for _ in range(6 if n == short else 4):
