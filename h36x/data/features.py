@@ -47,6 +47,16 @@ class FeatureClipDataset:
 
         index = shard_store.load_index(self.root)
         self._torch_format = bool(index.get("torch_format"))
+        # Row addressing below is row = clip["row"] + variant — the grouped
+        # layout the reference defines (src/dataset_features.py:116) and the
+        # only one h36x writes. An index declaring any other layout must be
+        # refused, not silently misread row-by-row.
+        if not index.get("variants_grouped", True):
+            raise RuntimeError(
+                f"{self.root}: index declares variants_grouped=false — this "
+                "reader only supports the grouped row layout "
+                "(row = clip row + variant offset)"
+            )
         self.n_vars = int(index["n_variants"])
         self.aug_names = index.get("aug_names", ["orig"])
         self.seq_len = index.get("seq_len")

@@ -191,6 +191,19 @@ def ingest(
                 out[parts[1]] = p
         return out
 
+    def _pose_files(dirpath, seq_name):
+        # .cdf is the official layout, but a tree holding only the
+        # pre-converted .npz/.npy siblings (cdf_to_npz run on a spacepy
+        # machine, CDFs not shipped) must ingest too: read_poses handles
+        # every extension, so discovery has to find them all. Later
+        # (preferred) extensions overwrite earlier ones per camera ident;
+        # preferring .cdf is safe because read_poses redirects a .cdf path
+        # to its .npz/.npy sibling before touching spacepy.
+        out = {}
+        for ext in ("npy", "npz", "cdf"):
+            out.update(_by_ident(join(dirpath, f"{seq_name}.*{ext}")))
+        return out
+
     for sbj_id, action_id, trial_id in itertools.product(
         subjects, actions, trials
     ):
@@ -211,12 +224,12 @@ def ingest(
         # embedded in the name ({seq_name}.{camera_serial}.{ext}).
         videos = _by_ident(
             join(source_dir, f"S{sbj_id}", "Videos", f"{seq_name}.*mp4"))
-        pose2d = _by_ident(
-            join(source_dir, f"S{sbj_id}", "MyPoseFeatures/D2_Positions",
-                 f"{seq_name}.*cdf"))
-        pose3d = _by_ident(
-            join(source_dir, f"S{sbj_id}", "MyPoseFeatures/D3_Positions_mono",
-                 f"{seq_name}.*cdf"))
+        pose2d = _pose_files(
+            join(source_dir, f"S{sbj_id}", "MyPoseFeatures/D2_Positions"),
+            seq_name)
+        pose3d = _pose_files(
+            join(source_dir, f"S{sbj_id}", "MyPoseFeatures/D3_Positions_mono"),
+            seq_name)
         idents = sorted(set(videos) | set(pose2d) | set(pose3d))
         # cam_id -> identifier. The official serials give an absolute
         # mapping, immune even to a camera whose files are ALL absent (the

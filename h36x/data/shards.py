@@ -409,9 +409,13 @@ def merge_stores(parts, out_root, move: bool = True) -> dict:
     (``h36x-extract --partition i/N``), each writing a complete store for
     its clip subset. This renumbers every part's shard files into one
     namespace under `out_root` and concatenates the clip indexes —
-    O(#shards) file renames plus one JSON write; no tensor data is read or
-    rewritten. With move=False the shard files are hard-linked (falling
-    back to copy across filesystems) and the parts stay intact.
+    O(#shards) hard links (falling back to copy across filesystems) plus
+    one JSON write; no tensor data is read or rewritten. With move=False
+    the parts stay intact; with move=True the source shard files are
+    unlinked only AFTER the merged index is written, so a crash at any
+    point leaves either intact parts + an index-less (non-store) out_root,
+    or a complete merged store + some stray source links — never a broken
+    store on either side.
 
     Part metadata (n_variants, aug_names, seq_len, frame_skip, feat_dtype)
     must agree; clips must not repeat across parts. Returns the merged
@@ -443,8 +447,10 @@ def merge_stores(parts, out_root, move: bool = True) -> dict:
                     f"part {p} disagrees on {key}: "
                     f"{idx[key]!r} != {first[key]!r}")
 
-    # Validate everything (duplicates, overlaps, missing shards) BEFORE the
-    # first rename so a failed merge never leaves a half-moved store.
+    # Validate everything (duplicates, overlaps, missing shards) BEFORE
+    # touching the filesystem; the populate/finalize/unlink ordering below
+    # then covers the unpredictable failures (ENOSPC, I/O error, SIGKILL)
+    # validation cannot.
     merged_clips: List[dict] = []
     renames = []
     seen = set()
@@ -474,15 +480,17 @@ def merge_stores(parts, out_root, move: bool = True) -> dict:
             merged_clips.append(dict(entry, shard_id=entry["shard_id"] + offset))
         offset += idx["n_shards"]
 
+    # Phase 1 — populate out_root WITHOUT mutating the parts: hard-link
+    # (same-FS: free) or copy (cross-FS). Until index.json exists,
+    # out_root is not a store, so a crash here strands only nameless
+    # files; every part is still complete and re-mergeable.
     for src, dst in renames:
-        if move:
-            shutil.move(str(src), str(dst))
-        else:
-            try:
-                os.link(src, dst)
-            except OSError:
-                shutil.copy2(src, dst)
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
 
+    # Phase 2 — finalize: write_index is atomic (tmp + os.replace).
     write_index(
         out_root,
         merged_clips,
@@ -496,6 +504,13 @@ def merge_stores(parts, out_root, move: bool = True) -> dict:
         shuffle_seed=first.get("shuffle_seed"),
         shuffle_pool=first.get("shuffle_pool"),
     )
+
+    # Phase 3 — only now is consuming the parts safe. A crash mid-unlink
+    # leaves a COMPLETE merged store plus some still-linked sources
+    # (same inode under hard links): wasted names, not corruption.
+    if move:
+        for src, _ in renames:
+            os.unlink(src)
     return load_index(out_root)
 
 

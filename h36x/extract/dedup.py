@@ -196,7 +196,13 @@ def _video_worker(
             for t, k in enumerate(keys):
                 if k not in seen:
                     seen.add(k)
-                    job.miss.append((k, window[t]))
+                    # copy the row: a view would pin this clip's WHOLE
+                    # (T,o,o,3) window until the consumer dispatches it. In
+                    # the max-dedup modes a job contributes only ~stride
+                    # first-seen rows, and `pending` can hold hundreds of
+                    # jobs' entries — views would transiently pin GBs of
+                    # windows for MBs of needed rows.
+                    job.miss.append((k, window[t].copy()))
             if cfg.augment:
                 if cfg.jitter_key == "clip":
                     rng = np.random.default_rng(
@@ -353,19 +359,25 @@ class _Assembler:
 
 def run_extract_dedup(cfg: ExtractConfig, dataset) -> dict:
     """Unique-frame extraction; same store contract as pipeline.run_extract."""
-    import json as _json
     from concurrent.futures import ThreadPoolExecutor
 
     import jax
 
-    from h36x.data.shards import ShardWriter, write_index
+    from h36x.data.shards import ShardWriter
     from h36x.extract.pipeline import (
+        ThroughputPrinter,
         _clip_key,
         _load_backbone,
         _parse_partition,
+        finalize_store,
         make_feature_fn,
+        make_progress_writer,
+        restore_resume_state,
+        validate_extract_config,
     )
     from h36x.extract.writer import AsyncWriter
+
+    validate_extract_config(cfg)  # one validator for both schedulers
 
     out_root = Path(cfg.out)
     out_root.mkdir(parents=True, exist_ok=True)
@@ -378,14 +390,6 @@ def run_extract_dedup(cfg: ExtractConfig, dataset) -> dict:
     n_clips = len(dataset)
     part_i, part_n = _parse_partition(getattr(cfg, "partition", ""))
     partition_by = getattr(cfg, "partition_by", "clip")
-    if partition_by not in ("clip", "video"):
-        raise ValueError(f"--partition-by must be clip|video, got {partition_by!r}")
-    if cfg.crop_scope not in ("clip", "video"):
-        raise ValueError(f"--crop-scope must be clip|video, got {cfg.crop_scope!r}")
-    if cfg.jitter_key not in ("clip", "video", "frame"):
-        # a typo here would silently select a DEVIATION mode's store bytes
-        raise ValueError(
-            f"--jitter-key must be clip|video|frame, got {cfg.jitter_key!r}")
     if partition_by == "video":
         groups = groups[part_i::part_n]
         owned = [i for g in groups for i in g]
@@ -443,17 +447,8 @@ def run_extract_dedup(cfg: ExtractConfig, dataset) -> dict:
         run_config["jitter_backend"] = (
             "native" if native.jitter_available() else "numpy")
 
-    def _atomic_write(text):
-        tmp = Path(str(progress_path) + ".tmp")
-        tmp.write_text(text)
-        tmp.replace(progress_path)
-
-    def write_progress(pool_):
-        payload = _json.dumps(
-            {"clips": pool_.clip_index, "n_shards": pool_.writer.shard_id,
-             "config": run_config}
-        )
-        async_writer.submit(_atomic_write, payload)
+    write_progress = make_progress_writer(progress_path, run_config,
+                                          async_writer)
 
     from h36x.extract.pipeline import ShufflePool
 
@@ -461,35 +456,8 @@ def run_extract_dedup(cfg: ExtractConfig, dataset) -> dict:
         shard_writer, n_vars, cfg.shard_size, cfg.shuffle_pool,
         cfg.shuffle_seed, on_flush=write_progress,
     )
-
-    done_keys = set()
-    if getattr(cfg, "resume", False) and progress_path.exists():
-        prog = _json.loads(progress_path.read_text())
-        prev = prog.get("config")
-        if prev is not None:
-            # pre-upgrade progress files predate some provenance keys; a
-            # missing key means "unknown", not "different" — refusing would
-            # strand a near-done extraction behind an unfixable mismatch
-            for k in ("crop_backend", "jitter_backend", "partition_by"):
-                if k in run_config and k not in prev:
-                    print(f"WARNING: the interrupted run predates the {k!r} "
-                          f"provenance record — cannot verify it matched "
-                          f"{run_config[k]!r}; resuming anyway")
-                    prev[k] = run_config[k]
-        if prev is not None and prev != run_config:
-            diffs = {k: (prev.get(k), run_config[k]) for k in run_config
-                     if prev.get(k) != run_config[k]}
-            diffs.update({k: (prev[k], None) for k in prev
-                          if k not in run_config})
-            raise ValueError(
-                f"resume config mismatch vs the interrupted run: {diffs} — "
-                "resuming would mix incompatible rows into one store; rerun "
-                "with the original flags or start a fresh --out")
-        pool.clip_index = prog["clips"]
-        shard_writer.shard_id = int(prog["n_shards"])
-        done_keys = {_clip_key(c) for c in prog["clips"]}
-        print(f"Resuming: {len(done_keys)} clips already in "
-              f"{shard_writer.shard_id} shards")
+    done_keys = restore_resume_state(cfg, progress_path, run_config, pool,
+                                     shard_writer)
 
     todo_set = {
         i for i in owned
@@ -500,27 +468,10 @@ def run_extract_dedup(cfg: ExtractConfig, dataset) -> dict:
         print(f"{len(owned) - n_todo} clips already done; {n_todo} to go")
 
     t_all = time.perf_counter()
-    state = {"done": 0, "t_last": t_all, "last_print": 0}
+    printer = ThroughputPrinter(n_todo, pool, shard_writer)
 
-    def on_clip_done():
-        state["done"] += 1
-        done = state["done"]
-        if done % 200 == 0 or done == n_todo:
-            dt = time.perf_counter() - state["t_last"]
-            inc = done - state["last_print"]
-            cps = inc / dt if dt > 0 else 0.0
-            state["t_last"] = time.perf_counter()
-            state["last_print"] = done
-            eta = (n_todo - done) / cps if cps > 0 else 0.0
-            print(
-                f"[{100*done/max(n_todo,1):5.1f}%] {done:6d}/{n_todo} clips | "
-                f"{cps:6.1f} clips/s | ETA {eta:6.1f}s | "
-                f"shard {shard_writer.shard_id} (pool {len(pool.pool)}, "
-                f"carry {len(pool.carry)})",
-                flush=True,
-            )
-
-    assembler = _Assembler(cfg, pool, feat_np_dtype, aug_names, on_clip_done)
+    assembler = _Assembler(cfg, pool, feat_np_dtype, aug_names,
+                           printer.clip_done)
 
     # --- device batching: fixed frame-batch shape (one compiled executable,
     # same transfer granularity as the per-clip pipeline's default batches)
@@ -574,9 +525,10 @@ def run_extract_dedup(cfg: ExtractConfig, dataset) -> dict:
             for t in range(t_len):
                 pending.append((("job", job, t), job.cj_window[t]))
             job.cj_window = None  # crops live in `pending` now; free the ref
-        # same for the miss lists: their views pin the worker's whole
-        # (T,o,o,3) window buffer, and jobs can sit in the fifo for many
-        # dispatches awaiting rows — `pending` holds the frames from here
+        # clear the miss lists too: jobs can sit in the fifo for many
+        # dispatches awaiting rows — `pending` owns the frames from here
+        # (miss rows are per-row copies made in the worker, so dropping
+        # the job-side refs genuinely frees memory as pending drains)
         job.miss = []
         job.cj_miss = []
         assembler.fifo.append(job)
@@ -630,24 +582,8 @@ def run_extract_dedup(cfg: ExtractConfig, dataset) -> dict:
     async_writer.wait()
     async_writer.stop()
 
-    write_index(
-        out_root,
-        pool.clip_index,
-        n_shards=shard_writer.shard_id,
-        n_clips=len(pool.clip_index),
-        n_variants=n_vars,
-        aug_names=aug_names,
-        seq_len=cfg.seq_len,
-        frame_skip=cfg.frame_skip,
-        feat_dtype="float16" if cfg.save_fp16 else "float32",
-        shuffle_seed=cfg.shuffle_seed,
-        shuffle_pool=cfg.shuffle_pool,
-    )
-    if progress_path.exists():
-        # only after index.json is committed: unlinking first would leave a
-        # crash window with all shards on disk but neither resume state nor
-        # an index (the whole extraction would redo from scratch)
-        progress_path.unlink()
+    finalize_store(out_root, cfg, pool, shard_writer, n_vars, aug_names,
+                   progress_path)
 
     total = time.perf_counter() - t_all
     legacy_rows = n_todo * cfg.seq_len * (3 if cfg.augment else 1)

@@ -333,6 +333,134 @@ def validate_extract_config(cfg) -> None:
                     f"implements {flag}={default!r}")
 
 
+def make_progress_writer(progress_path, run_config, async_writer):
+    """Progress-file writer shared by BOTH schedulers (cross-scheduler
+    resume depends on the two writing identical state).
+
+    Atomic tmp+rename (a crash mid-write must never corrupt the file resume
+    depends on), submitted through the same FIFO as the shard writes so
+    progress never claims unwritten shards.
+    """
+    import json as _json
+
+    def _atomic_write(text):
+        tmp = Path(str(progress_path) + ".tmp")
+        tmp.write_text(text)
+        tmp.replace(progress_path)
+
+    def write_progress(pool):
+        payload = _json.dumps(
+            {"clips": pool.clip_index, "n_shards": pool.writer.shard_id,
+             "config": run_config}
+        )
+        async_writer.submit(_atomic_write, payload)
+
+    return write_progress
+
+
+def restore_resume_state(cfg, progress_path, run_config, pool,
+                         shard_writer) -> set:
+    """Restore an interrupted run's pool/shard state; returns done clip keys.
+
+    One implementation for both schedulers: the provenance-backfill and
+    mismatch rules decide whether resuming would mix incompatible rows into
+    one store, and a rule applied to only one copy would silently break
+    resuming a pipeline-written store under the dedup scheduler (or vice
+    versa) — exactly the corruption class these guards exist to prevent.
+    """
+    import json as _json
+
+    done_keys: set = set()
+    if not (getattr(cfg, "resume", False) and progress_path.exists()):
+        return done_keys
+    prog = _json.loads(progress_path.read_text())
+    prev = prog.get("config")
+    if prev is not None:
+        # pre-upgrade progress files predate some provenance keys; a
+        # missing key means "unknown", not "different" — refusing would
+        # strand a near-done extraction behind an unfixable mismatch
+        for k in ("crop_backend", "jitter_backend", "partition_by"):
+            if k in run_config and k not in prev:
+                print(f"WARNING: the interrupted run predates the {k!r} "
+                      f"provenance record — cannot verify it matched "
+                      f"{run_config[k]!r}; resuming anyway")
+                prev[k] = run_config[k]
+    if prev is not None and prev != run_config:
+        diffs = {k: (prev.get(k), run_config[k]) for k in run_config
+                 if prev.get(k) != run_config[k]}
+        # keys only the interrupted run recorded (e.g. a dedup-scheduler
+        # deviation flag) must show up too, not print an empty dict
+        diffs.update({k: (prev[k], None) for k in prev
+                      if k not in run_config})
+        raise ValueError(
+            f"resume config mismatch vs the interrupted run: {diffs} — "
+            "resuming would mix incompatible rows into one store; rerun "
+            "with the original flags or start a fresh --out")
+    pool.clip_index = prog["clips"]
+    shard_writer.shard_id = int(prog["n_shards"])
+    done_keys = {_clip_key(c) for c in prog["clips"]}
+    print(f"Resuming: {len(done_keys)} clips already in "
+          f"{shard_writer.shard_id} shards")
+    return done_keys
+
+
+class ThroughputPrinter:
+    """clips/s + ETA every 200 clips, final-shard/pool state included
+    (reference preprocess_resnet_features.py:332-341); shared by both
+    schedulers so the operator-facing progress line cannot drift."""
+
+    def __init__(self, n_todo, pool, shard_writer):
+        self.n_todo = n_todo
+        self.pool = pool
+        self.writer = shard_writer
+        self.done = 0
+        self.last_print = 0
+        self.t_last = time.perf_counter()
+
+    def clip_done(self):
+        self.done += 1
+        if self.done % 200 == 0 or self.done == self.n_todo:
+            dt = time.perf_counter() - self.t_last
+            inc = self.done - self.last_print  # clips in THIS interval
+            cps = inc / dt if dt > 0 else 0.0
+            self.t_last = time.perf_counter()
+            self.last_print = self.done
+            eta = (self.n_todo - self.done) / cps if cps > 0 else 0.0
+            print(
+                f"[{100*self.done/max(self.n_todo,1):5.1f}%] "
+                f"{self.done:6d}/{self.n_todo} clips | "
+                f"{cps:6.1f} clips/s | ETA {eta:6.1f}s | "
+                f"shard {self.writer.shard_id} (pool {len(self.pool.pool)}, "
+                f"carry {len(self.pool.carry)})",
+                flush=True,
+            )
+
+
+def finalize_store(out_root, cfg, pool, shard_writer, n_vars, aug_names,
+                   progress_path) -> None:
+    """Commit index.json, then drop the progress file (both schedulers).
+
+    The ordering is load-bearing: unlinking progress first would leave a
+    crash window with all shards on disk but neither resume state nor an
+    index (the whole extraction would redo from scratch).
+    """
+    write_index(
+        out_root,
+        pool.clip_index,
+        n_shards=shard_writer.shard_id,
+        n_clips=len(pool.clip_index),
+        n_variants=n_vars,
+        aug_names=aug_names,
+        seq_len=cfg.seq_len,
+        frame_skip=cfg.frame_skip,
+        feat_dtype="float16" if cfg.save_fp16 else "float32",
+        shuffle_seed=cfg.shuffle_seed,
+        shuffle_pool=cfg.shuffle_pool,
+    )
+    if progress_path.exists():
+        progress_path.unlink()
+
+
 def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> dict:
     """Run the full extraction stage; returns a summary dict.
 
@@ -347,8 +475,6 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
     This per-clip scheduler remains for --no-dedup and for clip sources
     without sequential/annotation access.
     """
-    import json as _json
-
     validate_extract_config(cfg)  # fail on flag typos BEFORE the tree scan
     if dataset is None:
         dataset = ClipDataset(
@@ -429,61 +555,16 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
         run_config["jitter_backend"] = (
             "native" if native.jitter_available() else "numpy")
 
-    def _atomic_write(text):
-        # same tmp+rename discipline as write_shard/write_index: a crash
-        # mid-write must never corrupt the file resume depends on
-        tmp = Path(str(progress_path) + ".tmp")
-        tmp.write_text(text)
-        tmp.replace(progress_path)
-
-    def write_progress(pool):
-        payload = _json.dumps(
-            {"clips": pool.clip_index, "n_shards": pool.writer.shard_id,
-             "config": run_config}
-        )
-        # same FIFO as the shard writes: progress never claims unwritten shards
-        async_writer.submit(_atomic_write, payload)
-
+    write_progress = make_progress_writer(progress_path, run_config,
+                                          async_writer)
     pool = ShufflePool(
         shard_writer, n_vars, cfg.shard_size, cfg.shuffle_pool, cfg.shuffle_seed,
         on_flush=write_progress,
     )
-
-    done_keys = set()
-    if getattr(cfg, "resume", False) and progress_path.exists():
-        prog = _json.loads(progress_path.read_text())
-        prev = prog.get("config")
-        if prev is not None:
-            # pre-upgrade progress files predate some provenance keys; a
-            # missing key means "unknown", not "different" — refusing would
-            # strand a near-done extraction behind an unfixable mismatch
-            for k in ("crop_backend", "jitter_backend", "partition_by"):
-                if k in run_config and k not in prev:
-                    print(f"WARNING: the interrupted run predates the {k!r} "
-                          f"provenance record — cannot verify it matched "
-                          f"{run_config[k]!r}; resuming anyway")
-                    prev[k] = run_config[k]
-        if prev is not None and prev != run_config:
-            diffs = {k: (prev.get(k), run_config[k]) for k in run_config
-                     if prev.get(k) != run_config[k]}
-            # keys only the interrupted run recorded (e.g. a dedup-scheduler
-            # deviation flag) must show up too, not print an empty dict
-            diffs.update({k: (prev[k], None) for k in prev
-                          if k not in run_config})
-            raise ValueError(
-                f"resume config mismatch vs the interrupted run: {diffs} — "
-                "resuming would mix incompatible rows into one store; rerun "
-                "with the original flags or start a fresh --out")
-        pool.clip_index = prog["clips"]
-        shard_writer.shard_id = int(prog["n_shards"])
-        done_keys = {_clip_key(c) for c in prog["clips"]}
-        print(f"Resuming: {len(done_keys)} clips already in "
-              f"{shard_writer.shard_id} shards")
+    done_keys = restore_resume_state(cfg, progress_path, run_config, pool,
+                                     shard_writer)
 
     t_all = time.perf_counter()
-    t_last = t_all
-    done = 0
-    last_print = 0
 
     def dispatch_batch(items):
         """Launch the device step for a batch; the result stays on device.
@@ -501,7 +582,6 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
         return feature_fn(variables, flat), items, shape
 
     def finalize_batch(inflight):
-        nonlocal done, t_last, last_print
         feats_dev, items, (B, V, T) = inflight
         feats_flat = np.asarray(feats_dev, dtype=feat_np_dtype)
         feats = feats_flat.reshape(B, V, T, -1)
@@ -545,21 +625,7 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
                 for v, (feat, jj3, jj2, kk) in enumerate(rows)
             ]
             pool.add(group)
-            done += 1
-            if done % 200 == 0 or done == n_todo:
-                dt = time.perf_counter() - t_last
-                inc = done - last_print  # clips in THIS interval (tail < 200)
-                cps = inc / dt if dt > 0 else 0.0
-                t_last = time.perf_counter()
-                last_print = done
-                eta = (n_todo - done) / cps if cps > 0 else 0.0
-                print(
-                    f"[{100*done/max(n_todo,1):5.1f}%] {done:6d}/{n_todo} clips | "
-                    f"{cps:6.1f} clips/s | ETA {eta:6.1f}s | "
-                    f"shard {shard_writer.shard_id} (pool {len(pool.pool)}, "
-                    f"carry {len(pool.carry)})",
-                    flush=True,
-                )
+            printer.clip_done()
 
     def load_item(i):
         """Decode worker: decode + crop + resize + pixel variants (host)."""
@@ -585,6 +651,7 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
     if len(todo) < len(owned):
         print(f"{len(owned) - len(todo)} clips already done; {len(todo)} to go")
     n_todo = len(todo)
+    printer = ThroughputPrinter(n_todo, pool, shard_writer)
 
     # Decode with a thread pool; crops have static shapes, so batches are
     # simple fixed-size windows overlapped with device compute.
@@ -619,24 +686,8 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
     async_writer.wait()  # superseded by the final index.json
     async_writer.stop()
 
-    write_index(
-        out_root,
-        pool.clip_index,
-        n_shards=shard_writer.shard_id,
-        n_clips=len(pool.clip_index),
-        n_variants=n_vars,
-        aug_names=aug_names,
-        seq_len=cfg.seq_len,
-        frame_skip=cfg.frame_skip,
-        feat_dtype="float16" if cfg.save_fp16 else "float32",
-        shuffle_seed=cfg.shuffle_seed,
-        shuffle_pool=cfg.shuffle_pool,
-    )
-    if progress_path.exists():
-        # only after index.json is committed: unlinking first would leave a
-        # crash window with all shards on disk but neither resume state nor
-        # an index (the whole extraction would redo from scratch)
-        progress_path.unlink()
+    finalize_store(out_root, cfg, pool, shard_writer, n_vars, aug_names,
+                   progress_path)
 
     total = time.perf_counter() - t_all
     summary = {

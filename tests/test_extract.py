@@ -319,6 +319,60 @@ def test_merge_stores_rejects_duplicates_and_keeps_parts(tmp_path):
         merge_stores([tmp_path / "p0"], tmp_path / "m2", move=False)
 
 
+def test_merge_crash_mid_populate_leaves_parts_intact(tmp_path, monkeypatch):
+    """An unpredictable I/O failure mid-merge (ENOSPC, SIGKILL...) must not
+    break EITHER side: sources are consumed only after the merged index is
+    committed, so a crash leaves intact parts + an index-less (non-store)
+    out_root (review finding, round 4 — the old per-shard shutil.move
+    stripped parts as it went)."""
+    import os as _os
+
+    from h36x.data.shards import load_index, merge_stores, shard_path
+    from tests.helpers import make_synthetic_store
+
+    # one shard per part: make_synthetic_store reuses clip keys across its
+    # shards, and merge correctly refuses duplicate clips
+    for part, subj in (("p0", 1), ("p1", 2)):
+        (tmp_path / part).mkdir()
+        make_synthetic_store(tmp_path / part, n_shards=1, clips_per_shard=4,
+                             seq_len=4, feat_dim=16, subjects=(subj,))
+
+    real_link = _os.link
+    calls = {"n": 0}
+
+    def dying_link(src, dst, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # fail mid-populate, after some files landed
+            raise RuntimeError("simulated I/O failure")
+        return real_link(src, dst, **kw)
+
+    monkeypatch.setattr(_os, "link", dying_link)
+    with pytest.raises(RuntimeError, match="simulated I/O failure"):
+        merge_stores([tmp_path / "p0", tmp_path / "p1"], tmp_path / "m",
+                     move=True)
+    monkeypatch.undo()
+
+    # every part is COMPLETE and re-mergeable; out_root is not a store
+    for part in ("p0", "p1"):
+        assert load_index(tmp_path / part)["n_shards"] == 1
+        assert shard_path(tmp_path / part, 0).exists()
+    assert not (tmp_path / "m" / "index.json").exists()
+
+    # wipe the stranded target and retry: the same merge succeeds, and only
+    # then (index committed) are the sources consumed
+    import shutil
+
+    shutil.rmtree(tmp_path / "m")
+    idx = merge_stores([tmp_path / "p0", tmp_path / "p1"], tmp_path / "m",
+                       move=True)
+    assert idx["n_shards"] == 2
+    from h36x.data.shards import verify_store
+
+    rep = verify_store(tmp_path / "m")
+    assert not rep["errors"]
+    assert not shard_path(tmp_path / "p0", 0).exists()  # consumed after
+
+
 def test_resume_config_mismatch_raises(tmp_path, monkeypatch):
     """Resuming with different store-shaping flags (e.g. --augment toggled)
     must refuse instead of mixing incompatible rows into one store."""

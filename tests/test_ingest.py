@@ -141,6 +141,28 @@ class TestIngest:
                 mp4s = list(cdir.glob("*.mp4"))
                 assert len(mp4s) == 1 and mp4s[0].is_symlink()
 
+    def test_npz_only_tree_ingests(self, raw_tree, tmp_path):
+        """A tree holding ONLY pre-converted .npz poses (cdf_to_npz run on a
+        spacepy machine, CDFs not shipped — the documented zero-egress
+        workflow) must ingest identically to the .cdf tree: read_poses
+        always supported the siblings, but discovery only globbed *cdf
+        (review finding, round 4)."""
+        for cdf in raw_tree.rglob("*.cdf"):
+            cdf.unlink()
+        out = tmp_path / "out_npz"
+        n = ingest(str(raw_tree), str(out), subjects=[1], actions=[1],
+                   verbose=False)
+        assert n == 8  # same 8 cells as the .cdf tree
+        p2 = raw_tree / "S1" / "MyPoseFeatures" / "D2_Positions"
+        base = out / "S1" / f"{ACTION_NAMES[0]}_0"
+        for cam0, ident in ((0, "1"), (1, "2"), (2, "3"), (3, "4")):
+            with open(base / f"cam_{cam0}" / "gt_poses.pkl", "rb") as f:
+                got = pickle.load(f)
+            src = np.load(p2 / f"Seq_2_1_S1.{ident}.npz")["Pose"]
+            want2d = src[0].reshape(-1, 32, 2)[:, np.asarray(H36M_RAW_JOINT_IDS)]
+            np.testing.assert_allclose(np.asarray(got["2d"]), want2d,
+                                       rtol=1e-6)
+
     def test_interior_camera_gap_does_not_shift_assignment(self, raw_tree,
                                                            tmp_path):
         """Deleting camera 2's pose files must skip ONLY cam 2 — cams 3/4

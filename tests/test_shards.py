@@ -208,6 +208,14 @@ class TestTorchCompat:
         np.testing.assert_allclose(feats, shard["feats"][1].numpy(), rtol=1e-6)
         np.testing.assert_allclose(j3d, shard["joints3d"][1].numpy() / 1000.0, rtol=1e-6)
 
+        # an index declaring any OTHER row layout must be refused loudly:
+        # reading it with grouped addressing (row + var) would silently pair
+        # wrong feature rows with joints/meta (review finding, round 4)
+        index["variants_grouped"] = False
+        torch.save(index, tmp_path / "index.pt")
+        with pytest.raises(RuntimeError, match="variants_grouped"):
+            FeatureClipDataset(tmp_path, subjects=[1])
+
 
 class TestVerifyStore:
     """Integrity scan (shards.verify_store / h36x-doctor --verify-store):
