@@ -81,6 +81,31 @@ def resolve_model_config(model_path, cli_values: dict,
     return resolved
 
 
+def build_model_from_arch(mc: dict, feature_dim=None):
+    """Construct PHDFor3DJoints from a resolved ARCH_FIELDS dict.
+
+    ONE constructor call for every consumer CLI (results/predict/export/
+    parity): hand-copied subsets drifted twice into shape-invisible bugs
+    (parity dropping groups/regressor_iters, results' fused path dropping
+    joints_num — review findings, round 4). `feature_dim` overrides the
+    resolved value where the data is authoritative (parity's NPZ batch).
+    """
+    from h36x.models.phd import PHDFor3DJoints
+
+    return PHDFor3DJoints(
+        latent_dim=mc["latent_dim"],
+        feature_dim=(feature_dim if feature_dim is not None
+                     else mc["feature_dim"]),
+        joints_num=mc["joints_num"],
+        number_blocks=mc["num_blocks"],
+        ar_blocks=mc["ar_num_blocks"],
+        groups=mc["groups"],
+        kernel_size=mc["kernel_size"],
+        regressor_iters=mc["regressor_iters"],
+        regressor_hidden=mc["regressor_hidden"],
+    )
+
+
 def add_model_config_flags(parser, fields=("latent_dim", "num_blocks",
                                            "groups", "regressor_iters")):
     """Register the standard model-shape flags with a None sentinel default

@@ -65,13 +65,12 @@ def main(argv=None):
         load_artifact,
         save_artifact,
     )
-    from h36x.models.phd import PHDFor3DJoints
     from h36x.train import checkpoint as ckpt
     from h36x.utils.runtime import setup_jax_cache
 
     setup_jax_cache()
 
-    from h36x.cli.common import resolve_model_config
+    from h36x.cli.common import build_model_from_arch, resolve_model_config
 
     mc = resolve_model_config(
         args.model_path,
@@ -88,15 +87,7 @@ def main(argv=None):
                     .get("data") or {}).get("seq_len"))
     if seq_len is None:
         seq_len = 40
-    model = PHDFor3DJoints(latent_dim=mc["latent_dim"],
-                           joints_num=mc["joints_num"],
-                           feature_dim=feature_dim,
-                           number_blocks=mc["num_blocks"],
-                           ar_blocks=mc["ar_num_blocks"],
-                           groups=mc["groups"],
-                           kernel_size=mc["kernel_size"],
-                           regressor_iters=mc["regressor_iters"],
-                           regressor_hidden=mc["regressor_hidden"])
+    model = build_model_from_arch(mc, feature_dim=feature_dim)
     template = model.init(
         jax.random.key(0), jnp.zeros((1, seq_len, feature_dim))
     )["params"]

@@ -47,7 +47,9 @@ def main(argv=None):
     p.add_argument("--freeze", action="store_true",
                    help="with --streaming: pin GN statistics once the "
                         "window is full and push in O(1) per frame")
-    from h36x.cli.common import add_model_config_flags, resolve_model_config
+    from h36x.cli.common import (add_model_config_flags,
+                                 build_model_from_arch,
+                                 resolve_model_config)
 
     add_model_config_flags(p)
     args = p.parse_args(argv)
@@ -57,7 +59,6 @@ def main(argv=None):
     setup_jax_cache()
 
     from h36x.data.features import FeatureClipDataset
-    from h36x.models.phd import PHDFor3DJoints
     from h36x.serve import StreamingPredictor, make_rollout_fn
     from h36x.train import checkpoint as ckpt
 
@@ -81,18 +82,16 @@ def main(argv=None):
         {"latent_dim": args.latent_dim, "num_blocks": args.num_blocks,
          "groups": args.groups, "regressor_iters": args.regressor_iters},
         ignore_recorded=args.ignore_model_config)
-    model = PHDFor3DJoints(latent_dim=mc["latent_dim"],
-                           joints_num=mc["joints_num"],
-                           number_blocks=mc["num_blocks"],
-                           ar_blocks=mc["ar_num_blocks"],
-                           groups=mc["groups"],
-                           kernel_size=mc["kernel_size"],
-                           regressor_iters=mc["regressor_iters"],
-                           regressor_hidden=mc["regressor_hidden"])
+    model = build_model_from_arch(mc, feature_dim=feature_dim)
     template = model.init(
         jax.random.key(0), jnp.zeros((1, seq_len, feature_dim))
     )["params"]
     params = ckpt.load_params_only(args.model_path, jax.device_get(template))
+    # upload once: host-numpy params re-transfer on EVERY jitted call, and
+    # the streaming path dispatches one per pushed frame — per-frame ~50 MB
+    # weight uploads over the tunnel would cost minutes for milliseconds of
+    # compute (same fix as serve_daemon.build_predict_fn)
+    params = jax.tree.map(jnp.asarray, params)
 
     out: dict = {"joints3d": np.asarray(joints3d, np.float32),
                  "meta": np.asarray(meta, dtype=object)}

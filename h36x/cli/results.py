@@ -8,7 +8,6 @@ import jax.numpy as jnp
 
 from h36x.config import SEQ_LEN, TEST_SUBJECTS
 from h36x.data.features import FeatureClipDataset
-from h36x.models.phd import PHDFor3DJoints
 from h36x.train import checkpoint as ckpt
 from h36x.train.results import dump_result_batch, evaluate_test
 
@@ -26,7 +25,9 @@ def main(argv=None):
     p.add_argument("--save-n", type=int, default=16)
     p.add_argument("--video-size", type=int, default=224, help="0 disables resize")
     p.add_argument("--subjects", type=int, nargs="+", default=list(TEST_SUBJECTS))
-    from h36x.cli.common import add_model_config_flags, resolve_model_config
+    from h36x.cli.common import (add_model_config_flags,
+                                 build_model_from_arch,
+                                 resolve_model_config)
 
     add_model_config_flags(p)
     p.add_argument("--fused", action="store_true",
@@ -61,18 +62,16 @@ def main(argv=None):
         {"latent_dim": args.latent_dim, "num_blocks": args.num_blocks,
          "groups": args.groups, "regressor_iters": args.regressor_iters},
         ignore_recorded=args.ignore_model_config)
-    model = PHDFor3DJoints(latent_dim=mc["latent_dim"],
-                           joints_num=mc["joints_num"],
-                           number_blocks=mc["num_blocks"],
-                           ar_blocks=mc["ar_num_blocks"],
-                           groups=mc["groups"],
-                           kernel_size=mc["kernel_size"],
-                           regressor_iters=mc["regressor_iters"],
-                           regressor_hidden=mc["regressor_hidden"])
+    model = build_model_from_arch(mc, feature_dim=feature_dim)
     template = model.init(
         jax.random.key(0), jnp.zeros((1, seq_len, feature_dim))
     )["params"]
     params = ckpt.load_params_only(args.model_path, jax.device_get(template))
+    # one upload now, not one per eval batch: jitted steps re-transfer
+    # host-numpy params on EVERY call, and over the ~50-70 MB/s tunnel a
+    # ~50 MB weight tree per batch dwarfs the compute (the round-3
+    # per-batch re-broadcast fix, applied to the results stage)
+    params = jax.tree.map(jnp.asarray, params)
 
     mesh = None
     if len(jax.devices()) > 1:
@@ -93,7 +92,8 @@ def main(argv=None):
     if args.fused:
         from h36x.infer import make_fused_forward
 
-        forward_fn = make_fused_forward(groups=model.groups,
+        forward_fn = make_fused_forward(joints_num=model.joints_num,
+                                        groups=model.groups,
                                         regressor_iters=model.regressor_iters)
     dump_result_batch(
         model, params, test_set, args.preprocessed_root, args.out,

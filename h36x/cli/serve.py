@@ -138,7 +138,7 @@ def main(argv=None):
         seq_len=seq_len, feature_dim=feature_dim,
         latent_dim=mc["latent_dim"], num_blocks=mc["num_blocks"],
         groups=mc["groups"], ar_blocks=mc["ar_num_blocks"],
-        kernel_size=mc["kernel_size"],
+        kernel_size=mc["kernel_size"], joints_num=mc["joints_num"],
         regressor_hidden=mc["regressor_hidden"],
         regressor_iters=mc["regressor_iters"],
         # warm both modes: artifact mode pre-compiles every bucket size,

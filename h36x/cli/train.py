@@ -45,7 +45,8 @@ def main(argv=None):
     val_sampler = SequentialBatchSampler(val_set, batch_size=cfg.optim.batch_size)
 
     if is_main_process():
-        print("===== Phase-1 training =====")
+        phase = getattr(cfg.optim, "phase", 1)
+        print(f"===== Phase-{phase} training =====")
         print(f"Train clips: {len(train_set)} | Val clips: {len(val_set)}")
         print(f"Batch size: {cfg.optim.batch_size} | LR: {cfg.optim.lr} | "
               f"Epochs: {cfg.optim.epochs}")

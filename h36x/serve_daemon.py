@@ -448,7 +448,7 @@ def build_predict_fn(artifact: str = "", model_path: str = "",
                      max_batch: int = 16, warm: bool = False,
                      regressor_iters: int = 3, groups: int = 32,
                      ar_blocks: int = 3, kernel_size: int = 3,
-                     regressor_hidden: int = 1024):
+                     regressor_hidden: int = 1024, joints_num: int = 17):
     """Returns (predict_fn, pad_to) from an AOT artifact or a checkpoint.
 
     Artifact mode returns pad_to=0 (pair it with bucket_pad=True): the
@@ -479,6 +479,7 @@ def build_predict_fn(artifact: str = "", model_path: str = "",
     from h36x.train.step import make_forward
 
     model = PHDFor3DJoints(latent_dim=latent_dim, feature_dim=feature_dim,
+                           joints_num=joints_num,
                            number_blocks=num_blocks, groups=groups,
                            ar_blocks=ar_blocks, kernel_size=kernel_size,
                            regressor_iters=regressor_iters,

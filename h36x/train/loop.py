@@ -407,6 +407,14 @@ def fit(
     # batches per stacked dispatch group (scan and accum share the feed)
     group = scan_steps if scan_steps > 1 else accum_steps
     if phase == 2:
+        if getattr(cfg.optim, "fused", False):
+            # no fused phase-2 step exists; silently training the XLA path
+            # while the user believes they chose the Pallas step would
+            # invalidate any timing/numerics comparison they are running
+            raise ValueError(
+                "--optim.fused only implements the phase-1 step; "
+                "phase 2 (f_AR curriculum) trains on the XLA path — "
+                "drop the flag")
         future_step = make_future_train_step(
             model, optimizer, input_len=cfg.optim.input_len,
             pred_len=cfg.optim.pred_len, lambda_joints=cfg.optim.lambda_future,

@@ -209,6 +209,24 @@ class TestModelConfigResolution:
                                   ignore_recorded=True)
         assert mc["groups"] == 32
 
+    def test_build_model_from_arch_covers_every_field(self):
+        """Every ARCH_FIELDS entry must reach the constructed module: the
+        hand-copied constructor subsets this builder replaced drifted twice
+        into shape-invisible bugs (parity dropping groups/regressor_iters,
+        results --fused dropping joints_num — review findings, round 4). A
+        new ARCH_FIELDS entry that build_model_from_arch forgets to thread
+        through fails here, not silently at serve time."""
+        from h36x.cli.common import ARCH_FIELDS, build_model_from_arch
+
+        # all non-default values so a dropped field cannot pass by accident
+        mc = {f: 3 + i for i, f in enumerate(ARCH_FIELDS)}
+        model = build_model_from_arch(mc)
+        attr = {"num_blocks": "number_blocks", "ar_num_blocks": "ar_blocks"}
+        for f in ARCH_FIELDS:
+            assert getattr(model, attr.get(f, f)) == mc[f], f
+        # the feature_dim override (data-authoritative call sites)
+        assert build_model_from_arch(mc, feature_dim=99).feature_dim == 99
+
     def test_predict_cli_auto_resolves(self, manifest_ckpt, tmp_path, capsys):
         """No model flags: latent_dim=64/num_blocks=1 must come from the
         manifest (the default 1024/2 template would fail the param

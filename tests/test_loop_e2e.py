@@ -206,6 +206,18 @@ def test_phase2_fit(cfg, capsys):
     assert rows[0]["val_mpjpe"] != rows[1]["val_mpjpe"]
 
 
+def test_phase2_rejects_fused(cfg):
+    """--optim.fused only implements the phase-1 step; phase 2 must refuse
+    loudly instead of silently training the XLA path while the user
+    believes they chose (and are timing) the Pallas step."""
+    cfg.optim.phase = 2
+    cfg.optim.input_len = 2
+    cfg.optim.pred_len = 4
+    cfg.optim.fused = True
+    with pytest.raises(ValueError, match="fused.*phase-1"):
+        fit(cfg, *_datasets(cfg))
+
+
 def test_phase2_warm_start_from_phase1(cfg, tmp_path, capsys):
     """init_from inherits phase-1 weights into a phase-2 run (the optimizer
     states are phase-specific, so resume cannot cross phases — init_from
