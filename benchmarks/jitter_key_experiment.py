@@ -367,8 +367,13 @@ def summarize(results, config):
     t_crit = _t_crit_two_sided_0p05(df)
 
     detectable = abs(t_control) > 3.0
-    no_loss = keying_signed <= 2.0 * se_keying  # one-sided: loss only
     two_sided_significant = abs(t_keying) > t_crit
+    # One-sided gate (loss only) — but a loss the two-sided test already
+    # calls significant can never pass it: at df >= ~61 t_crit drops below
+    # 2.0, so a positive effect with t in (t_crit, 2.0] would otherwise be
+    # "no loss" by the gate while being a statistically significant loss.
+    significant_loss = two_sided_significant and keying_signed > 0
+    no_loss = (keying_signed <= 2.0 * se_keying) and not significant_loss
     return {
         "per_seed": results,
         "mean": means,
@@ -383,8 +388,11 @@ def summarize(results, config):
         "control_detectable": bool(detectable),
         "keying_no_quality_loss": bool(no_loss),
         "verdict": (
-            ("no-quality-loss" if not two_sided_significant
-             else "no-quality-loss (significant IMPROVEMENT under re-keying)")
+            # the sign check matters: "significant" alone also fires on a
+            # significant LOSS, which must never be labeled an improvement
+            ("no-quality-loss (significant IMPROVEMENT under re-keying)"
+             if (two_sided_significant and keying_signed < 0)
+             else "no-quality-loss")
             if (detectable and no_loss)
             else "QUALITY LOSS DETECTED" if detectable
             else "INCONCLUSIVE (control not detected — harness lacks power)"),

@@ -67,11 +67,6 @@ def main(argv=None):
         jax.random.key(0), jnp.zeros((1, seq_len, feature_dim))
     )["params"]
     params = ckpt.load_params_only(args.model_path, jax.device_get(template))
-    # one upload now, not one per eval batch: jitted steps re-transfer
-    # host-numpy params on EVERY call, and over the ~50-70 MB/s tunnel a
-    # ~50 MB weight tree per batch dwarfs the compute (the round-3
-    # per-batch re-broadcast fix, applied to the results stage)
-    params = jax.tree.map(jnp.asarray, params)
 
     mesh = None
     if len(jax.devices()) > 1:
@@ -79,6 +74,14 @@ def main(argv=None):
 
         mesh = make_mesh(data=-1, model=1)
         print(f"Test eval over {mesh.shape['data']} chips (data-parallel)")
+    else:
+        # one upload now, not one per eval batch: jitted steps re-transfer
+        # host-numpy params on EVERY call, and over the ~50-70 MB/s tunnel
+        # a ~50 MB weight tree per batch dwarfs the compute (the round-3
+        # per-batch re-broadcast fix, applied to the results stage). Mesh
+        # path skips this: evaluate_test device_get's + re-shards params
+        # itself, so a device-0 upload would be a wasted full round trip.
+        params = jax.tree.map(jnp.asarray, params)
     loss, mp, l3d, l2d = evaluate_test(model, params, test_set,
                                        args.batch_size, mesh=mesh)
     print(

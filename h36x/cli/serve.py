@@ -70,7 +70,9 @@ def main(argv=None):
 
         bind = ({"unix_path": args.unix} if args.unix
                 else {"host": args.host, "port": args.port})
-        print(json.dumps(get_stats(**bind), indent=2))
+        # bounded: the diagnostic for a wedged daemon must not itself hang
+        # (a stats reply is a dict off the event loop — 10 s is generous)
+        print(json.dumps(get_stats(**bind, timeout_s=10.0), indent=2))
         return
     if not args.artifact and not args.model_path:
         raise SystemExit(

@@ -417,6 +417,15 @@ def merge_stores(parts, out_root, move: bool = True) -> dict:
     or a complete merged store + some stray source links — never a broken
     store on either side.
 
+    Disk note: on a filesystem WITHOUT hard-link support (some NFS/FUSE/
+    exFAT mounts) phase 1 falls back to copying, so move=True transiently
+    needs parts + a full merged copy (~2x the store) before phase 3 frees
+    the sources — the price of never leaving a broken store on either
+    side (the pre-round-4 per-shard rename needed zero extra bytes but a
+    crash mid-merge stranded half-moved shards with no index). On any
+    link-capable filesystem (the normal case) links are free and peak
+    usage is unchanged.
+
     Part metadata (n_variants, aug_names, seq_len, frame_skip, feat_dtype)
     must agree; clips must not repeat across parts. Returns the merged
     index payload.

@@ -128,6 +128,11 @@ class BatchingServer:
         self._queue: asyncio.Queue = asyncio.Queue()
         self._batcher: Optional[asyncio.Task] = None
         self._closed = False
+        # live client transports: shutdown must be able to close them, or
+        # `async with srv` exit (Server.wait_closed, which on Python
+        # >= 3.12.1 waits for every connection handler) hangs forever on a
+        # single idle client whose handle() is parked in _read_msg
+        self._writers: set = set()
         self._inflight = 0  # rows of the batch currently on the device
         self.stats = {"requests": 0, "batches": 0, "rows": 0, "rejected": 0}
         self._t_start: Optional[float] = None
@@ -140,6 +145,7 @@ class BatchingServer:
 
     async def handle(self, reader: asyncio.StreamReader,
                      writer: asyncio.StreamWriter) -> None:
+        self._writers.add(writer)
         try:
             while True:
                 try:
@@ -197,6 +203,7 @@ class BatchingServer:
                 _write_msg(writer, header, out.tobytes())
                 await writer.drain()
         finally:
+            self._writers.discard(writer)
             writer.close()
 
     def _parse(self, header: dict, payload: bytes) -> np.ndarray:
@@ -416,8 +423,18 @@ def request(feats: np.ndarray, **kw):
 
 
 async def stats_async(host: Optional[str] = None, port: Optional[int] = None,
-                      unix_path: Optional[str] = None) -> dict:
-    """Query a running daemon's operational stats (`{"op": "stats"}`)."""
+                      unix_path: Optional[str] = None,
+                      timeout_s: Optional[float] = None) -> dict:
+    """Query a running daemon's operational stats (`{"op": "stats"}`).
+
+    timeout_s bounds the whole round trip — a wedged daemon (blocked event
+    loop, half-open connection) must not hang the diagnostic tool that
+    exists to diagnose it. None preserves unbounded waits (embedders that
+    manage their own deadlines)."""
+    if timeout_s is not None:
+        return await asyncio.wait_for(
+            stats_async(host=host, port=port, unix_path=unix_path),
+            timeout_s)
     if unix_path:
         reader, writer = await asyncio.open_unix_connection(unix_path)
     else:
@@ -529,6 +546,14 @@ async def serve_forever(server: BatchingServer, drain_s: float = 10.0,
         drained = await server.drain(drain_s)
         await asyncio.sleep(0.1)  # let handle() coroutines write replies out
         server.stop()
+        # close surviving client transports (idle keep-alive connections):
+        # their handle() coroutines are parked in _read_msg, and on Python
+        # >= 3.12.1 the `async with srv` exit below waits for every handler
+        # to return — one idle client would otherwise wedge the shutdown
+        # until SIGKILL. Closing wakes _read_msg with EOF; replies already
+        # written are flushed by the transport before teardown.
+        for w in list(server._writers):
+            w.close()
         print(f"h36x-serve: {'drained' if drained else 'DRAIN TIMEOUT'}; "
               f"served {server.stats['requests']} requests "
               f"({server.stats['rejected']} rejected)", flush=True)

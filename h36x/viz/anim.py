@@ -89,6 +89,13 @@ def _finish(anim, show: bool, save: str, fps: int):
         print(f"saved animation -> {save}")
     if show:
         plt.show()
+    elif save:
+        # save-only: the artifact is on disk, so release the figure from
+        # pyplot's global registry — a loop saving one animation per sample
+        # would otherwise grow a live Figure per call (and hit matplotlib's
+        # "more than 20 figures" warning). The animation object itself is
+        # still returned for callers that keep it.
+        plt.close(anim._fig)
     return anim
 
 

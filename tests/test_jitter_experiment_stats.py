@@ -92,6 +92,29 @@ class TestSummarize:
         assert out["keying_two_sided_significant"]
         assert "IMPROVEMENT" in out["verdict"]
 
+    def test_significant_loss_never_labeled_improvement(self):
+        """Review finding (round 4): at df >= ~61 the two-sided t_crit
+        drops below 2.0, so a LOSS with t in (t_crit, 2.0] used to pass the
+        2*SE gate AND trip the `two_sided_significant` branch — summarize
+        reported 'significant IMPROVEMENT under re-keying' for a
+        statistically significant quality loss. A significant loss must
+        fail the gate and read as a loss."""
+        n = 64
+        pat = np.tile([-0.02, 0.02, -0.01, 0.01], n // 4)
+        clip = 0.5 + pat
+        s = float(np.std(clip, ddof=1))
+        se = float(np.sqrt(2.0 * s * s / n))
+        # loss sized to t = 1.99: above t_crit(126) ~ 1.979, below 2.0
+        frame = clip + 1.99 * se
+        control = clip + 0.5
+        out = summarize(_mk(clip, frame, control), {"seeds": n})
+        assert out["keying_effect_signed"] > 0  # it IS a loss
+        assert out["keying_two_sided_significant"]
+        assert out["t_crit_two_sided_0p05"] < out["keying_t"] < 2.0
+        assert not out["keying_no_quality_loss"]
+        assert out["verdict"] == "QUALITY LOSS DETECTED"
+        assert "IMPROVEMENT" not in out["verdict"]
+
     def test_committed_results_reproduce(self):
         """The JSON of record re-summarizes to its own committed fields."""
         rec = json.loads(_RESULTS.read_text())

@@ -549,3 +549,63 @@ def test_serve_cli_stats_over_unix_socket(predict_fn, tmp_path, capsys):
         loop.call_soon_threadsafe(stop_box["ev"].set)
         t.join(10.0)
         loop.close()
+
+
+def test_sigterm_shutdown_not_wedged_by_idle_client(predict_fn, tmp_path):
+    """Review finding (round 4): on Python >= 3.12.1 `async with srv` exit
+    waits for every connection handler, and handle() loops in _read_msg
+    until the CLIENT closes — one idle keep-alive connection used to wedge
+    the graceful SIGTERM shutdown until SIGKILL. serve_forever now closes
+    surviving client transports after the drain, so shutdown completes
+    with an idle client attached."""
+    import os
+    import signal
+
+    from h36x.serve_daemon import serve_forever
+
+    server = BatchingServer(predict_fn, seq_len=T, feature_dim=F,
+                            max_batch=4, max_wait_ms=1.0, pad_to=4)
+    sock = str(tmp_path / "daemon.sock")
+
+    async def run():
+        task = asyncio.ensure_future(
+            serve_forever(server, drain_s=2.0, unix_path=sock))
+        for _ in range(500):  # wait for the listener to bind
+            if os.path.exists(sock):
+                break
+            await asyncio.sleep(0.01)
+        # the idle client: connects, never sends, never closes
+        _idle_reader, idle_writer = await asyncio.open_unix_connection(sock)
+        # a real request proves the daemon is live alongside the idler
+        f = np.random.default_rng(7).normal(size=(T, F)).astype(np.float32)
+        out = await request_async(f, unix_path=sock)
+        assert out.shape == (T, J, 3)
+
+        os.kill(os.getpid(), signal.SIGTERM)  # the rolling-restart signal
+        # pre-fix this hangs forever (handler parked in _read_msg keeps
+        # Server.wait_closed from returning); the bound is the regression
+        await asyncio.wait_for(task, timeout=15.0)
+        idle_writer.close()
+
+    asyncio.run(run())
+    assert server.stats["requests"] == 1
+
+
+def test_stats_client_timeout_against_unresponsive_endpoint(tmp_path):
+    """`h36x-serve --stats` must not hang on a wedged daemon: stats_async
+    with timeout_s raises instead of blocking forever in _read_msg (review
+    finding, round 4 — the diagnostic tool hanging exactly when needed)."""
+    sock = str(tmp_path / "wedged.sock")
+
+    async def run():
+        async def black_hole(reader, writer):
+            await asyncio.sleep(30.0)  # accepts, never replies
+
+        srv = await asyncio.start_unix_server(black_hole, path=sock)
+        from h36x.serve_daemon import stats_async
+
+        async with srv:
+            with pytest.raises(asyncio.TimeoutError):
+                await stats_async(unix_path=sock, timeout_s=0.3)
+
+    asyncio.run(run())
