@@ -115,6 +115,48 @@ class TestSummarize:
         assert out["verdict"] == "QUALITY LOSS DETECTED"
         assert "IMPROVEMENT" not in out["verdict"]
 
+    def test_noninferiority_gate_blocks_wide_uncertain_loss(self):
+        """Round-5 pre-registered margin: a loss estimate SMALLER than 2*SE
+        (so the old gate passes) but whose confidence interval extends past
+        the 10% margin must NOT be adopted — verdict must demand more
+        seeds, not declare no-quality-loss."""
+        rng = np.random.default_rng(7)
+        clip = 0.5 + 0.14 * rng.standard_normal(4)   # wide per-seed spread
+        frame = clip + 0.06                          # loss > ~10% margin
+        control = clip + 0.9
+        out = summarize(_mk(clip, frame, control), CONFIG)
+        assert out["control_detectable"]
+        assert out["keying_no_quality_loss"]          # old gate passes...
+        assert not out["noninferior_at_margin"]       # ...margin gate holds
+        assert out["verdict"].startswith("NOT NON-INFERIOR")
+
+    def test_noninferior_and_equivalent_when_effect_tiny_and_tight(self):
+        clip = [0.50, 0.51, 0.49, 0.50]
+        frame = [0.501, 0.509, 0.492, 0.499]          # ~0 effect, tight
+        control = [1.0, 1.01, 0.99, 1.0]
+        out = summarize(_mk(clip, frame, control), CONFIG)
+        assert out["noninferior_at_margin"]
+        assert out["tost_equivalent"]
+        assert out["verdict"].startswith("no-quality-loss")
+
+    def test_large_improvement_noninferior_but_not_tost_equivalent(self):
+        """TOST can fail on a big IMPROVEMENT; that must not block adoption
+        (non-inferiority is the gate of record), only read honestly."""
+        clip = [0.60, 0.61, 0.59, 0.60]
+        frame = [0.40, 0.41, 0.39, 0.40]              # improvement >> margin
+        control = [1.0, 1.01, 0.99, 1.0]
+        out = summarize(_mk(clip, frame, control), CONFIG)
+        assert out["noninferior_at_margin"]
+        assert not out["tost_equivalent"]
+        assert "IMPROVEMENT" in out["verdict"]
+
+    def test_margin_rule_is_ten_percent_of_clip_mean(self):
+        clip = [0.50, 0.51, 0.49, 0.50]
+        out = summarize(_mk(clip, clip, [1.0, 1.01, 0.99, 1.0]), CONFIG)
+        np.testing.assert_allclose(
+            out["margin_abs"], 0.10 * np.mean(clip), rtol=1e-12)
+        assert out["margin_rel_preregistered"] == 0.10
+
     def test_committed_results_reproduce(self):
         """The JSON of record re-summarizes to its own committed fields."""
         rec = json.loads(_RESULTS.read_text())
