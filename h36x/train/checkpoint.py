@@ -339,6 +339,36 @@ def checkpoint_ref_exists(path) -> bool:
     return path.exists() or _orbax_dir(path.parent, path.name) is not None
 
 
+def load_params_raw(path) -> dict:
+    """Restore the model params as a plain nested dict of host numpy arrays
+    WITHOUT a template — the shapes carry themselves.
+
+    Accepts everything :func:`load_params_only` does (full TrainState
+    msgpack, bare params msgpack, orbax directory, or an `outdir/last`
+    slotted reference). Used by the reverse exporter (h36x-convert
+    --to-torch-ckpt), where a structural template would demand resolving the
+    architecture first just to throw it away."""
+    path = Path(path)
+    if not path.exists():
+        resolved = _orbax_dir(path.parent, path.name)
+        if resolved is not None:
+            path = resolved
+    if path.is_dir():  # orbax OCDBT directory
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            raw = ckptr.restore(path.absolute())
+        if isinstance(raw, dict) and "params" in raw:
+            raw = raw["params"]
+        return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), raw)
+    with open(path, "rb") as f:
+        blob = f.read()
+    raw = serialization.msgpack_restore(blob)
+    if isinstance(raw, dict) and "params" in raw and "opt_state" in raw:
+        raw = raw["params"]
+    return raw
+
+
 def load_params_only(path, params_template) -> Any:
     """Restore just the model params from a full-state checkpoint.
 
