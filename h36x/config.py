@@ -197,6 +197,11 @@ class ExtractConfig:
     augment: bool = False
     shard_size: int = 512  # clips per shard file
     shuffle_pool: int = 8192  # clips buffered before a shuffled flush
+    shuffle_pool_gb: float = 8.0  # host-RAM budget for that buffer: flush
+    #   early once the buffered arrays reach this many GiB (the clip count
+    #   alone is a silent ~10.7 GB OOM at the augmented defaults — DESIGN.md
+    #   "Shuffle pool host RAM"). Moves rows between shards, never changes
+    #   row bytes. 0 = unbounded (legacy clip-count-only behavior)
     shuffle_seed: int = 123
     weights: str = ""  # optional path to a converted ResNet-50 checkpoint
     resume: bool = False  # continue an interrupted extraction (progress.json)

@@ -455,6 +455,7 @@ def run_extract_dedup(cfg: ExtractConfig, dataset) -> dict:
     pool = ShufflePool(
         shard_writer, n_vars, cfg.shard_size, cfg.shuffle_pool,
         cfg.shuffle_seed, on_flush=write_progress,
+        max_bytes=int(getattr(cfg, "shuffle_pool_gb", 0.0) * 2**30),
     )
     done_keys = restore_resume_state(cfg, progress_path, run_config, pool,
                                      shard_writer)

@@ -155,7 +155,8 @@ class ShufflePool:
     """
 
     def __init__(self, writer: ShardWriter, n_vars: int, shard_size: int,
-                 pool_size: int, seed: int, on_flush=None):
+                 pool_size: int, seed: int, on_flush=None,
+                 max_bytes: int = 0):
         import random
 
         self.writer = writer
@@ -167,12 +168,44 @@ class ShufflePool:
         self.carry: List[List[dict]] = []
         self.clip_index: List[dict] = []
         self.on_flush = on_flush
+        # Host-RAM bound on the buffered groups (pool + carry). The clip
+        # count alone is a silent OOM at scale: the default 8192-clip pool
+        # holds ~10.7 GB at 4 variants x T=40 x 2048 f32 (DESIGN.md "Shuffle
+        # pool host RAM"). 0 = unbounded (legacy). Flushing early moves
+        # rows BETWEEN shards but never changes row bytes
+        # (tests/test_dedup.py::test_store_invariant_to_dispatch_and_workers).
+        self.max_bytes = int(max_bytes)
+        self._buf_bytes = 0
+        self._byte_trim_logged = False
+
+    @staticmethod
+    def group_nbytes(group: List[dict]) -> int:
+        """Exact buffered payload of one clip group (meta dicts excluded —
+        ~200 B vs ~1.3 MB of arrays)."""
+        return sum(int(e[k].nbytes) for e in group
+                   for k in ("feat", "joints3d", "joints2d", "K"))
 
     def add(self, group: List[dict]) -> None:
         if len(group) != self.n_vars:
             raise ValueError(f"group has {len(group)} variants, expected {self.n_vars}")
         self.pool.append(group)
-        if len(self.pool) >= self.pool_size:
+        over = False
+        if self.max_bytes:
+            self._buf_bytes += self.group_nbytes(group)
+            # a flush can only free RAM once a full shard can be written;
+            # below that, flushing would just reshuffle the carry every add
+            over = (self._buf_bytes >= self.max_bytes
+                    and len(self.pool) + len(self.carry) >= self.shard_size)
+        if over and len(self.pool) + len(self.carry) < self.pool_size \
+                and not self._byte_trim_logged:
+            self._byte_trim_logged = True
+            print(
+                f"[extract] shuffle pool reached its byte budget "
+                f"({self._buf_bytes / 2**30:.2f} GiB) at "
+                f"{len(self.pool) + len(self.carry)} clips "
+                f"(< shuffle_pool={self.pool_size}); flushing early — raise "
+                f"--shuffle-pool-gb for stronger shuffling", flush=True)
+        if len(self.pool) >= self.pool_size or over:
             self._flush(final=False)
 
     def _write_groups(self, groups: List[List[dict]]) -> None:
@@ -214,6 +247,8 @@ class ShufflePool:
             self.carry = []
         else:
             self.carry = leftover
+        if self.max_bytes:
+            self._buf_bytes = sum(self.group_nbytes(g) for g in self.carry)
         if n_full and self.on_flush is not None:
             self.on_flush(self)
 
@@ -560,6 +595,7 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
     pool = ShufflePool(
         shard_writer, n_vars, cfg.shard_size, cfg.shuffle_pool, cfg.shuffle_seed,
         on_flush=write_progress,
+        max_bytes=int(getattr(cfg, "shuffle_pool_gb", 0.0) * 2**30),
     )
     done_keys = restore_resume_state(cfg, progress_path, run_config, pool,
                                      shard_writer)

@@ -548,6 +548,10 @@ def test_store_invariant_to_dispatch_and_workers(tmp_path, fake_backbone):
         ("c", dict(frames_per_dispatch=7, num_workers=2)),  # ragged chunks
         # pool size moves rows BETWEEN shards but must not touch the bytes
         ("d", dict(frames_per_dispatch=12, num_workers=2, shuffle_pool=50)),
+        # byte-budget early flushes are an operational knob too (~1 KiB
+        # budget forces flushing at every shard boundary)
+        ("e", dict(frames_per_dispatch=12, num_workers=2,
+                   shuffle_pool_gb=1e-6)),
     ):
         run_extract(_cfg(tmp_path / tag, **{**base, **kw}),
                     dataset=FakeOverlapDataset())

@@ -116,6 +116,52 @@ class TestShufflePool:
         with pytest.raises(ValueError):
             pool.add(_group(0, 1))
 
+    def test_byte_budget_flushes_early(self, tmp_path):
+        """max_bytes caps host RAM: the pool flushes once the buffered
+        arrays exceed the budget even though the clip count is far below
+        pool_size, and the buffered-bytes counter tracks carry exactly."""
+        g_bytes = ShufflePool.group_nbytes(_group(0, 1))
+        writer = ShardWriter(tmp_path, 1)
+        # budget = 3 groups; shard_size=2 so each early flush writes one
+        # shard and carries <=1 group
+        pool = ShufflePool(writer, 1, shard_size=2, pool_size=100, seed=0,
+                           max_bytes=3 * g_bytes)
+        for i in range(10):
+            pool.add(_group(i, 1))
+            # never holds more than budget + one group
+            assert pool._buf_bytes <= 4 * g_bytes
+            assert pool._buf_bytes == g_bytes * (len(pool.pool) + len(pool.carry))
+        assert writer.shard_id >= 3  # flushed well before pool_size=100
+        pool.finish()
+        assert len(pool.clip_index) == 10
+        # all rows present exactly once
+        starts = sorted(e["start"] for e in pool.clip_index)
+        assert starts == list(range(10))
+
+    def test_byte_budget_never_starves_a_shard(self, tmp_path):
+        """A budget smaller than one shard's worth of groups must not spin
+        flushes that write nothing: the pool waits until shard_size groups
+        exist, then streams shard by shard."""
+        g_bytes = ShufflePool.group_nbytes(_group(0, 1))
+        writer = ShardWriter(tmp_path, 1)
+        pool = ShufflePool(writer, 1, shard_size=4, pool_size=100, seed=0,
+                           max_bytes=g_bytes)  # < one shard
+        for i in range(9):
+            pool.add(_group(i, 1))
+        assert writer.shard_id == 2  # 8 rows streamed, 1 carried
+        pool.finish()
+        assert len(pool.clip_index) == 9
+
+    def test_zero_budget_is_unbounded(self, tmp_path):
+        writer = ShardWriter(tmp_path, 1)
+        pool = ShufflePool(writer, 1, shard_size=2, pool_size=100, seed=0,
+                           max_bytes=0)
+        for i in range(20):
+            pool.add(_group(i, 1))
+        assert writer.shard_id == 0  # nothing flushed below pool_size
+        pool.finish()
+        assert len(pool.clip_index) == 20
+
 
 class FakeClipDataset:
     """ClipDataset stand-in: synthetic frames/poses, no video files."""
