@@ -11,6 +11,7 @@ are required once their flag is given; optional deps only warn).
 """
 
 import argparse
+import glob as glob_mod
 import importlib
 
 
@@ -329,6 +330,252 @@ def _dedup_estimate(root, seq_len, stride, frame_skip):
     return probe
 
 
+def run_preflight(root: str, seq_len: int, stride: int, frame_skip: int,
+                  save_fp16: bool = False, rate_cfps: float = 9000.0) -> list:
+    """Dry-validate a raw H36M drop before hours are spent on it.
+
+    Walks the raw layout the ingest stage expects (metadata.xml + per
+    subject Videos/ + MyPoseFeatures/{D2_Positions,D3_Positions_mono},
+    reference read_human_36m.py:308-340), checks pose readability in THIS
+    environment (CDF needs spacepy; .npz/.npy siblings work everywhere),
+    counts ingestable (sequence, camera) cells against the official
+    7x15x2x4 grid, forecasts clip counts / store size / pool RAM /
+    extraction time from the pose lengths, and prints the exact stage
+    commands. Returns a list of hard-failure names (empty = launchable).
+    """
+    import os
+    from os.path import exists, join
+
+    import numpy as np
+
+    from h36x.config import ExtractConfig
+    from h36x.data.ingest import (
+        H36M_CAMERA_SERIALS,
+        SUBJECTS_ORDER,
+        read_action_name,
+        read_cam_parameters,
+    )
+
+    problems: list = []
+
+    def say(line):
+        print(f"  [preflight] {line}")
+
+    def fail(name, line):
+        print(f"  [preflight] FAIL: {line}")
+        problems.append(name)
+
+    xml_path = join(root, "metadata.xml")
+    if not exists(xml_path):
+        fail("metadata.xml", f"{xml_path} missing — cameras cannot be "
+             "calibrated; this is not a raw H36M root")
+        # an ingested tree is the most common mix-up
+        if any(os.path.isdir(join(root, d)) and
+               next(iter(glob_mod.glob(join(root, d, "*", "cam_*"))), None)
+               for d in os.listdir(root) if d.startswith("S")):
+            say("this looks like an INGESTED tree — run "
+                "`h36x-doctor --dedup-estimate <root>` on it instead")
+        return problems
+    try:
+        read_cam_parameters(xml_path, 1, 1)
+        say("metadata.xml parses; w0 calibration block present")
+    except Exception as e:  # noqa: BLE001
+        fail("metadata.xml", f"calibration parse failed: {e}")
+        return problems
+
+    subjects = [s for s in SUBJECTS_ORDER
+                if os.path.isdir(join(root, f"S{s}"))]
+    missing_subj = [s for s in SUBJECTS_ORDER if s not in subjects]
+    if not subjects:
+        fail("subjects", "no S*/ subject directories found")
+        return problems
+    say(f"subjects present: {' '.join(f'S{s}' for s in subjects)}"
+        + (f" (missing from the official set: "
+           f"{' '.join(f'S{s}' for s in missing_subj)})" if missing_subj
+           else " (full official set)"))
+
+    try:
+        import spacepy  # noqa: F401
+
+        have_spacepy = True
+    except ImportError:
+        have_spacepy = False
+
+    def _idents(pattern):
+        out = {}
+        for p in glob_mod.glob(pattern):
+            parts = os.path.basename(p).rsplit(".", 2)
+            if len(parts) == 3:
+                out[parts[1]] = p
+        return out
+
+    def _pose_len(path_2d) -> int:
+        """Frame count of one pose file without jointing (cheap header-ish
+        read; npz decompresses one array)."""
+        if path_2d.endswith(".cdf"):
+            for alt in (path_2d[:-4] + ".npz", path_2d[:-4] + ".npy"):
+                if exists(alt):
+                    path_2d = alt
+                    break
+        if path_2d.endswith(".cdf"):
+            if not have_spacepy:
+                return -1
+            from spacepy import pycdf
+
+            return int(pycdf.CDF(path_2d)["Pose"].shape[1])
+        if path_2d.endswith(".npz"):
+            with np.load(path_2d) as z:
+                arr = z[z.files[0]]
+            return int(arr.shape[1] if arr.ndim == 3 else arr.shape[0])
+        arr = np.load(path_2d, mmap_mode="r")
+        return int(arr.shape[1] if arr.ndim == 3 else arr.shape[0])
+
+    cells = 0          # ingestable (sequence, camera) cells with video
+    cells_no_video = 0
+    cdf_only = 0       # pose files readable only via spacepy
+    seq_total = 0
+    seq_missing = []
+    clips_total = 0
+    frames_total = 0
+    unknown_len = 0
+    for sbj in subjects:
+        for action_id in range(1, 16):
+            for trial_id in (1, 2):
+                seq_name = read_action_name(xml_path, sbj, action_id,
+                                            trial_id)
+                if seq_name is None:
+                    continue
+                if sbj == 11 and "Phoning 2" in seq_name:
+                    continue  # official corrupt sequence (ingest skips it)
+                seq_total += 1
+                videos = _idents(join(root, f"S{sbj}", "Videos",
+                                      f"{seq_name}.*mp4"))
+                p2d = {}
+                for ext in ("npy", "npz", "cdf"):
+                    p2d.update(_idents(join(
+                        root, f"S{sbj}", "MyPoseFeatures/D2_Positions",
+                        f"{seq_name}.*{ext}")))
+                p3d = {}
+                for ext in ("npy", "npz", "cdf"):
+                    p3d.update(_idents(join(
+                        root, f"S{sbj}", "MyPoseFeatures/D3_Positions_mono",
+                        f"{seq_name}.*{ext}")))
+                idents = sorted(set(videos) | set(p2d) | set(p3d))
+                # same condition ingest() warns on: positional assignment
+                # is only ambiguous when cameras are missing
+                if (idents and not set(idents) <= set(H36M_CAMERA_SERIALS)
+                        and len(idents) < 4):
+                    say(f"WARNING S{sbj} {seq_name!r}: only {len(idents)} "
+                        f"non-official camera identifiers {idents} — ingest "
+                        "falls back to positional assignment, which may "
+                        "pair poses with the wrong calibration")
+                got_any = False
+                for serial in (idents if idents else []):
+                    if serial not in p2d or serial not in p3d:
+                        continue
+                    for path in (p2d[serial], p3d[serial]):
+                        if path.endswith(".cdf") and not (
+                                exists(path[:-4] + ".npz")
+                                or exists(path[:-4] + ".npy")):
+                            cdf_only += 1
+                    if serial in videos:
+                        cells += 1
+                        got_any = True
+                        n = _pose_len(p2d[serial])
+                        if n < 0:
+                            unknown_len += 1
+                        else:
+                            usable = (n + frame_skip - 1) // frame_skip
+                            c = max(0, (usable - seq_len) // stride + 1)
+                            clips_total += c
+                            frames_total += n
+                    else:
+                        cells_no_video += 1
+                if not got_any:
+                    seq_missing.append(f"S{sbj}/{seq_name}")
+
+    official_cells = 0
+    for sbj in subjects:
+        n_seq = sum(1 for a in range(1, 16) for t in (1, 2)
+                    if read_action_name(xml_path, sbj, a, t) is not None
+                    and not (sbj == 11 and "Phoning 2" in
+                             (read_action_name(xml_path, sbj, a, t) or "")))
+        official_cells += n_seq * 4
+    say(f"sequences: {seq_total} mapped; ingestable (sequence, camera) "
+        f"cells with video+poses: {cells}/{official_cells}"
+        + (f"; {cells_no_video} cells have poses but no video (clip scans "
+           "skip them)" if cells_no_video else ""))
+    if seq_missing:
+        say(f"{len(seq_missing)} sequences have NO complete camera: "
+            + ", ".join(seq_missing[:6])
+            + (" ..." if len(seq_missing) > 6 else ""))
+    if cells == 0:
+        fail("cells", "no ingestable (sequence, camera) cells — check the "
+             "Videos/ and MyPoseFeatures/ layout")
+        return problems
+
+    if cdf_only:
+        if have_spacepy:
+            say(f"{cdf_only} pose files are CDF-only (spacepy present: ok; "
+                "consider pre-converting with h36x.data.ingest.cdf_to_npz "
+                "for spacepy-free machines)")
+        else:
+            fail("cdf", f"{cdf_only} pose files are CDF-only and spacepy "
+                 "is ABSENT here — pre-convert on a spacepy machine: "
+                 "python -c 'from h36x.data.ingest import cdf_to_npz; ...' "
+                 "(writes sibling .npz files ingest/preflight can read)")
+    else:
+        say("all pose files readable in this environment "
+            f"(spacepy {'present' if have_spacepy else 'absent, not needed'})")
+
+    if unknown_len:
+        known = cells - unknown_len
+        if known > 0:  # extrapolate the forecast over unreadable files
+            scale = cells / known
+            say(f"{unknown_len} pose files unreadable without spacepy — "
+                f"clip forecast extrapolated x{scale:.2f}")
+            clips_total = int(clips_total * scale)
+            frames_total = int(frames_total * scale)
+
+    # --- forecasts ---------------------------------------------------------
+    dflt = ExtractConfig()
+    n_vars = 4
+    feat_bytes = 2 if save_fp16 else 4
+    row_bytes = seq_len * (2048 * feat_bytes + 17 * 5 * 4) + 9 * 4
+    store_gb = clips_total * n_vars * row_bytes / 2**30
+    pool_clip_bytes = n_vars * seq_len * (2048 * 4 + 17 * 5 * 4) + 9 * 4
+    pool_unbounded_gb = dflt.shuffle_pool * pool_clip_bytes / 2**30
+    pool_bound_gb = (min(pool_unbounded_gb, dflt.shuffle_pool_gb)
+                     if dflt.shuffle_pool_gb else pool_unbounded_gb)
+    est_s = clips_total * seq_len / max(rate_cfps, 1.0)
+    say(f"forecast: {clips_total} clips ({frames_total} raw frames) x "
+        f"{n_vars} variants = {clips_total * n_vars} rows; store "
+        f"~{store_gb:.1f} GiB {'fp16' if save_fp16 else 'fp32'}"
+        + ("" if save_fp16 else
+           f" (~{store_gb / 2 + clips_total * n_vars * seq_len * 17 * 5 * 4 / 2**31:.1f} GiB with --save-fp16)"))
+    say(f"forecast: shuffle-pool host RAM ~{pool_bound_gb:.1f} GiB "
+        f"(pool {dflt.shuffle_pool} clips would hold "
+        f"{pool_unbounded_gb:.1f} GiB unbounded; --shuffle-pool-gb "
+        f"{dflt.shuffle_pool_gb} caps it); add ~2-3 GiB decode/writer "
+        "headroom (DESIGN.md 'Shuffle pool host RAM')")
+    say(f"forecast: extraction ~{est_s / 60:.0f} min/chip at "
+        f"{rate_cfps:.0f} clip-frames/s (benched default mode; "
+        "--jitter-key video + --crop-scope video is ~3.3x faster, "
+        "DESIGN.md 'Jitter re-keying')")
+    say("launch plan:")
+    say(f"  1. h36x-ingest --source-dir {root} --out-dir <ingested>")
+    say("  2. h36x-doctor --dedup-estimate <ingested>   "
+        "(pick --crop-scope/--jitter-key)")
+    say(f"  3. h36x-extract --root <ingested> --out <features> "
+        f"--augment true --seq-len {seq_len} --stride {stride} "
+        f"--frame-skip {frame_skip}"
+        + (" --save-fp16 true" if save_fp16 else "")
+        + " --verify-after true")
+    say("  4. h36x-train --train-root <features> --train-subjects 1 5 6 7 8 "
+        "--val-subjects 9 --outdir <runs>")
+    return problems
+
+
 def _all_subjects(root):
     import os
     import re
@@ -357,6 +604,16 @@ def main(argv=None):
     p.add_argument("--dedup-estimate", default="",
                    help="ingested clip tree: predict the unique-frame "
                         "scheduler's dedup ratio from pose data (no decode)")
+    p.add_argument("--preflight", default="",
+                   help="raw H36M drop: dry-validate layout/cameras/pose "
+                        "readability, forecast clips/store/RAM/time, and "
+                        "print the exact stage commands (no decode, no "
+                        "hours burned on a broken tree)")
+    p.add_argument("--save-fp16", action="store_true",
+                   help="preflight: forecast the fp16 store size")
+    p.add_argument("--rate", type=float, default=9000.0,
+                   help="preflight: clip-frames/s/chip for the time "
+                        "forecast (default: the benched default mode)")
     p.add_argument("--seq-len", type=int, default=40)
     p.add_argument("--stride", type=int, default=5)
     p.add_argument("--frame-skip", type=int, default=2)
@@ -387,6 +644,12 @@ def main(argv=None):
                             args.frame_skip),
             problems,
         )
+
+    if args.preflight:
+        print(f"  preflight: raw H36M drop {args.preflight}")
+        problems += run_preflight(
+            args.preflight, args.seq_len, args.stride, args.frame_skip,
+            save_fp16=args.save_fp16, rate_cfps=args.rate)
 
     if problems:
         raise SystemExit(f"doctor found problems: {', '.join(problems)}")

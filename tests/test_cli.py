@@ -343,5 +343,92 @@ class TestDoctorCLI:
         # re-keyed jitter is cached too: 3*112/(3*40) = 2.8x
         assert "--jitter-key video|frame -> 2.80x" in out
 
+    def test_preflight_happy_raw_tree(self, tmp_path, rng, capsys):
+        """--preflight on a complete synthetic raw drop: counts every
+        ingestable (sequence, camera) cell, forecasts clips/store/RAM/time
+        from the pose lengths, prints the launch plan, exits 0."""
+        from h36x.cli.doctor import main
+        from tests.test_ingest import _write_metadata_xml
+
+        _write_metadata_xml(tmp_path / "metadata.xml", rng)
+        sbj = 1
+        for trial in (1, 2):
+            seq = f"Seq_2_{trial}_S{sbj}"
+            vids = tmp_path / f"S{sbj}" / "Videos"
+            p2 = tmp_path / f"S{sbj}" / "MyPoseFeatures" / "D2_Positions"
+            p3 = tmp_path / f"S{sbj}" / "MyPoseFeatures" / "D3_Positions_mono"
+            for d in (vids, p2, p3):
+                d.mkdir(parents=True, exist_ok=True)
+            for cam in range(1, 5):
+                (vids / f"{seq}.{cam}.mp4").write_bytes(b"fakemp4")
+                np.savez_compressed(
+                    p2 / f"{seq}.{cam}.npz",
+                    Pose=rng.normal(size=(1, 10, 64)).astype(np.float32))
+                np.savez_compressed(
+                    p3 / f"{seq}.{cam}.npz",
+                    Pose=rng.normal(size=(1, 10, 96)).astype(np.float32))
+        main(["--preflight", str(tmp_path),
+              "--seq-len", "4", "--stride", "2", "--frame-skip", "2"])
+        out = capsys.readouterr().out
+        assert "metadata.xml parses" in out
+        assert "subjects present: S1" in out
+        # 8 complete cells; official grid for 1 subject = 15x2x4 = 120
+        assert "cells with video+poses: 8/120" in out
+        assert "all pose files readable" in out
+        # 10 frames -> 5 subsampled -> (5-4)//2+1 = 1 clip per cell
+        assert "forecast: 8 clips (80 raw frames) x 4 variants = 32 rows" in out
+        assert "shuffle-pool host RAM" in out
+        assert "h36x-ingest --source-dir" in out
+        assert "h36x-extract --root" in out
+        assert "all required checks passed" in out
+
+    def test_preflight_fails_without_metadata(self, tmp_path, capsys):
+        from h36x.cli.doctor import main
+
+        (tmp_path / "S1").mkdir()
+        with pytest.raises(SystemExit, match="metadata.xml"):
+            main(["--preflight", str(tmp_path)])
+
+    def test_preflight_fails_on_cdf_only_without_spacepy(self, tmp_path, rng,
+                                                         capsys):
+        """CDF-only pose files with spacepy absent must FAIL loudly with the
+        cdf_to_npz instruction — before hours are burned, not nine layers
+        into the ingest."""
+        pytest.importorskip("cv2")
+        try:
+            import spacepy  # noqa: F401
+
+            pytest.skip("spacepy present; the gate cannot fire here")
+        except ImportError:
+            pass
+        from h36x.cli.doctor import main
+        from tests.test_ingest import _write_metadata_xml
+
+        _write_metadata_xml(tmp_path / "metadata.xml", rng)
+        seq = "Seq_2_1_S1"
+        vids = tmp_path / "S1" / "Videos"
+        p2 = tmp_path / "S1" / "MyPoseFeatures" / "D2_Positions"
+        p3 = tmp_path / "S1" / "MyPoseFeatures" / "D3_Positions_mono"
+        for d in (vids, p2, p3):
+            d.mkdir(parents=True, exist_ok=True)
+        for cam in range(1, 5):
+            (vids / f"{seq}.{cam}.mp4").write_bytes(b"fakemp4")
+            (p2 / f"{seq}.{cam}.cdf").write_bytes(b"\x00" * 64)
+            (p3 / f"{seq}.{cam}.cdf").write_bytes(b"\x00" * 64)
+        with pytest.raises(SystemExit, match="cdf"):
+            main(["--preflight", str(tmp_path),
+                  "--seq-len", "4", "--stride", "2"])
+        out = capsys.readouterr().out
+        assert "cdf_to_npz" in out
+
+    def test_preflight_fails_with_no_cells(self, tmp_path, rng):
+        from h36x.cli.doctor import main
+        from tests.test_ingest import _write_metadata_xml
+
+        _write_metadata_xml(tmp_path / "metadata.xml", rng)
+        (tmp_path / "S1").mkdir()  # subject dir but no Videos/poses
+        with pytest.raises(SystemExit, match="cells"):
+            main(["--preflight", str(tmp_path)])
+
         with pytest.raises(SystemExit, match="problems"):
             main(["--dedup-estimate", str(tmp_path / "empty")])
