@@ -1,13 +1,23 @@
 """Training-loop throughput benchmark: full epochs over a synthetic shard
 store (host gather + prefetch + sharded jit steps + metric drain), wall clock.
 
-Usage: python -m benchmarks.train_bench [--clips 512] [--epochs 2]
-       [--batch-size 32] [--latent 1024]
+Emits ONE JSON line (the training counterpart of bench.py's extraction
+headline): steady-state clips/s, clip-frames/s and epochs/hour from
+fit()'s own metrics.jsonl epoch records — epoch 1 carries the jit compile
+and is excluded — plus the feed-vs-step decomposition per epoch (the
+per-phase timers fit records) naming the measured bottleneck. Reference
+hot loop being measured: /root/reference/src/train.py:126-213.
+
+Usage: python -m benchmarks.train_bench [--clips 512] [--epochs 4]
+       [--batch-size 32] [--latent 1024] [--feed-dtype bfloat16]
+       [--out results.json]
 """
 
 import argparse
+import json
 import tempfile
 import time
+from pathlib import Path
 
 from h36x.config import TrainConfig
 from h36x.data.features import FeatureClipDataset
@@ -22,7 +32,9 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--clips", type=int, default=512)
     p.add_argument("--seq-len", type=int, default=40)
-    p.add_argument("--epochs", type=int, default=2)
+    p.add_argument("--epochs", type=int, default=4)
+    p.add_argument("--out", default="",
+                   help="also write the JSON line to this path")
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--latent", type=int, default=1024)
     p.add_argument("--steps-per-dispatch", type=int, default=1)
@@ -72,12 +84,53 @@ def main(argv=None):
         t0 = time.perf_counter()
         fit(cfg, train_set, val_set, train_sampler, val_sampler)
         dt = time.perf_counter() - t0
-        n_steps = args.epochs * (len(train_set) // args.batch_size)
-        frames = n_steps * args.batch_size * args.seq_len
-        print(
-            f"\nE2E training: {dt:.1f}s for {args.epochs} epochs "
-            f"({n_steps} steps) -> {frames/dt:.0f} clip-frames/s incl. eval"
-        )
+        steps_per_epoch = len(train_set) // args.batch_size
+        clips_per_epoch = steps_per_epoch * args.batch_size
+
+        rows = [json.loads(l) for l in
+                (Path(runs) / "metrics.jsonl").read_text().splitlines()]
+        # steady state: epoch 1 pays the jit compile (30-300 s on the
+        # tunnel); everything after is the number that matters for an
+        # hours-long job
+        steady = rows[1:] if len(rows) > 1 else rows
+        epoch_s = [r["epoch_seconds"] for r in steady]
+        data_s = [r.get("train_data_s") or 0.0 for r in steady]
+        step_s = [r.get("train_step_s") or 0.0 for r in steady]
+        drain_s = [r.get("train_drain_s") or 0.0 for r in steady]
+        mean = lambda xs: sum(xs) / max(len(xs), 1)  # noqa: E731
+        ep = mean(epoch_s)
+        feed, step = mean(data_s), mean(step_s)
+        result = {
+            "metric": "train_e2e_clip_frames_per_s",
+            "value": round(clips_per_epoch * args.seq_len / ep, 1),
+            "unit": "clip-frames/s",
+            "clips_per_s": round(clips_per_epoch / ep, 2),
+            "epochs_per_hour": round(3600.0 / ep, 2),
+            "steady_epoch_s": round(ep, 3),
+            "epochs_measured": len(steady),
+            "compile_epoch_s": round(rows[0]["epoch_seconds"], 3),
+            "feed_s_per_epoch": round(feed, 3),
+            "step_s_per_epoch": round(step, 3),
+            "drain_s_per_epoch": round(mean(drain_s), 3),
+            # eval + checkpointing + logging are the remainder
+            "other_s_per_epoch": round(
+                max(ep - feed - step - mean(drain_s), 0.0), 3),
+            # dispatch is async: queued device work that outruns the host
+            # lands in the end-of-epoch drain, so device wait = step+drain
+            "bottleneck": ("feed" if feed > step + mean(drain_s)
+                           else "step"),
+            "config": {
+                "clips": args.clips, "seq_len": args.seq_len,
+                "batch_size": args.batch_size, "latent": args.latent,
+                "steps_per_dispatch": args.steps_per_dispatch,
+                "feed_dtype": args.feed_dtype, "epochs": args.epochs,
+            },
+            "wall_s_total": round(dt, 1),
+        }
+        line = json.dumps(result)
+        print("\n" + line)
+        if args.out:
+            Path(args.out).write_text(line + "\n")
 
 
 if __name__ == "__main__":

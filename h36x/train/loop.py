@@ -235,7 +235,11 @@ def train_epoch(train_step, state, dataset, sampler, sharding, rng, log_every=50
         )
     if is_main_process():
         print("[Train timing]\n" + timers.summary(n), flush=True)
-    return state, {k: v / max(n, 1) for k, v in totals.items()}, rng
+    means = {k: v / max(n, 1) for k, v in totals.items()}
+    # phase totals ride along for metrics.jsonl (feed-vs-step decomposition
+    # per epoch; benchmarks/train_bench.py names the bottleneck from these)
+    means["_timing"] = {k: round(v, 4) for k, v in timers.totals.items()}
+    return state, means, rng
 
 
 def evaluate(eval_step, params, dataset, sampler, sharding):
@@ -554,6 +558,9 @@ def fit(
                     "val_mpjpe": va["mpjpe"],
                     "val_bone": va.get("bone"),
                     "epoch_seconds": time.perf_counter() - t0,
+                    "train_data_s": tr.get("_timing", {}).get("data"),
+                    "train_step_s": tr.get("_timing", {}).get("step"),
+                    "train_drain_s": tr.get("_timing", {}).get("drain"),
                 },
             )
 
