@@ -109,11 +109,11 @@ class PoseDotDataset:
     video_joints2d / __getitem__) — see tests/test_dedup.py.
     """
 
-    TRAIN_SUBJECT, VAL_SUBJECT, DROP_SUBJECT = 1, 2, 3
+    TRAIN_SUBJECT, VAL_SUBJECT, DROP_SUBJECT, TEST_SUBJECT = 1, 2, 3, 4
 
     def __init__(self, n_videos=6, n_sub=72, seq_len=8, stride=2, seed=0,
                  split=48, step_mm=28.0, base_xy=900.0, smooth=0.7,
-                 static_bg=False):
+                 static_bg=False, test_split=None):
         from h36x.data.clips import ClipIndex
 
         self.seq_len = seq_len
@@ -145,13 +145,20 @@ class PoseDotDataset:
                    "k": np.zeros(5), "rt": np.eye(3), "t": np.zeros(3)}
             for start in range(0, n_sub - seq_len + 1, stride):
                 end = start + seq_len
-                # temporal split: 'subject' encodes the role (see class doc)
+                # temporal split: 'subject' encodes the role (see class
+                # doc). With test_split set, a third TEST region follows
+                # the val region — checkpoint selection (val) and the
+                # experiment's evaluation (test) then never share clips
+                # (the round-4 capability probe's selection confound).
                 if end <= split:
                     subject = self.TRAIN_SUBJECT
-                elif start >= split:
+                elif start >= split and (test_split is None
+                                         or end <= test_split):
                     subject = self.VAL_SUBJECT
+                elif test_split is not None and start >= test_split:
+                    subject = self.TEST_SUBJECT
                 else:
-                    subject = self.DROP_SUBJECT  # straddles the boundary
+                    subject = self.DROP_SUBJECT  # straddles a boundary
                 self.clips.append(ClipIndex(
                     video_path=f"posedot_{v}.mp4", gt_path=f"posedot_{v}.pkl",
                     subject=subject, action=f"Walk_v{v}", cam="cam_0",
@@ -207,6 +214,9 @@ def build_store(root, ds, jitter_key: str, doubled: bool):
         out=str(root), seq_len=ds.seq_len, resize=32, batch_size=8,
         num_workers=2, augment=True, shard_size=8, shuffle_pool=256,
         shuffle_seed=1, jitter_key=jitter_key,
+        # pinned: the experiment manipulates ONLY the jitter keying; the
+        # round-5 'auto' default would add a crop-scope change on top
+        crop_scope="clip",
     )
     orig_fn = dedup_mod.sample_jitter_params
     if doubled:
@@ -252,14 +262,14 @@ def assert_only_cjitter_differs(roots):
 
 # --- training ----------------------------------------------------------------
 
-def harness_train_cfg(store, outdir, seed: int, epochs: int):
+def harness_train_cfg(store, outdir, seed: int, epochs: int, seq_len: int = 8):
     """The synthetic-harness TrainConfig shared by this experiment and
     phase2_value_experiment (one source so the harnesses cannot drift)."""
     from h36x.config import TrainConfig
 
     cfg = TrainConfig()
     cfg.outdir = str(outdir)
-    cfg.data.seq_len = 8
+    cfg.data.seq_len = seq_len
     cfg.model.feature_dim = 2048
     cfg.model.latent_dim = 128
     cfg.model.num_blocks = 1

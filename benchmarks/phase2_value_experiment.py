@@ -62,7 +62,7 @@ Gates (SE over seeds, as in jitter_key_experiment):
   value     phase2 vs persist motion_err at t < -2 → "beats-persistence".
 Absolute future MPJPE per arm is also reported for context.
 
-Two committed configurations (both JSONs of record):
+Committed configurations (all JSONs of record):
   default protocol — per-frame random backgrounds (as the jitter harness),
       evaluate the LAST checkpoint: measures the subsystem exactly as the
       training CLI leaves it on a data-poor noisy harness;
@@ -74,12 +74,21 @@ Two committed configurations (both JSONs of record):
       model selection. Answers "CAN f_AR learn dynamics under favorable
       conditions?" — the existence question the noisy result cannot
       separate from harness limits.
+  reference geometry (round 5) — --geometry reference: the reference's
+      config of record (T=40 clips, INPUT_LEN=15 / PRED_LEN=25,
+      CURRICULUM_STEPS=25, /root/reference/src/config.py:8-11,21) on long
+      static-bg videos with a THREE-way temporal split: the loop's best
+      checkpoint is selected on the val region and the experiment
+      evaluates on a later, disjoint test region — removing the round-4
+      capability probe's selection confound (best-ckpt picked on the same
+      clips it was scored on).
 
-Pure CPU (forced 8-device virtual mesh); ~60 min at defaults.
+Pure CPU (forced 8-device virtual mesh); ~60 min at defaults,
+several hours at --geometry reference.
 
 Usage: python -m benchmarks.phase2_value_experiment [--seeds 3]
        [--epochs1 30] [--epochs2 25] [--static-bg] [--ckpt best]
-       [--videos 12] [--out results.json]
+       [--videos 12] [--geometry default|reference] [--out results.json]
 """
 
 from __future__ import annotations
@@ -100,18 +109,31 @@ STEP_MM, BASE_XY, SMOOTH = 35.0, 600.0, 0.9  # livelier, more
 # correlated across the 3-step horizon so there is predictable motion for
 # an AR head to learn (at 0.7 the velocity oracle beat persistence by <10%)
 
+# --geometry reference: the reference's curriculum config of record
+# (/root/reference/src/config.py:8-11,21 — INPUT_LEN=15, PRED_LEN=25,
+# CURRICULUM_STEPS=25 on 40-frame clips). Long videos give a 3-way
+# temporal split (train | val for the loop's selection | test for the
+# experiment's scores) with full 40-frame regions between boundaries.
+GEOMETRIES = {
+    "default": dict(seq_len=8, input_len=5, pred_len=3, curriculum=6,
+                    n_sub=72, stride=2, split=48, test_split=None),
+    "reference": dict(seq_len=40, input_len=15, pred_len=25, curriculum=25,
+                      n_sub=260, stride=2, split=120, test_split=190),
+}
 
-def _train(store, outdir, seed, epochs, phase, init_from=""):
+
+def _train(store, outdir, seed, epochs, phase, init_from="", *,
+           seq_len=8, input_len=INPUT_LEN, pred_len=PRED_LEN, curriculum=6):
     from benchmarks.jitter_key_experiment import (harness_fit_inputs,
                                                   harness_train_cfg)
     from h36x.train.loop import fit
 
-    cfg = harness_train_cfg(store, outdir, seed, epochs)
+    cfg = harness_train_cfg(store, outdir, seed, epochs, seq_len=seq_len)
     if phase == 2:
         cfg.optim.phase = 2
-        cfg.optim.input_len = INPUT_LEN
-        cfg.optim.pred_len = PRED_LEN
-        cfg.optim.curriculum_steps = 6
+        cfg.optim.input_len = input_len
+        cfg.optim.pred_len = pred_len
+        cfg.optim.curriculum_steps = curriculum
         cfg.init_from = init_from
     train_set, val_set, train_sampler, val_sampler = \
         harness_fit_inputs(store, cfg, seed)
@@ -119,18 +141,20 @@ def _train(store, outdir, seed, epochs, phase, init_from=""):
     return Path(outdir)
 
 
-def _val_batches(store, batch=16):
+def _val_batches(store, batch=16, subject=None):
     from h36x.data.features import FeatureClipDataset
     from h36x.data.sampler import SequentialBatchSampler
 
-    val_set = FeatureClipDataset(store, subjects=[PoseDotDataset.VAL_SUBJECT])
+    subject = PoseDotDataset.VAL_SUBJECT if subject is None else subject
+    val_set = FeatureClipDataset(store, subjects=[subject])
     sampler = SequentialBatchSampler(val_set, batch_size=batch)
     for idx in sampler:
         feats, j3d = val_set.get_batch(list(idx))[:2]
         yield np.asarray(feats), np.asarray(j3d)
 
 
-def evaluate(store, params_p1, params_p2, shared_phi=True):
+def evaluate(store, params_p1, params_p2, shared_phi=True, *,
+             input_len=INPUT_LEN, pred_len=PRED_LEN, eval_subject=None):
     """Motion + absolute future error for every arm over the full val set.
 
     Besides the multi-step rollout arms, a one-step decomposition is
@@ -152,7 +176,7 @@ def evaluate(store, params_p1, params_p2, shared_phi=True):
     from h36x.models.phd import PHDFor3DJoints
     from h36x.serve import make_rollout_fn
 
-    rollout = make_rollout_fn(steps=PRED_LEN, groups=32)
+    rollout = make_rollout_fn(steps=pred_len, groups=32)
     rollout1 = make_rollout_fn(steps=1, groups=32)
     model = PHDFor3DJoints(latent_dim=128, feature_dim=2048,
                            number_blocks=1)
@@ -164,25 +188,25 @@ def evaluate(store, params_p1, params_p2, shared_phi=True):
     sums.update({f"abs_{k}": 0.0 for k in arms})
     sums.update({"phi_fAR": 0.0, "phi_copy": 0.0, "phi_fAR_raw": 0.0})
     rows = 0
-    for feats, j3d in _val_batches(store):
-        ctx_feats = jnp.asarray(feats[:, :INPUT_LEN])
-        fut_gt = j3d[:, INPUT_LEN:INPUT_LEN + PRED_LEN]
-        last_gt = j3d[:, INPUT_LEN - 1:INPUT_LEN]
+    for feats, j3d in _val_batches(store, subject=eval_subject):
+        ctx_feats = jnp.asarray(feats[:, :input_len])
+        fut_gt = j3d[:, input_len:input_len + pred_len]
+        last_gt = j3d[:, input_len - 1:input_len]
         gt_motion = fut_gt - last_gt
         n = feats.shape[0]
 
         # one-step arms: real features up to t-1 (teacher-forced context),
         # a single AR step predicting frame t, averaged over the window
         m1_p2, m1_persist = 0.0, 0.0
-        for t in range(INPUT_LEN, INPUT_LEN + PRED_LEN):
+        for t in range(input_len, input_len + pred_len):
             ctx1, fut1 = rollout1(params_p2, jnp.asarray(feats[:, :t]))
             step_pred = np.asarray(fut1)[:, 0] - np.asarray(ctx1)[:, -1]
             step_gt = j3d[:, t] - j3d[:, t - 1]
             m1_p2 += float(np.mean(np.linalg.norm(step_pred - step_gt,
                                                   axis=-1)))
             m1_persist += float(np.mean(np.linalg.norm(step_gt, axis=-1)))
-        sums["motion_phase2_1step"] += n * m1_p2 / PRED_LEN
-        sums["motion_persist_1step"] += n * m1_persist / PRED_LEN
+        sums["motion_phase2_1step"] += n * m1_p2 / pred_len
+        sums["motion_persist_1step"] += n * m1_persist / pred_len
 
         # φ-space one-step errors over the future window (teacher-forced
         # full-length forward; each arm scored in its own phi space)
@@ -191,9 +215,9 @@ def evaluate(store, params_p1, params_p2, shared_phi=True):
         if rows == 0 and shared_phi:
             np.testing.assert_allclose(np.asarray(phi), np.asarray(phi_p1),
                                        rtol=0, atol=1e-5)
-        win = slice(INPUT_LEN, INPUT_LEN + PRED_LEN)
+        win = slice(input_len, input_len + pred_len)
         phi_w = np.asarray(phi)[:, win]
-        copy_w = np.asarray(phi)[:, INPUT_LEN - 1:INPUT_LEN + PRED_LEN - 1]
+        copy_w = np.asarray(phi)[:, input_len - 1:input_len + pred_len - 1]
         sums["phi_fAR"] += n * float(np.mean(np.linalg.norm(
             np.asarray(phi_hat_p2)[:, win] - phi_w, axis=-1)))
         sums["phi_fAR_raw"] += n * float(np.mean(np.linalg.norm(
@@ -204,8 +228,8 @@ def evaluate(store, params_p1, params_p2, shared_phi=True):
 
         ctx_p2, fut_p2 = rollout(params_p2, ctx_feats)
         ctx_p1, fut_p1 = rollout(params_p1, ctx_feats)
-        vel_gt = last_gt - j3d[:, INPUT_LEN - 2:INPUT_LEN - 1]
-        horizon = np.arange(1, PRED_LEN + 1).reshape(1, PRED_LEN, 1, 1)
+        vel_gt = last_gt - j3d[:, input_len - 2:input_len - 1]
+        horizon = np.arange(1, pred_len + 1).reshape(1, pred_len, 1, 1)
 
         pred_motion = {
             "phase2": np.asarray(fut_p2) - np.asarray(ctx_p2)[:, -1:],
@@ -216,7 +240,7 @@ def evaluate(store, params_p1, params_p2, shared_phi=True):
         pred_abs = {
             "phase2": np.asarray(fut_p2),
             "phase1_raw": np.asarray(fut_p1),
-            "persist": np.repeat(np.asarray(ctx_p2)[:, -1:], PRED_LEN,
+            "persist": np.repeat(np.asarray(ctx_p2)[:, -1:], pred_len,
                                  axis=1),
             "velocity_gt": last_gt + vel_gt * horizon,
         }
@@ -309,15 +333,25 @@ def summarize(per_seed: dict, config: dict) -> dict:
 
 
 def run(seeds: int, epochs1: int, epochs2: int, videos: int,
-        workdir: Path, static_bg: bool = False, ckpt: str = "last") -> dict:
+        workdir: Path, static_bg: bool = False, ckpt: str = "last",
+        geometry: str = "default") -> dict:
     from h36x.train.checkpoint import load_params_only
 
+    geo = GEOMETRIES[geometry]
     template = _params_template()
     ds = PoseDotDataset(n_videos=videos, step_mm=STEP_MM, base_xy=BASE_XY,
-                        smooth=SMOOTH, static_bg=static_bg)
+                        smooth=SMOOTH, static_bg=static_bg,
+                        n_sub=geo["n_sub"], seq_len=geo["seq_len"],
+                        stride=geo["stride"], split=geo["split"],
+                        test_split=geo["test_split"])
     store = workdir / "store"
     print("[extract] building store", flush=True)
     build_store(store, ds, jitter_key="clip", doubled=False)
+
+    # with a test region the experiment scores clips the loop's best-ckpt
+    # selection never saw; otherwise (legacy 2-way split) scores = val
+    eval_subject = (PoseDotDataset.TEST_SUBJECT if geo["test_split"]
+                    else PoseDotDataset.VAL_SUBJECT)
 
     keys = [f"{pre}_{arm}" for pre in ("motion", "abs")
             for arm in ("phase2", "phase1_raw", "persist", "velocity_gt")]
@@ -325,22 +359,31 @@ def run(seeds: int, epochs1: int, epochs2: int, videos: int,
              "phi_fAR", "phi_copy", "phi_fAR_raw", "phi_ratio"]
     per_seed = {k: [] for k in keys}
     for seed in range(seeds):
-        out1 = _train(store, workdir / f"p1_s{seed}", seed, epochs1, phase=1)
+        out1 = _train(store, workdir / f"p1_s{seed}", seed, epochs1, phase=1,
+                      seq_len=geo["seq_len"])
         out2 = _train(store, workdir / f"p2_s{seed}", seed, epochs2,
-                      phase=2, init_from=str(out1 / "last.msgpack"))
+                      phase=2, init_from=str(out1 / "last.msgpack"),
+                      seq_len=geo["seq_len"], input_len=geo["input_len"],
+                      pred_len=geo["pred_len"], curriculum=geo["curriculum"])
         params_p1 = load_params_only(out1 / f"{ckpt}.msgpack", template)
         params_p2 = load_params_only(out2 / f"{ckpt}.msgpack", template)
         scores = evaluate(store, params_p1, params_p2,
-                          shared_phi=(ckpt == "last"))
+                          shared_phi=(ckpt == "last"),
+                          input_len=geo["input_len"],
+                          pred_len=geo["pred_len"],
+                          eval_subject=eval_subject)
         for k, v in scores.items():
             per_seed[k].append(v)
         print(f"[eval] seed={seed}: " + ", ".join(
             f"{k}={v:.5f}" for k, v in sorted(scores.items())), flush=True)
 
     config = {"seeds": seeds, "epochs1": epochs1, "epochs2": epochs2,
-              "videos": videos, "input_len": INPUT_LEN,
-              "pred_len": PRED_LEN, "step_mm": STEP_MM,
+              "videos": videos, "geometry": geometry,
+              "input_len": geo["input_len"],
+              "pred_len": geo["pred_len"], "seq_len": geo["seq_len"],
+              "curriculum_steps": geo["curriculum"], "step_mm": STEP_MM,
               "base_xy": BASE_XY, "smooth": SMOOTH, "clips": len(ds),
+              "eval_split": ("test" if geo["test_split"] else "val"),
               "static_bg": static_bg, "ckpt": ckpt}
     return summarize(per_seed, config)
 
@@ -358,6 +401,10 @@ def main(argv=None):
                     help="which saved checkpoint each arm evaluates; "
                          "'best' uses the loop's val-MPJPE model selection "
                          "(phase 2 selects on the AR-window metric)")
+    ap.add_argument("--geometry", choices=tuple(GEOMETRIES), default="default",
+                    help="'reference' = the reference config of record "
+                         "(T=40, 15+25, curriculum 25) with a disjoint "
+                         "test region for evaluation")
     ap.add_argument("--out", default="")
     ap.add_argument("--keep-workdir", default="")
     ap.add_argument("--recompute", default="", metavar="RESULTS_JSON",
@@ -384,7 +431,8 @@ def main(argv=None):
     work.mkdir(parents=True, exist_ok=True)
     try:
         out = run(args.seeds, args.epochs1, args.epochs2, args.videos, work,
-                  static_bg=args.static_bg, ckpt=args.ckpt)
+                  static_bg=args.static_bg, ckpt=args.ckpt,
+                  geometry=args.geometry)
     finally:
         if not args.keep_workdir:
             shutil.rmtree(work, ignore_errors=True)

@@ -222,13 +222,22 @@ class ExtractConfig:
     #   sequential per-video decode + content-addressed (frame, crop-box)
     #   feature cache; byte-identical store, ~2.4x less device work at the
     #   reference stride/seq_len when crop boxes are stable across windows
-    crop_scope: str = "clip"  # 'clip' = reference parity (box from the
-    #   clip's 40-frame joint window, src/dataset.py:395-400); 'video' =
-    #   one box per video (deviation: looser crop, guarantees full dedup)
-    jitter_key: str = "clip"  # color-jitter rng keying: 'clip' = reference
-    #   parity (one factor set per clip — jitter pass not dedupable);
-    #   'video'/'frame' = deviation modes making the jittered variant
-    #   deterministic per frame (dedupable; 8x total at stride 5)
+    crop_scope: str = "auto"  # 'auto' (round 5) = 'video' on the
+    #   unique-frame scheduler (PRODUCTION profile: one box per video,
+    #   looser crop, guarantees full dedup) and 'clip' on the per-clip
+    #   scheduler. 'clip' = strict reference parity (box from the clip's
+    #   40-frame joint window, src/dataset.py:395-400). The video/video
+    #   production profile is measured training-quality-neutral at a
+    #   pre-registered 10% non-inferiority margin
+    #   (benchmarks/jitter_key_experiment.py, DESIGN.md "Jitter
+    #   re-keying"); pass --crop-scope clip --jitter-key clip for
+    #   byte-level reference store semantics
+    jitter_key: str = "auto"  # color-jitter rng keying: 'auto' (round 5)
+    #   = 'video' on the unique-frame scheduler (PRODUCTION: jittered
+    #   variant deterministic per frame -> dedupable, 8x total at stride
+    #   5; 'frame' equivalent throughput) and 'clip' on the per-clip
+    #   scheduler. 'clip' = reference parity (one factor set per clip —
+    #   jitter pass not dedupable). Same evidence trail as crop_scope
     frames_per_dispatch: int = 0  # device batch rows for the dedup path;
     #   0 = auto (batch_size * seq_len * pixel-variants, one compiled shape)
 

@@ -375,9 +375,13 @@ def run_extract_dedup(cfg: ExtractConfig, dataset) -> dict:
         restore_resume_state,
         validate_extract_config,
     )
+    from h36x.extract.pipeline import resolve_extract_modes
     from h36x.extract.writer import AsyncWriter
 
     validate_extract_config(cfg)  # one validator for both schedulers
+    # direct callers may pass 'auto' sentinels; this scheduler's auto =
+    # the production profile (video/video)
+    cfg = resolve_extract_modes(cfg, production=True)
 
     out_root = Path(cfg.out)
     out_root.mkdir(parents=True, exist_ok=True)
@@ -599,6 +603,10 @@ def run_extract_dedup(cfg: ExtractConfig, dataset) -> dict:
         "backbone_frames": assembler.backbone_rows,
         "dedup_ratio": (legacy_rows / assembler.backbone_rows
                         if assembler.backbone_rows else 1.0),
+        # RESOLVED modes (the 'auto' sentinel never reaches this point) —
+        # what the store was actually built with
+        "crop_scope": cfg.crop_scope,
+        "jitter_key": cfg.jitter_key,
     }
     print(
         f"Done: {n_todo} clips x {n_vars} variants -> {shard_writer.shard_id} "

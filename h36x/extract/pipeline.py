@@ -348,24 +348,49 @@ def validate_extract_config(cfg) -> None:
     """
     _parse_partition(getattr(cfg, "partition", ""))
     for flag, allowed in (("partition_by", ("clip", "video")),
-                          ("crop_scope", ("clip", "video")),
-                          ("jitter_key", ("clip", "video", "frame"))):
+                          ("crop_scope", ("auto", "clip", "video")),
+                          ("jitter_key", ("auto", "clip", "video", "frame"))):
         val = getattr(cfg, flag, allowed[0])
         if val not in allowed:
             raise ValueError(
                 f"--{flag.replace('_', '-')} must be {'|'.join(allowed)}, "
                 f"got {val!r}")
     if not getattr(cfg, "dedup", True):
-        # the per-clip scheduler only implements the default semantics — a
-        # flag asking for a dedup-path mode must not silently degrade
+        # the per-clip scheduler only implements the reference semantics —
+        # an EXPLICIT flag asking for a dedup-path mode must not silently
+        # degrade ('auto' resolves to 'clip' on this scheduler)
         for flag, default in (("partition_by", "clip"),
                               ("crop_scope", "clip"), ("jitter_key", "clip")):
-            if getattr(cfg, flag, default) != default:
+            val = getattr(cfg, flag, default)
+            if val not in (default, "auto"):
                 raise ValueError(
-                    f"--{flag.replace('_', '-')}={getattr(cfg, flag)!r} "
+                    f"--{flag.replace('_', '-')}={val!r} "
                     "needs the unique-frame scheduler (a video-structured "
                     "dataset with --dedup); the per-clip scheduler only "
                     f"implements {flag}={default!r}")
+
+
+def resolve_extract_modes(cfg, production: bool):
+    """Resolve the 'auto' mode sentinels against the chosen scheduler.
+
+    'auto' (the round-5 default) means: the PRODUCTION profile
+    (crop_scope='video', jitter_key='video' — full dedup, measured
+    training-quality-neutral at a pre-registered 10% non-inferiority
+    margin, DESIGN.md "Jitter re-keying") on the unique-frame scheduler;
+    strict reference semantics ('clip'/'clip') on the per-clip scheduler,
+    which implements nothing else. Returns a new config; explicit values
+    pass through untouched, so `--crop-scope clip --jitter-key clip` is
+    byte-level reference store semantics on either scheduler.
+    """
+    import dataclasses
+
+    repl = {}
+    target = "video" if production else "clip"
+    if getattr(cfg, "crop_scope", "clip") == "auto":
+        repl["crop_scope"] = target
+    if getattr(cfg, "jitter_key", "clip") == "auto":
+        repl["jitter_key"] = target
+    return dataclasses.replace(cfg, **repl) if repl else cfg
 
 
 def make_progress_writer(progress_path, run_config, async_writer):
@@ -522,7 +547,9 @@ def run_extract(cfg: ExtractConfig, dataset: Optional[ClipDataset] = None) -> di
     ):
         from h36x.extract.dedup import run_extract_dedup
 
-        return run_extract_dedup(cfg, dataset)
+        return run_extract_dedup(resolve_extract_modes(cfg, production=True),
+                                 dataset)
+    cfg = resolve_extract_modes(cfg, production=False)  # auto -> 'clip'
     # guards: this scheduler only implements the default semantics — a flag
     # asking for a dedup-path mode must not silently degrade to them
     for flag, default in (("partition_by", "clip"), ("crop_scope", "clip"),

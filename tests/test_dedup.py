@@ -122,9 +122,13 @@ class FakeOverlapDataset:
 
 
 def _cfg(out, **kw):
+    # mode flags pinned to strict reference semantics: most tests here
+    # verify dedup-vs-legacy BYTE parity, which is defined at clip/clip
+    # (the round-5 'auto' default resolves to the video/video production
+    # profile on the dedup scheduler); mode tests override explicitly
     base = dict(out=str(out), seq_len=8, resize=16, batch_size=2,
                 num_workers=2, augment=True, shard_size=3, shuffle_pool=100,
-                shuffle_seed=1)
+                shuffle_seed=1, crop_scope="clip", jitter_key="clip")
     base.update(kw)
     return ExtractConfig(**base)
 
@@ -564,3 +568,75 @@ def test_store_invariant_to_dispatch_and_workers(tmp_path, fake_backbone):
             for a, b in zip(ref[key], rows[key]):
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                               err_msg=f"{tag} {key}")
+
+
+def test_auto_mode_sentinel_resolution(tmp_path, fake_backbone):
+    """The round-5 'auto' defaults resolve per scheduler: the PRODUCTION
+    profile (crop_scope='video', jitter_key='video' — full dedup) on the
+    unique-frame scheduler, strict reference semantics ('clip'/'clip') on
+    the per-clip scheduler. Explicit values pass through untouched, and an
+    explicit dedup-only mode still hard-errors on the per-clip path.
+    Deviation being defaulted: preprocess_resnet_features.py:287-297 /
+    dataset.py:395-400 (DESIGN.md 'Jitter re-keying')."""
+    from h36x.extract.pipeline import resolve_extract_modes
+
+    # unit: sentinel resolution (explicit values never touched)
+    cfg = ExtractConfig(out="x")
+    assert (cfg.crop_scope, cfg.jitter_key) == ("auto", "auto")
+    prod = resolve_extract_modes(cfg, production=True)
+    assert (prod.crop_scope, prod.jitter_key) == ("video", "video")
+    ref = resolve_extract_modes(cfg, production=False)
+    assert (ref.crop_scope, ref.jitter_key) == ("clip", "clip")
+    expl = resolve_extract_modes(
+        ExtractConfig(out="x", crop_scope="clip", jitter_key="frame"),
+        production=True)
+    assert (expl.crop_scope, expl.jitter_key) == ("clip", "frame")
+
+    # e2e, dedup scheduler: ExtractConfig defaults = the production
+    # profile. With drifting boxes (smooth=False) per-clip crops would NOT
+    # fully dedup, so full dedup here proves crop_scope resolved to
+    # 'video'; the backbone-frame count proves jitter re-keying too:
+    # 3 computed variants x n_sub unique frames x n_videos.
+    ds = FakeOverlapDataset(smooth=False)
+    cfg_auto = _cfg(tmp_path / "auto")
+    cfg_auto = ExtractConfig(**{**cfg_auto.__dict__,
+                                "crop_scope": "auto", "jitter_key": "auto"})
+    s = run_extract(cfg_auto, dataset=ds)
+    n_videos, n_sub = 2, 14
+    assert s["backbone_frames"] == 3 * n_sub * n_videos
+
+    # the summary reports the RESOLVED modes (never the sentinel) — the
+    # same resolved values flow into the resume-safety run_config
+    assert s["crop_scope"] == "video"
+    assert s["jitter_key"] == "video"
+
+    # byte parity with the explicitly-requested production profile
+    run_extract(_cfg(tmp_path / "explicit", crop_scope="video",
+                     jitter_key="video"), dataset=ds)
+    got, want = _rows(tmp_path / "auto"), _rows(tmp_path / "explicit")
+    assert got.keys() == want.keys()
+    for key in want:
+        for a, b in zip(want[key], got[key]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=str(key))
+
+    # e2e, per-clip scheduler: 'auto' resolves to reference semantics and
+    # matches an explicit clip/clip store byte-for-byte
+    s_legacy = run_extract(
+        ExtractConfig(**{**_cfg(tmp_path / "legacy_auto", dedup=False).__dict__,
+                         "crop_scope": "auto", "jitter_key": "auto"}),
+        dataset=ds)
+    assert s_legacy["n_clips"] == len(ds)
+    run_extract(_cfg(tmp_path / "legacy_expl", dedup=False), dataset=ds)
+    got = _rows(tmp_path / "legacy_auto")
+    want = _rows(tmp_path / "legacy_expl")
+    assert got.keys() == want.keys()
+    for key in want:
+        for a, b in zip(want[key], got[key]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=str(key))
+
+    # explicit dedup-only modes still refuse the per-clip scheduler
+    with pytest.raises(ValueError, match="unique-frame scheduler"):
+        run_extract(_cfg(tmp_path / "bad", dedup=False, jitter_key="frame"),
+                    dataset=ds)
