@@ -331,7 +331,7 @@ def _dedup_estimate(root, seq_len, stride, frame_skip):
 
 
 def run_preflight(root: str, seq_len: int, stride: int, frame_skip: int,
-                  save_fp16: bool = False, rate_cfps: float = 9000.0) -> list:
+                  save_fp16: bool = False, rate_cfps: float = 30000.0) -> list:
     """Dry-validate a raw H36M drop before hours are spent on it.
 
     Walks the raw layout the ingest stage expects (metadata.xml + per
@@ -559,9 +559,12 @@ def run_preflight(root: str, seq_len: int, stride: int, frame_skip: int,
         f"{dflt.shuffle_pool_gb} caps it); add ~2-3 GiB decode/writer "
         "headroom (DESIGN.md 'Shuffle pool host RAM')")
     say(f"forecast: extraction ~{est_s / 60:.0f} min/chip at "
-        f"{rate_cfps:.0f} clip-frames/s (benched default mode; "
-        "--jitter-key video + --crop-scope video is ~3.3x faster, "
-        "DESIGN.md 'Jitter re-keying')")
+        f"{rate_cfps:.0f} clip-frames/s (benched production default — "
+        "crop/jitter keyed per video; strict reference keying "
+        "--crop-scope clip --jitter-key clip is ~3.3x slower, "
+        "DESIGN.md 'Jitter re-keying'); e2e is decode/feed-bound below "
+        "this device bound unless workers keep up (DESIGN.md 'End-to-end "
+        "extraction')")
     say("launch plan:")
     say(f"  1. h36x-ingest --source-dir {root} --out-dir <ingested>")
     say("  2. h36x-doctor --dedup-estimate <ingested>   "
@@ -611,9 +614,11 @@ def main(argv=None):
                         "hours burned on a broken tree)")
     p.add_argument("--save-fp16", action="store_true",
                    help="preflight: forecast the fp16 store size")
-    p.add_argument("--rate", type=float, default=9000.0,
+    p.add_argument("--rate", type=float, default=30000.0,
                    help="preflight: clip-frames/s/chip for the time "
-                        "forecast (default: the benched default mode)")
+                        "forecast (default: the benched production-"
+                        "default device bound; pass the e2e rate your "
+                        "workers sustain for a wall-clock forecast)")
     p.add_argument("--seq-len", type=int, default=40)
     p.add_argument("--stride", type=int, default=5)
     p.add_argument("--frame-skip", type=int, default=2)

@@ -640,3 +640,46 @@ def test_auto_mode_sentinel_resolution(tmp_path, fake_backbone):
     with pytest.raises(ValueError, match="unique-frame scheduler"):
         run_extract(_cfg(tmp_path / "bad", dedup=False, jitter_key="frame"),
                     dataset=ds)
+
+
+def test_auto_default_refuses_resuming_reference_keyed_store(tmp_path,
+                                                             fake_backbone):
+    """A pre-round-5 store (strict clip/clip keying, recorded WITHOUT mode
+    keys) interrupted mid-run must not resume under the new 'auto' default
+    — that would mix video-keyed rows into a clip-keyed store. The guard
+    is the existing run_config mismatch rule; this pins that the default
+    flip actually trips it, and that re-running with the original explicit
+    flags still resumes cleanly."""
+    import dataclasses
+    import time as _time
+
+    class Flaky(FakeOverlapDataset):
+        def __init__(self, fail_at, **kw):
+            super().__init__(**kw)
+            self.fail_at = fail_at
+
+        def clip_annotations(self, i):
+            if self.fail_at is not None and i == self.fail_at:
+                raise RuntimeError("simulated annotation crash")
+            return super().clip_annotations(i)
+
+    cfg = _cfg(tmp_path / "out", shard_size=2, shuffle_pool=2,
+               frames_per_dispatch=12)  # clip/clip (pinned by _cfg)
+    with pytest.raises(RuntimeError, match="simulated annotation crash"):
+        run_extract(cfg, dataset=Flaky(fail_at=5))
+    progress = tmp_path / "out" / "progress.json"
+    for _ in range(50):
+        if progress.exists():
+            break
+        _time.sleep(0.1)
+    assert progress.exists()
+
+    auto_resume = dataclasses.replace(cfg, resume=True,
+                                      crop_scope="auto", jitter_key="auto")
+    with pytest.raises(ValueError, match="resume config mismatch"):
+        run_extract(auto_resume, dataset=Flaky(fail_at=None))
+
+    cfg.resume = True
+    summary = run_extract(cfg, dataset=Flaky(fail_at=None))
+    assert summary["n_clips"] == len(Flaky(fail_at=None))
+    assert (summary["crop_scope"], summary["jitter_key"]) == ("clip", "clip")
