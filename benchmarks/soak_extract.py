@@ -181,7 +181,15 @@ def _progress_stats(out_dir: Path) -> tuple:
         n = len(json.loads(p.read_text()).get("clips", []))
         return n, size
     except (OSError, json.JSONDecodeError):
-        return 0, 0
+        # finalize_store commits index.json then unlinks progress.json —
+        # a missing progress file on a finished store means ALL clips are
+        # committed, not zero (reading 0 here poisoned the rate curve
+        # with a negative second-half slope in the first soak run)
+        try:
+            idx = json.loads((out_dir / "index.json").read_text())
+            return len(idx.get("clips", [])), 0
+        except (OSError, json.JSONDecodeError):
+            return 0, 0
 
 
 def run_leg(cfg_dict: dict, expected_clips: int, kill_at_frac: float,
@@ -257,12 +265,17 @@ def verify_final(out_dir: Path, expected_clips: int) -> dict:
 def throughput_stats(legs: list, seq_len: int) -> dict:
     """Sustained rate from the committed-clip curve across all legs (resume
     leg's clock continues after the kill gap is removed)."""
-    # stitch: (cumulative wall within active legs, clips_committed)
+    # stitch: (cumulative wall within active legs, clips_committed),
+    # under a running-max envelope — committed clips never decrease, so
+    # any dip in the raw samples is a measurement artifact (a progress
+    # flush racing the reader, or the pre-fix completed-store zero)
     pts = []
     base_t = 0.0
+    hi = 0
     for leg in legs:
         for s in leg["samples"]:
-            pts.append((base_t + s["t_s"], s["clips_committed"]))
+            hi = max(hi, s["clips_committed"])
+            pts.append((base_t + s["t_s"], hi))
         base_t += leg["wall_s"]
     if len(pts) < 4:
         return {}
@@ -285,11 +298,34 @@ def throughput_stats(legs: list, seq_len: int) -> dict:
     }
 
 
+def recompute(results_path: str) -> dict:
+    """Recompute throughput_stats from a results JSON's stored samples
+    (in place) — the stats fix for runs recorded before the completed-
+    store zero-read was corrected; the raw samples were always good."""
+    path = Path(results_path)
+    result = json.loads(path.read_text())
+    legs = [dict(leg, samples=result["samples"][leg["label"]])
+            for leg in result["legs"]]
+    # the envelope cannot recover the final index commit from pre-fix
+    # samples (they read 0 after completion); the verified index count is
+    # the ground truth for the last point
+    if result.get("final", {}).get("coverage_ok"):
+        legs[-1]["samples"][-1]["clips_committed"] = max(
+            legs[-1]["samples"][-1]["clips_committed"],
+            result["final"]["index_clips"])
+    result["throughput"] = throughput_stats(legs, result["config"]["seq_len"])
+    path.write_text(json.dumps(result) + "\n")
+    return result
+
+
 def main(argv=None):
     global SEQ_LEN, STRIDE
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--worker-cfg", default="", help=argparse.SUPPRESS)
+    ap.add_argument("--recompute", default="", metavar="RESULTS_JSON",
+                    help="recompute throughput stats from a recorded "
+                         "results JSON's samples and rewrite it")
     ap.add_argument("--videos", type=int, default=96)
     ap.add_argument("--frames", type=int, default=2200)
     ap.add_argument("--size", type=int, default=128,
@@ -307,6 +343,11 @@ def main(argv=None):
     ap.add_argument("--shuffle-pool", type=int, default=8192)
     ap.add_argument("--batch-size", type=int, default=32)
     args = ap.parse_args(argv)
+
+    if args.recompute:
+        result = recompute(args.recompute)
+        print(json.dumps(result["throughput"]))
+        return
 
     if args.worker_cfg:
         worker_main(args.worker_cfg)

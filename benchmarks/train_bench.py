@@ -97,6 +97,8 @@ def main(argv=None):
         data_s = [r.get("train_data_s") or 0.0 for r in steady]
         step_s = [r.get("train_step_s") or 0.0 for r in steady]
         drain_s = [r.get("train_drain_s") or 0.0 for r in steady]
+        val_s = [(r.get("val_data_s") or 0.0) + (r.get("val_step_s") or 0.0)
+                 + (r.get("val_drain_s") or 0.0) for r in steady]
         mean = lambda xs: sum(xs) / max(len(xs), 1)  # noqa: E731
         ep = mean(epoch_s)
         feed, step = mean(data_s), mean(step_s)
@@ -112,13 +114,21 @@ def main(argv=None):
             "feed_s_per_epoch": round(feed, 3),
             "step_s_per_epoch": round(step, 3),
             "drain_s_per_epoch": round(mean(drain_s), 3),
-            # eval + checkpointing + logging are the remainder
+            "val_s_per_epoch": round(mean(val_s), 3),
+            # checkpointing + logging + sampler/host batch assembly are
+            # the remainder; on a contended host this bucket absorbs the
+            # interference, so a dominant 'other' means re-run quiet
             "other_s_per_epoch": round(
-                max(ep - feed - step - mean(drain_s), 0.0), 3),
+                max(ep - feed - step - mean(drain_s) - mean(val_s), 0.0),
+                3),
             # dispatch is async: queued device work that outruns the host
             # lands in the end-of-epoch drain, so device wait = step+drain
-            "bottleneck": ("feed" if feed > step + mean(drain_s)
-                           else "step"),
+            "bottleneck": max(
+                (("feed", feed), ("step", step + mean(drain_s)),
+                 ("eval", mean(val_s)),
+                 ("host-other",
+                  max(ep - feed - step - mean(drain_s) - mean(val_s), 0.0))),
+                key=lambda kv: kv[1])[0],
             "config": {
                 "clips": args.clips, "seq_len": args.seq_len,
                 "batch_size": args.batch_size, "latent": args.latent,

@@ -281,8 +281,11 @@ def evaluate(eval_step, params, dataset, sampler, sharding):
             "this epoch and no 'best' checkpoint will be saved.",
             flush=True,
         )
-        return {k: float("inf") for k in totals}
-    return {k: v / rows for k, v in totals.items()}
+        out = {k: float("inf") for k in totals}
+    else:
+        out = {k: v / rows for k, v in totals.items()}
+    out["_timing"] = {k: round(v, 4) for k, v in timers.totals.items()}
+    return out
 
 
 def _append_metrics(outdir, record: dict) -> None:
@@ -561,6 +564,9 @@ def fit(
                     "train_data_s": tr.get("_timing", {}).get("data"),
                     "train_step_s": tr.get("_timing", {}).get("step"),
                     "train_drain_s": tr.get("_timing", {}).get("drain"),
+                    "val_data_s": va.get("_timing", {}).get("data"),
+                    "val_step_s": va.get("_timing", {}).get("step"),
+                    "val_drain_s": va.get("_timing", {}).get("drain"),
                 },
             )
 
