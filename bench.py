@@ -23,9 +23,10 @@ tests/test_dedup.py pins the scheduler's backbone-frame counts per mode.
 The production profile deviates from the reference's per-clip jitter
 keying and per-clip crop boxes (preprocess_resnet_features.py:287-297,
 dataset.py:395-400). The deviation is measured training-quality-neutral:
-8 seeds x 2 harness arms, one-sided SE gate, pre-registered 10% relative
-non-inferiority margin (TOST-style), against a 2x-jitter negative control
-detected at |t| > 11 — benchmarks/jitter_key_experiment.py,
+an 8-seed primary harness plus a corroborating static-background arm,
+one-sided SE gate, pre-registered 10% relative non-inferiority margin
+(TOST-style), against a detected 2x-jitter negative control —
+benchmarks/jitter_key_experiment.py,
 results_jitter_key_r5_*.json, DESIGN.md "Jitter re-keying". Strict
 reference semantics remain one flag away (`--crop-scope clip
 --jitter-key clip`) and are reported here as `value_reference_parity`
@@ -266,9 +267,10 @@ def main():
                      "production profile: 3*stride backbone-frames per "
                      "clip — all three computed variants deterministic "
                      "per frame. Deviation from per-clip jitter keying / "
-                     "crop boxes measured training-quality-neutral (8 "
-                     "seeds x 2 harnesses, pre-registered 10% "
-                     "non-inferiority margin, detected negative control: "
+                     "crop boxes measured training-quality-neutral "
+                     "(8-seed primary harness + corroborating static-bg "
+                     "arm, pre-registered 10% non-inferiority margin, "
+                     "detected negative control: "
                      "DESIGN.md 'Jitter re-keying'). "
                      "value_reference_parity = strict --crop-scope clip "
                      "--jitter-key clip semantics (1.25 passes at stable "

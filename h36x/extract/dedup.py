@@ -403,9 +403,15 @@ def run_extract_dedup(cfg: ExtractConfig, dataset) -> dict:
         owned = [i for g in groups for i in g if i in owned]
     part_note = (f" [partition {part_i}/{part_n} by {partition_by}]"
                  if part_n > 1 else "")
+    profile = ("production" if (cfg.crop_scope, cfg.jitter_key)
+               == ("video", "video") else "reference-keyed"
+               if (cfg.crop_scope, cfg.jitter_key) == ("clip", "clip")
+               else "mixed")
     print(
         f"Extracting {n_clips} clips x {n_vars} variant(s) "
-        f"(shards of {cfg.shard_size} clips, unique-frame scheduling) "
+        f"(shards of {cfg.shard_size} clips, unique-frame scheduling, "
+        f"{profile} profile: crop_scope={cfg.crop_scope} "
+        f"jitter_key={cfg.jitter_key}) "
         f"-> {out_root}{part_note}"
     )
 
