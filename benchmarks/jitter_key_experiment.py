@@ -402,7 +402,6 @@ def summarize(results, config):
     shrinks ~1/sqrt(n), so adding seeds tightens the verdict instead of
     leaving the threshold constant (review finding, round 4).
     """
-    n = min(len(v) for v in results.values())
     means = {k: float(np.mean(v)) for k, v in results.items()}
     stds = {k: float(np.std(v, ddof=1)) if len(v) > 1 else 0.0
             for k, v in results.items()}
@@ -411,13 +410,25 @@ def summarize(results, config):
         return float(np.sqrt(stds[a] ** 2 / len(results[a])
                              + stds[b] ** 2 / len(results[b])))
 
+    def _welch_df(a, b):
+        """Welch-Satterthwaite df for the (a, b) comparison — supports
+        unequal per-mode seed counts (e.g. a truncated control arm must
+        not throttle the keying comparison's df, and vice versa).
+        Equals 2n-2 at equal n and equal variances."""
+        na, nb = len(results[a]), len(results[b])
+        va, vb = stds[a] ** 2 / na, stds[b] ** 2 / nb
+        den = (va ** 2 / max(na - 1, 1)) + (vb ** 2 / max(nb - 1, 1))
+        if den <= 0:
+            return max(na + nb - 2, 1)
+        return (va + vb) ** 2 / den
+
     keying_signed = means["frame"] - means["clip"]  # + = quality LOSS
     se_keying = max(_se("clip", "frame"), 1e-12)
     control_signed = means["control_2x"] - means["clip"]
     se_control = max(_se("clip", "control_2x"), 1e-12)
     t_keying = keying_signed / se_keying
     t_control = control_signed / se_control
-    df = 2 * n - 2
+    df = _welch_df("clip", "frame")
     t_crit = _t_crit_two_sided_0p05(df)
 
     # --- pre-registered margin tests (alpha = 0.05, one-sided each) ------
@@ -445,6 +456,8 @@ def summarize(results, config):
         "keying_effect_signed": keying_signed,
         "keying_se_diff": se_keying,
         "keying_t": t_keying,
+        "keying_df_welch": round(df, 2),
+        "seeds_per_mode": {k: len(v) for k, v in results.items()},
         "keying_two_sided_significant": bool(two_sided_significant),
         "t_crit_two_sided_0p05": t_crit,
         "margin_rel_preregistered": MARGIN_REL,
@@ -485,7 +498,43 @@ def main(argv=None):
     ap.add_argument("--recompute", default="", metavar="RESULTS_JSON",
                     help="re-summarize the per-seed scores of an existing "
                          "results JSON (no retraining)")
+    ap.add_argument("--summarize-workdir", default="", metavar="WORKDIR",
+                    help="score an interrupted run's workdir: every "
+                         "COMPLETE run_{mode}_s{seed} (all --epochs rows "
+                         "in metrics.jsonl) is scored with the same "
+                         "last-5-epoch tail mean; modes may end with "
+                         "unequal seed counts (Welch df handles it)")
     args = ap.parse_args(argv)
+
+    if args.summarize_workdir:
+        work = Path(args.summarize_workdir)
+        results = {}
+        for mode in ("clip", "frame", "control_2x"):
+            scores = []
+            for seed in range(args.seeds):
+                mfile = work / f"run_{mode}_s{seed}" / "metrics.jsonl"
+                if not mfile.exists():
+                    break
+                rows = [json.loads(l) for l in
+                        mfile.read_text().splitlines()]
+                vals = [r["val_mpjpe"] for r in rows
+                        if r.get("val_mpjpe") is not None]
+                if len(vals) < args.epochs:
+                    break  # interrupted mid-run — not a completed seed
+                scores.append(float(np.mean(vals[-5:])))
+            if len(scores) < 2:
+                raise SystemExit(f"workdir has <2 complete '{mode}' runs")
+            results[mode] = scores
+        out = summarize(results, {
+            "seeds": {m: len(v) for m, v in results.items()},
+            "epochs": args.epochs, "videos": args.videos,
+            "harness": "static_bg" if args.static_bg else "default",
+            "summarized_from_workdir": True})
+        line = json.dumps(out)
+        print(line)
+        if args.out:
+            Path(args.out).write_text(line + "\n")
+        return
 
     if args.recompute:
         prev = json.loads(Path(args.recompute).read_text())
