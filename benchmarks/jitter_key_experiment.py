@@ -339,8 +339,10 @@ def run(seeds: int, epochs: int, videos: int, workdir: Path,
     assert_only_cjitter_differs(list(roots.values()))
 
     results = {name: [] for name in modes}
-    for name, root in roots.items():
-        for seed in range(seeds):
+    # seed-major order: if the run is interrupted, every completed seed
+    # covers ALL modes, so --summarize-workdir sees balanced arms
+    for seed in range(seeds):
+        for name, root in roots.items():
             out = workdir / f"run_{name}_s{seed}"
             score = train_once(root, out, seed, epochs)
             results[name].append(score)
