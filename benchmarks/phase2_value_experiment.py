@@ -405,6 +405,10 @@ def main(argv=None):
                     help="'reference' = the reference config of record "
                          "(T=40, 15+25, curriculum 25) with a disjoint "
                          "test region for evaluation")
+    ap.add_argument("--devices", type=int, default=1,
+                    help="virtual CPU device count (1 = fastest on a "
+                         "single physical core; 8 = test-suite mesh — "
+                         "same DP math either way)")
     ap.add_argument("--out", default="")
     ap.add_argument("--keep-workdir", default="")
     ap.add_argument("--recompute", default="", metavar="RESULTS_JSON",
@@ -424,7 +428,7 @@ def main(argv=None):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_num_cpu_devices", 8)
+    jax.config.update("jax_num_cpu_devices", args.devices)
 
     work = Path(args.keep_workdir) if args.keep_workdir else Path(
         tempfile.mkdtemp(prefix="phase2val_"))
