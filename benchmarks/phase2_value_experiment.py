@@ -376,6 +376,13 @@ def run(seeds: int, epochs1: int, epochs2: int, videos: int,
             per_seed[k].append(v)
         print(f"[eval] seed={seed}: " + ", ".join(
             f"{k}={v:.5f}" for k, v in sorted(scores.items())), flush=True)
+        # crash/cutoff safety: completed seeds are always recoverable via
+        # --recompute on this partial JSON (each seed is a full p1+p2+eval)
+        (workdir / "partial.json").write_text(json.dumps(
+            {"per_seed": per_seed,
+             "config": {"seeds": seed + 1, "epochs1": epochs1,
+                        "epochs2": epochs2, "videos": videos,
+                        "geometry": geometry, "partial": True}}) + "\n")
 
     config = {"seeds": seeds, "epochs1": epochs1, "epochs2": epochs2,
               "videos": videos, "geometry": geometry,
