@@ -604,8 +604,16 @@ def test_stats_client_timeout_against_unresponsive_endpoint(tmp_path):
         srv = await asyncio.start_unix_server(black_hole, path=sock)
         from h36x.serve_daemon import stats_async
 
-        async with srv:
+        try:
             with pytest.raises(asyncio.TimeoutError):
                 await stats_async(unix_path=sock, timeout_s=0.3)
+        finally:
+            # close WITHOUT `async with srv` / wait_closed(): on this
+            # 3.12 stdlib a client cancelled inside wait_for leaves the
+            # black-hole handler's connection in a state where
+            # Server.wait_closed() never resolves even after the handler
+            # returns (reproduced stdlib-only, no h36x code involved).
+            # asyncio.run's shutdown cancels the sleeping handler task.
+            srv.close()
 
     asyncio.run(run())
